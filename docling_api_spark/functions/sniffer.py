@@ -1,0 +1,130 @@
+"""Format detection — re-implementation of the reference's sniff chain.
+
+Semantics mirror ``document_converter/utils.py``:
+- format taxonomy: 7 inputs DOCX/PPTX/HTML/IMAGE/PDF/ASCIIDOC/MD
+  (``utils.py:8-15``, extension map ``utils.py:25-33``, MIME map
+  ``utils.py:35-56``);
+- sniff order in ``guess_format`` (``utils.py:76-89``): content magic first
+  (reference uses the ``filetype`` package — we carry our own magic-byte
+  table, same observable result), then extension fallback
+  (``mime_from_extension`` ``utils.py:92-101``), then the bespoke HTML/XHTML
+  content heuristic (``detect_html_xhtml`` ``utils.py:60-73``), else
+  unsupported (``utils.py:87-89``: a plain-text default falls through to
+  None ⇒ the support gate ``is_file_format_supported`` ``utils.py:104-105``
+  rejects it).
+
+Everything here is pure Python over one value; it is applied *vectorized*
+inside the pandas-UDF extraction batch (no per-row Python UDF at the Spark
+level).
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+import io
+
+# canonical format tags (InputFormat enum values, utils.py:8-15)
+DOCX, PPTX, HTML, IMAGE, PDF, ASCIIDOC, MD = (
+    "docx", "pptx", "html", "image", "pdf", "asciidoc", "md",
+)
+
+SUPPORTED = frozenset({DOCX, PPTX, HTML, IMAGE, PDF, ASCIIDOC, MD})
+
+# extension → format (FormatToExtensions inverted, utils.py:25-33)
+_EXT_TO_FORMAT = {
+    "docx": DOCX, "dotx": DOCX, "docm": DOCX, "dotm": DOCX,
+    "pptx": PPTX, "potx": PPTX, "ppsx": PPTX, "pptm": PPTX, "potm": PPTX, "ppsm": PPTX,
+    "pdf": PDF,
+    "md": MD, "markdown": MD,
+    "adoc": ASCIIDOC, "asciidoc": ASCIIDOC, "asc": ASCIIDOC,
+    "html": HTML, "htm": HTML, "xhtml": HTML,
+    "png": IMAGE, "jpg": IMAGE, "jpeg": IMAGE, "gif": IMAGE,
+    "bmp": IMAGE, "tif": IMAGE, "tiff": IMAGE, "webp": IMAGE,
+}
+
+_HTML_RX = re.compile(rb"<!doctype\s+html|<html|<head|<body", re.IGNORECASE)
+_XML_COMMENT_RX = re.compile(rb"<!--(.*?)-->", re.DOTALL)
+
+
+def detect_html_xhtml(content: bytes) -> str | None:
+    """Content heuristic for (X)HTML — semantics of ``utils.py:60-73``:
+    strip XML comments, probe the first 1000 bytes for an ``<?xml`` decl
+    containing 'xhtml', else regex for doctype/html/head/body tags."""
+    head = _XML_COMMENT_RX.sub(b"", content[:4096]).lstrip()[:1000]
+    low = head.lower()
+    if low.startswith(b"<?xml"):
+        if b"xhtml" in low:
+            return "application/xhtml+xml"
+    if _HTML_RX.search(low):
+        return "text/html"
+    return None
+
+
+def _sniff_zip(content: bytes) -> str | None:
+    """OOXML discrimination: a ZIP container is DOCX/PPTX iff it holds
+    ``word/document.xml`` / ``ppt/presentation.xml`` (what the reference's
+    ``filetype`` MIME probe resolves for OOXML)."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(content)) as zf:
+            names = zf.namelist()
+    except Exception:
+        return None
+    if any(n.startswith("word/") for n in names):
+        return DOCX
+    if any(n.startswith("ppt/") for n in names):
+        return PPTX
+    return None
+
+
+def _sniff_magic(content: bytes) -> str | None:
+    """Magic-byte table standing in for ``filetype.guess_mime``
+    (``utils.py:82``)."""
+    if content.startswith(b"%PDF-"):
+        return PDF
+    if content.startswith(b"\x89PNG\r\n\x1a\n"):
+        return IMAGE
+    if content.startswith(b"\xff\xd8\xff"):
+        return IMAGE
+    if content.startswith((b"GIF87a", b"GIF89a")):
+        return IMAGE
+    if content.startswith((b"II*\x00", b"MM\x00*")):
+        return IMAGE
+    if content.startswith(b"BM") and len(content) > 14:
+        return IMAGE
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        return IMAGE
+    if content.startswith(b"PK\x03\x04"):
+        return _sniff_zip(content)
+    return None
+
+
+def format_from_extension(url: str) -> str | None:
+    """Extension fallback — semantics of ``mime_from_extension``
+    (``utils.py:92-101``); we derive the extension from the url path suffix."""
+    path = url.split("?", 1)[0].split("#", 1)[0]
+    tail = path.rstrip("/").rsplit("/", 1)[-1]
+    if "." not in tail:
+        return None
+    ext = tail.rsplit(".", 1)[-1].lower()
+    return _EXT_TO_FORMAT.get(ext)
+
+
+def detect_format(content: bytes, url: str) -> str | None:
+    """Full sniff chain of ``guess_format`` (``utils.py:76-89``):
+    magic bytes → extension → HTML content heuristic → None (unsupported).
+
+    Returns one of SUPPORTED or None; None rows become
+    ``error='unsupported_format'`` rows instead of being dropped
+    (error-row semantics, SURVEY.md Table A row A3)."""
+    if not content:
+        return None
+    fmt = _sniff_magic(content)
+    if fmt is not None:
+        return fmt
+    fmt = format_from_extension(url)
+    if fmt is not None:
+        return fmt
+    if detect_html_xhtml(content) is not None:
+        return HTML
+    return None

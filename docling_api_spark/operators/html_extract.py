@@ -1,0 +1,468 @@
+"""HTML → Markdown extraction (main-content / boilerplate-strip path).
+
+Re-implements, from scratch on the stdlib, the capability the reference
+delegates to docling's HTML backend (beautifulsoup4 per
+``poetry.lock:432``; invoked via ``service.py:80`` and exported via
+``export_to_markdown(image_mode=PLACEHOLDER)`` ``service.py:46``), plus the
+image-manifest post-pass ``_process_document_images``
+(``service.py:41-66``) with its two quirks preserved:
+
+- each picture replaces the **first** remaining ``<!-- image -->``
+  placeholder, left to right, one at a time (``service.py:61``,
+  ``str.replace(..., 1)``);
+- tables extracted as images are **never** substituted into the markdown
+  (no replace in the TableItem branch, ``service.py:53-56``).
+
+Determinism contract (SURVEY.md §7.0): output is a pure function of
+``(bytes, url, ExtractConfig)``. No wall clock, no dict-order dependence
+(document order only), integer-ratio boilerplate heuristics, fixed
+whitespace collapsing.
+
+Markdown serialization spec (stable — golden fixtures depend on it):
+- blocks joined by a single blank line ("\\n\\n"), no trailing newline;
+- h1..h6 → ``#``*n + space + inline text;
+- paragraphs → collapsed inline text;
+- ul → ``- item``; ol → ``1. item`` (GFM auto-numbering), nesting indents
+  by two spaces per level;
+- tables → GFM pipes, first row is the header, ``---`` separator,
+  ``|`` escaped as ``\\|``, colspan expanded with empty cells;
+- pre/code blocks → fenced with ``` (content verbatim, trailing
+  newline stripped);
+- blockquote → each line prefixed ``> ``;
+- hr → ``---``;
+- ``<img>`` → ``<!-- image -->`` placeholder (then the picture rewrite
+  pass above);
+- inline: ``<b>/<strong>`` → ``**x**``, ``<i>/<em>`` → ``*x*``,
+  ``<code>`` → `` `x` ``, ``<a href>`` → ``[text](href)``, ``<br>`` →
+  newline within the block; runs of whitespace collapse to one space.
+
+Boilerplate strip:
+- tag blacklist dropped outright: script/style/noscript/template/nav/
+  header/footer/aside/form/button/svg/iframe/select/datalist/dialog/
+  object/embed/head;
+- main-content root: the ``<main>``/``<article>`` subtree with the most
+  text wins (ties → first in document order); else ``<body>``; else the
+  whole tree;
+- link-farm containers (div/section/ul/ol) dropped when
+  ``link_chars * link_density_den >= total_chars * link_density_num``
+  and the container holds at least ``min_container_chars`` characters —
+  pure integer arithmetic, no float thresholds (§7.3).
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+from ..config import ExtractConfig
+
+_WS_RX = re.compile(r"\s+")
+
+VOID_TAGS = frozenset({
+    "img", "br", "hr", "meta", "link", "input", "area", "base", "col",
+    "embed", "source", "track", "wbr", "param",
+})
+
+DROP_TAGS = frozenset({
+    "script", "style", "noscript", "template", "nav", "header", "footer",
+    "aside", "form", "button", "svg", "iframe", "select", "datalist",
+    "dialog", "object", "embed", "head", "canvas", "map",
+})
+
+BLOCK_TAGS = frozenset({
+    "h1", "h2", "h3", "h4", "h5", "h6", "p", "ul", "ol", "table", "pre",
+    "blockquote", "hr", "div", "section", "article", "main", "figure",
+    "figcaption", "details", "summary", "dl", "dt", "dd", "address",
+    "fieldset", "center",
+})
+
+_CONTAINER_TAGS = frozenset({
+    "div", "section", "article", "main", "figure", "details", "center",
+    "fieldset", "body", "html",
+})
+
+_DENSITY_TAGS = frozenset({"div", "section", "ul", "ol"})
+
+
+class Node:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs=None, parent=None):
+        self.tag = tag
+        self.attrs = dict(attrs or ())
+        self.children: list = []  # Node | str
+        self.parent = parent
+
+
+class _TreeBuilder(HTMLParser):
+    """Tolerant DOM builder: unmatched end tags are ignored, ``<p>``
+    auto-closes on a new block tag, everything auto-closes at EOF —
+    total-function requirement (``raises_on_error=False`` semantics,
+    ``service.py:80``)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#root")
+        self.cur = self.root
+
+    def handle_starttag(self, tag, attrs):
+        if tag in VOID_TAGS:
+            self.cur.children.append(Node(tag, attrs, self.cur))
+            return
+        # implicit </p> / </li> before a new block or sibling li
+        if tag in BLOCK_TAGS and self.cur.tag == "p":
+            self.cur = self.cur.parent
+        if tag == "li" and self.cur.tag == "li":
+            self.cur = self.cur.parent
+        node = Node(tag, attrs, self.cur)
+        self.cur.children.append(node)
+        self.cur = node
+
+    def handle_startendtag(self, tag, attrs):
+        self.cur.children.append(Node(tag, attrs, self.cur))
+
+    def handle_endtag(self, tag):
+        if tag in VOID_TAGS:
+            return
+        n = self.cur
+        while n is not None and n.tag != tag:
+            n = n.parent
+        if n is not None and n.tag == tag and n.parent is not None:
+            self.cur = n.parent
+
+    def handle_data(self, data):
+        if data:
+            self.cur.children.append(data)
+
+
+def parse_html(text: str) -> Node:
+    tb = _TreeBuilder()
+    tb.feed(text)
+    tb.close()
+    return tb.root
+
+
+# ---------------------------------------------------------------- text stats
+
+def _text_stats(node) -> tuple[int, int]:
+    """(total_chars, link_chars) of collapsed text, excluding DROP_TAGS."""
+    total = 0
+    link = 0
+    stack = [(node, False)]
+    while stack:
+        n, in_link = stack.pop()
+        if isinstance(n, str):
+            t = len(_WS_RX.sub(" ", n).strip())
+            total += t
+            if in_link:
+                link += t
+            continue
+        if n.tag in DROP_TAGS:
+            continue
+        child_in_link = in_link or n.tag == "a"
+        for c in n.children:
+            stack.append((c, child_in_link))
+    return total, link
+
+
+# ------------------------------------------------------------------- blocks
+
+@dataclass
+class Block:
+    kind: str
+    text: str
+    ref: str = ""
+
+
+@dataclass
+class _Ctx:
+    cfg: ExtractConfig
+    images: list = field(default_factory=list)
+    n_pictures: int = 0
+    n_tables: int = 0
+
+
+def _inline(node, ctx: _Ctx) -> str:
+    """Render inline content of a node (recursive)."""
+    out = []
+    for c in node.children:
+        out.append(_inline_one(c, ctx))
+    return "".join(out)
+
+
+def _inline_one(c, ctx: _Ctx) -> str:
+    if isinstance(c, str):
+        return _WS_RX.sub(" ", c)
+    tag = c.tag
+    if tag in DROP_TAGS:
+        return ""
+    if tag == "br":
+        return "\n"
+    if tag == "img":
+        ctx.n_pictures += 1
+        src = c.attrs.get("src", "") or ""
+        ctx.images.append({
+            "type": "picture",
+            "filename": f"picture-{ctx.n_pictures}.png",
+            # no rasterizer in the target env (SURVEY.md Table C): payload is
+            # the base64 of the source ref bytes — deterministic stand-in for
+            # the reference's base64 PNG (service.py:63)
+            "image": base64.b64encode(src.encode("utf-8")).decode("ascii"),
+        })
+        return "<!-- image -->"
+    inner = _inline(c, ctx)
+    if tag in ("b", "strong"):
+        s = inner.strip()
+        return f"**{s}**" if s else ""
+    if tag in ("i", "em"):
+        s = inner.strip()
+        return f"*{s}*" if s else ""
+    if tag in ("code", "kbd", "samp", "tt"):
+        s = inner.strip()
+        return f"`{s}`" if s else ""
+    if tag == "a":
+        label = inner.strip()
+        href = (c.attrs.get("href") or "").strip()
+        if not label:
+            return ""
+        if href:
+            return f"[{label}]({href})"
+        return label
+    return inner
+
+
+def _collapse(s: str) -> str:
+    # collapse per-line (hard breaks from <br> survive), strip edges
+    lines = [_WS_RX.sub(" ", ln).strip() for ln in s.split("\n")]
+    lines = [ln for ln in lines if ln]
+    return "\n".join(lines)
+
+
+def _is_blockish(c) -> bool:
+    return not isinstance(c, str) and c.tag in BLOCK_TAGS
+
+
+def _list_blocks(node, ctx: _Ctx, depth: int, ordered: bool, out_lines: list):
+    idx = 0
+    for c in node.children:
+        if isinstance(c, str) or c.tag != "li":
+            continue
+        idx += 1
+        marker = "1." if ordered else "-"
+        # split li content into inline head + nested lists
+        head_parts = []
+        nested = []
+        for g in c.children:
+            if not isinstance(g, str) and g.tag in ("ul", "ol"):
+                nested.append(g)
+            elif not isinstance(g, str) and g.tag in DROP_TAGS:
+                continue
+            else:
+                head_parts.append(_inline_one(g, ctx))
+        head = _collapse("".join(head_parts)).replace("\n", " ")
+        out_lines.append(f"{'  ' * depth}{marker} {head}".rstrip())
+        for g in nested:
+            _list_blocks(g, ctx, depth + 1, g.tag == "ol", out_lines)
+
+
+def _table_block(node, ctx: _Ctx) -> str | None:
+    rows = []
+    def collect(n):
+        for c in n.children:
+            if isinstance(c, str):
+                continue
+            if c.tag in ("thead", "tbody", "tfoot"):
+                collect(c)
+            elif c.tag == "tr":
+                cells = []
+                for cell in c.children:
+                    if isinstance(cell, str) or cell.tag not in ("td", "th"):
+                        continue
+                    txt = _collapse(_inline(cell, ctx)).replace("\n", " ")
+                    txt = txt.replace("|", "\\|")
+                    cells.append(txt)
+                    try:
+                        span = int(cell.attrs.get("colspan", "1"))
+                    except (TypeError, ValueError):
+                        span = 1
+                    cells.extend([""] * max(0, span - 1))
+                rows.append(cells)
+    collect(node)
+    rows = [r for r in rows if r]
+    if not rows:
+        return None
+    width = max(len(r) for r in rows)
+    rows = [r + [""] * (width - len(r)) for r in rows]
+    lines = ["| " + " | ".join(rows[0]) + " |",
+             "| " + " | ".join(["---"] * width) + " |"]
+    for r in rows[1:]:
+        lines.append("| " + " | ".join(r) + " |")
+    if ctx.cfg.extract_tables_as_images:
+        ctx.n_tables += 1
+        ctx.images.append({
+            "type": "table",
+            "filename": f"table-{ctx.n_tables}.png",
+            "image": "",  # no rasterizer; flagged empty payload (Table C)
+        })
+    return "\n".join(lines)
+
+
+def _pre_text(node) -> str:
+    parts = []
+    def walk(n):
+        for c in n.children:
+            if isinstance(c, str):
+                parts.append(c)
+            elif c.tag == "br":
+                parts.append("\n")
+            elif c.tag not in DROP_TAGS:
+                walk(c)
+    walk(node)
+    return "".join(parts)
+
+
+def _flush_para(buf: list, blocks: list[Block]):
+    if not buf:
+        return
+    text = _collapse("".join(buf))
+    buf.clear()
+    if text:
+        blocks.append(Block("paragraph", text))
+
+
+def _emit_blocks(node, ctx: _Ctx, blocks: list[Block]):
+    """Flow-content walker: inline runs become paragraphs; block elements
+    emit their own blocks; containers recurse (after the link-density
+    gate)."""
+    buf: list[str] = []
+    for c in node.children:
+        if isinstance(c, str):
+            buf.append(_WS_RX.sub(" ", c))
+            continue
+        tag = c.tag
+        if tag in DROP_TAGS:
+            continue
+        if tag not in BLOCK_TAGS:
+            buf.append(_inline_one(c, ctx))
+            continue
+        _flush_para(buf, blocks)
+        if tag in _DENSITY_TAGS or tag in _CONTAINER_TAGS:
+            total, link = _text_stats(c)
+            cfg = ctx.cfg
+            if (tag in _DENSITY_TAGS and total >= cfg.min_container_chars
+                    and link * cfg.link_density_den >= total * cfg.link_density_num):
+                continue  # link farm — boilerplate
+        if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            text = _collapse(_inline(c, ctx)).replace("\n", " ")
+            if text:
+                blocks.append(Block("heading", "#" * int(tag[1]) + " " + text, ref=text))
+        elif tag == "p" or tag in ("dt", "dd", "address", "summary", "figcaption"):
+            text = _collapse(_inline(c, ctx))
+            if text:
+                blocks.append(Block("paragraph", text))
+        elif tag in ("ul", "ol"):
+            lines: list[str] = []
+            _list_blocks(c, ctx, 0, tag == "ol", lines)
+            if lines:
+                blocks.append(Block("list", "\n".join(lines)))
+        elif tag == "table":
+            t = _table_block(c, ctx)
+            if t:
+                blocks.append(Block("table", t))
+        elif tag == "pre":
+            raw = _pre_text(c)
+            raw = raw.strip("\n")
+            blocks.append(Block("code", f"```\n{raw}\n```"))
+        elif tag == "blockquote":
+            sub: list[Block] = []
+            _emit_blocks(c, ctx, sub)
+            if sub:
+                inner = "\n\n".join(b.text for b in sub)
+                quoted = "\n".join(
+                    ("> " + ln).rstrip() for ln in inner.split("\n"))
+                blocks.append(Block("quote", quoted))
+        elif tag == "hr":
+            blocks.append(Block("rule", "---"))
+        else:  # container: div/section/article/main/figure/dl/details/...
+            _emit_blocks(c, ctx, blocks)
+    _flush_para(buf, blocks)
+
+
+# ------------------------------------------------------------- root picking
+
+def _find_all(node, tags: frozenset) -> list[Node]:
+    found = []
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            continue
+        if n.tag in tags:
+            found.append(n)
+        # reversed → document order when popping
+        for c in reversed(n.children):
+            if not isinstance(c, str):
+                stack.append(c)
+    return found
+
+
+def _pick_root(root: Node) -> Node:
+    mains = _find_all(root, frozenset({"main", "article"}))
+    if mains:
+        best = None
+        best_len = -1
+        for m in mains:  # document order; strict > keeps the first on ties
+            total, _ = _text_stats(m)
+            if total > best_len:
+                best, best_len = m, total
+        return best
+    bodies = _find_all(root, frozenset({"body"}))
+    if bodies:
+        return bodies[0]
+    return root
+
+
+# ---------------------------------------------------------------- top level
+
+@dataclass
+class ExtractResult:
+    markdown: str
+    images: list
+    spans: list
+
+
+def extract_html(text: str, cfg: ExtractConfig) -> ExtractResult:
+    """Parse HTML text and serialize main content to Markdown.
+
+    Returns markdown + images manifest + per-block spans. Never raises on
+    malformed input (tolerant tree builder)."""
+    root = parse_html(text)
+    content_root = _pick_root(root)
+    ctx = _Ctx(cfg=cfg)
+    blocks: list[Block] = []
+    _emit_blocks(content_root, ctx, blocks)
+
+    # picture placeholder rewrite — service.py:61 semantics: for each picture
+    # in order, replace the FIRST remaining placeholder; tables never rewritten
+    # (service.py:53-56 quirk).
+    pictures = [im for im in ctx.images if im["type"] == "picture"]
+    for im in pictures:
+        for b in blocks:
+            if "<!-- image -->" in b.text:
+                b.text = b.text.replace("<!-- image -->", im["filename"], 1)
+                break
+
+    spans = []
+    pos = 0
+    parts = []
+    for i, b in enumerate(blocks):
+        if i:
+            pos += 2  # "\n\n"
+        start = pos
+        parts.append(b.text)
+        pos += len(b.text)
+        spans.append({"start": start, "end": pos, "kind": b.kind, "ref": b.ref})
+    markdown = "\n\n".join(parts)
+    return ExtractResult(markdown=markdown, images=ctx.images, spans=spans)

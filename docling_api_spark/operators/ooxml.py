@@ -1,0 +1,174 @@
+"""DOCX / PPTX → Markdown via stdlib zipfile + xml.etree.
+
+The reference supports DOCX/PPTX inputs (``utils.py:26-27``) through
+docling's python-docx / python-pptx backends (``poetry.lock:447-448``).
+OOXML is just ZIP + XML, so we parse it directly (SURVEY.md Table C):
+
+- DOCX: ``word/document.xml`` — ``w:p`` paragraphs (``w:pStyle`` values
+  ``Heading1``..``Heading6`` / ``Title`` map to ``#``..``######`` / ``#``),
+  ``w:tbl`` → GFM pipe tables, runs ``w:r``/``w:t`` concatenated, bold/italic
+  run props → ``**``/``*``, numbered/bulleted paragraphs (``w:numPr``) →
+  list items.
+- PPTX: ``ppt/slides/slide{N}.xml`` in slide-number order — the title
+  placeholder becomes an ``##`` heading, body paragraphs become ``-``
+  bullets (indent by ``a:pPr lvl``).
+
+Output joins blocks with blank lines — same dialect as html_extract.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+
+W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+
+_HEADING_RX = re.compile(r"^Heading([1-6])$", re.IGNORECASE)
+
+
+def _docx_run_text(r) -> str:
+    parts = []
+    for t in r.iter(W + "t"):
+        parts.append(t.text or "")
+    for _ in r.iter(W + "br"):
+        parts.append("\n")
+    text = "".join(parts)
+    if not text.strip():
+        return text
+    rpr = r.find(W + "rPr")
+    if rpr is not None:
+        bold = rpr.find(W + "b") is not None
+        ital = rpr.find(W + "i") is not None
+        core = text.strip()
+        if bold:
+            core = f"**{core}**"
+        if ital:
+            core = f"*{core}*"
+        if bold or ital:
+            lead = text[: len(text) - len(text.lstrip())]
+            trail = text[len(text.rstrip()):]
+            return lead + core + trail
+    return text
+
+
+def _docx_para_text(p) -> str:
+    return "".join(_docx_run_text(r) for r in p.findall(W + "r")).strip()
+
+
+def _docx_para_block(p) -> str | None:
+    ppr = p.find(W + "pPr")
+    text = _docx_para_text(p)
+    if not text:
+        return None
+    if ppr is not None:
+        st = ppr.find(W + "pStyle")
+        if st is not None:
+            val = st.get(W + "val", "")
+            m = _HEADING_RX.match(val)
+            if m:
+                return "#" * int(m.group(1)) + " " + text
+            if val.lower() == "title":
+                return "# " + text
+        if ppr.find(W + "numPr") is not None:
+            ilvl = ppr.find(W + "numPr/" + W + "ilvl")
+            depth = int(ilvl.get(W + "val", "0")) if ilvl is not None else 0
+            return "  " * depth + "- " + text
+    return text
+
+
+def _docx_table_block(tbl) -> str | None:
+    rows = []
+    for tr in tbl.findall(W + "tr"):
+        cells = []
+        for tc in tr.findall(W + "tc"):
+            ps = [_docx_para_text(p) for p in tc.iter(W + "p")]
+            cells.append(" ".join(x for x in ps if x).replace("|", "\\|"))
+        if cells:
+            rows.append(cells)
+    if not rows:
+        return None
+    width = max(len(r) for r in rows)
+    rows = [r + [""] * (width - len(r)) for r in rows]
+    lines = ["| " + " | ".join(rows[0]) + " |",
+             "| " + " | ".join(["---"] * width) + " |"]
+    for r in rows[1:]:
+        lines.append("| " + " | ".join(r) + " |")
+    return "\n".join(lines)
+
+
+def extract_docx(content: bytes) -> str:
+    """May raise — caller wraps into the per-doc error channel (A14)."""
+    with zipfile.ZipFile(io.BytesIO(content)) as zf:
+        xml = zf.read("word/document.xml")
+    root = ET.fromstring(xml)
+    body = root.find(W + "body")
+    if body is None:
+        return ""
+    blocks: list[str] = []
+    pending_list: list[str] = []
+    for el in body:
+        if el.tag == W + "p":
+            b = _docx_para_block(el)
+            if b is None:
+                continue
+            if b.lstrip().startswith("- "):
+                pending_list.append(b)
+                continue
+            if pending_list:
+                blocks.append("\n".join(pending_list))
+                pending_list = []
+            blocks.append(b)
+        elif el.tag == W + "tbl":
+            if pending_list:
+                blocks.append("\n".join(pending_list))
+                pending_list = []
+            t = _docx_table_block(el)
+            if t:
+                blocks.append(t)
+    if pending_list:
+        blocks.append("\n".join(pending_list))
+    return "\n\n".join(blocks)
+
+
+def _slide_no(name: str) -> int:
+    m = re.search(r"slide(\d+)\.xml$", name)
+    return int(m.group(1)) if m else 0
+
+
+def extract_pptx(content: bytes) -> str:
+    """May raise — caller wraps into the per-doc error channel (A14)."""
+    with zipfile.ZipFile(io.BytesIO(content)) as zf:
+        slides = sorted(
+            (n for n in zf.namelist()
+             if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+            key=_slide_no,
+        )
+        blocks: list[str] = []
+        for name in slides:
+            root = ET.fromstring(zf.read(name))
+            for sp in root.iter(P + "sp"):
+                # placeholder type: title vs body
+                ph = sp.find(".//" + P + "nvSpPr/" + P + "nvPr/" + P + "ph")
+                is_title = ph is not None and ph.get("type", "") in ("title", "ctrTitle")
+                txbody = sp.find(P + "txBody")
+                if txbody is None:
+                    continue
+                bullets: list[str] = []
+                for para in txbody.findall(A + "p"):
+                    text = "".join(
+                        (t.text or "") for t in para.iter(A + "t")).strip()
+                    if not text:
+                        continue
+                    if is_title:
+                        blocks.append("## " + text)
+                    else:
+                        ppr = para.find(A + "pPr")
+                        lvl = int(ppr.get("lvl", "0")) if ppr is not None else 0
+                        bullets.append("  " * lvl + "- " + text)
+                if bullets:
+                    blocks.append("\n".join(bullets))
+    return "\n\n".join(blocks)

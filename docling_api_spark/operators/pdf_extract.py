@@ -1,0 +1,328 @@
+"""Scoped PDF → Markdown: pure-Python content-stream text extraction.
+
+The reference supports PDF (``utils.py:28``) via docling's pypdfium2 +
+docling-parse backends and torch layout models (``poetry.lock:437,446,
+494-501``). None of those exist in this environment, so per SURVEY.md §7.1
+M4 the PDF capability is **scoped**: a deterministic reader for the fixture
+grammar produced by :mod:`.pdf_write` —
+
+- classic xref-less object scan (``N 0 obj … endobj``);
+- page tree: ``/Type /Catalog`` → ``/Pages`` → ``/Kids`` order;
+- content streams: plain or ``/FlateDecode``;
+- text operators: ``BT ET Tf Td TD TL T* Tm Tj TJ '``;
+- literal ``(…)`` strings with escapes and ``<…>`` hex strings;
+- layout: items carry ``(page, x, y, font_size)``; reading order =
+  ``(page, column, -y, x)`` with a two-column split at x = width/2;
+  blocks segmented by y-gap > 1.5 × leading;
+- headings by font size: ≥20 → ``#``, ≥16 → ``##``, else paragraph.
+
+Everything outside this grammar (encryption, other filters, CMaps,
+embedded fonts needing ToUnicode, image-only pages) raises
+:class:`PdfUnsupported` → the caller maps it to the
+``pdf_unsupported_feature`` failure-code row — mirroring how the reference
+converts docling failures into error rows (``service.py:83-85``).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_RX = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
+_STREAM_RX = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_REF_RX = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
+_KIDS_RX = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+0\s+R)+)\s*\]")
+_NUM_REF_RX = re.compile(rb"(\d+)\s+0\s+R")
+
+
+class PdfUnsupported(Exception):
+    """Input is a real PDF but outside the scoped fixture grammar."""
+
+
+def _parse_objects(data: bytes) -> dict[int, bytes]:
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RX.finditer(data):
+        objs[int(m.group(1))] = m.group(2)
+    return objs
+
+
+def _stream_of(obj: bytes) -> bytes | None:
+    m = _STREAM_RX.search(obj)
+    if m is None:
+        return None
+    raw = m.group(1)
+    if b"/FlateDecode" in obj:
+        try:
+            return zlib.decompress(raw)
+        except zlib.error as e:
+            raise PdfUnsupported(f"bad flate stream: {e}") from e
+    if b"/Filter" in obj:
+        raise PdfUnsupported("unsupported stream filter")
+    return raw
+
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _tokenize(stream: bytes):
+    """Yield ('str', bytes) | ('num', float) | ('op', bytes) | ('arr', list)."""
+    i, n = 0, len(stream)
+    while i < n:
+        c = stream[i:i + 1]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == b"(":
+            out = bytearray()
+            depth = 1
+            i += 1
+            while i < n and depth:
+                ch = stream[i:i + 1]
+                if ch == b"\\" and i + 1 < n:
+                    nxt = stream[i + 1:i + 2]
+                    if nxt in _ESCAPES:
+                        out += _ESCAPES[nxt]
+                        i += 2
+                        continue
+                    if nxt.isdigit():  # octal
+                        j = i + 1
+                        oct_s = b""
+                        while j < n and j < i + 4 and stream[j:j + 1].isdigit():
+                            oct_s += stream[j:j + 1]
+                            j += 1
+                        out.append(int(oct_s, 8) & 0xFF)
+                        i = j
+                        continue
+                    i += 2
+                    continue
+                if ch == b"(":
+                    depth += 1
+                elif ch == b")":
+                    depth -= 1
+                    if depth == 0:
+                        i += 1
+                        break
+                out += ch
+                i += 1
+            yield ("str", bytes(out))
+        elif c == b"<" and stream[i:i + 2] != b"<<":
+            j = stream.find(b">", i)
+            if j < 0:
+                raise PdfUnsupported("unterminated hex string")
+            hx = re.sub(rb"\s", b"", stream[i + 1:j])
+            if len(hx) % 2:
+                hx += b"0"
+            yield ("str", bytes.fromhex(hx.decode("ascii")))
+            i = j + 1
+        elif c == b"[":
+            # collect a flat array of strings/numbers (for TJ)
+            j = i + 1
+            arr = []
+            sub = []
+            depth = 1
+            while j < n and depth:
+                ch = stream[j:j + 1]
+                if ch == b"]":
+                    depth -= 1
+                j += 1
+            for tok in _tokenize(stream[i + 1:j - 1]):
+                sub.append(tok)
+            arr = sub
+            yield ("arr", arr)
+            i = j
+        elif c == b"/":
+            j = i + 1
+            while j < n and stream[j:j + 1] not in b" \t\r\n()<>[]{}/%":
+                j += 1
+            yield ("name", stream[i + 1:j])
+            i = j
+        elif c in b"+-.0123456789":
+            j = i
+            while j < n and stream[j:j + 1] in b"+-.0123456789":
+                j += 1
+            yield ("num", float(stream[i:j]))
+            i = j
+        else:
+            j = i
+            while j < n and stream[j:j + 1] not in b" \t\r\n()<>[]{}/%":
+                j += 1
+            if j == i:
+                i += 1
+                continue
+            yield ("op", stream[i:j])
+            i = j
+
+
+def _extract_items(stream: bytes, page_no: int) -> list[tuple]:
+    """→ [(page, x, y, size, text)]"""
+    items: list[tuple] = []
+    stack: list = []
+    x = y = 0.0
+    lx = ly = 0.0  # line start (Td/TD are relative to line start)
+    size = 12.0
+    leading = 12.0
+    in_text = False
+    for kind, val in _tokenize(stream):
+        if kind in ("str", "num", "arr", "name"):
+            stack.append((kind, val))
+            continue
+        op = val
+        if op == b"BT":
+            in_text = True
+            x = y = lx = ly = 0.0
+        elif op == b"ET":
+            in_text = False
+        elif op == b"Tf":
+            if stack and stack[-1][0] == "num":
+                size = stack[-1][1]
+        elif op == b"TL":
+            if stack and stack[-1][0] == "num":
+                leading = stack[-1][1]
+        elif op in (b"Td", b"TD"):
+            if len(stack) >= 2 and stack[-1][0] == "num" and stack[-2][0] == "num":
+                tx, ty = stack[-2][1], stack[-1][1]
+                lx += tx
+                ly += ty
+                x, y = lx, ly
+                if op == b"TD":
+                    leading = -ty if ty else leading
+        elif op == b"Tm":
+            if len(stack) >= 6:
+                nums = [s[1] for s in stack[-6:] if s[0] == "num"]
+                if len(nums) == 6:
+                    lx, ly = nums[4], nums[5]
+                    x, y = lx, ly
+        elif op == b"T*":
+            ly -= leading
+            x, y = lx, ly
+        elif op == b"Tj" or op == b"'":
+            if op == b"'":
+                ly -= leading
+                x, y = lx, ly
+            if stack and stack[-1][0] == "str":
+                txt = stack[-1][1].decode("latin-1")
+                if in_text and txt:
+                    items.append((page_no, x, y, size, txt))
+        elif op == b"TJ":
+            if stack and stack[-1][0] == "arr":
+                parts = []
+                for k, v in stack[-1][1]:
+                    if k == "str":
+                        parts.append(v.decode("latin-1"))
+                    elif k == "num" and v <= -180:
+                        parts.append(" ")  # large negative kern ≈ word gap
+                txt = "".join(parts)
+                if in_text and txt:
+                    items.append((page_no, x, y, size, txt))
+        stack.clear()
+    return items
+
+
+def _page_streams(data: bytes) -> list[bytes]:
+    objs = _parse_objects(data)
+    if b"/Encrypt" in data[:2048] or any(b"/Encrypt" in o[:200] for o in objs.values()):
+        raise PdfUnsupported("encrypted pdf")
+    pages_obj = None
+    for body in objs.values():
+        if b"/Type" in body and b"/Catalog" in body:
+            m = _REF_RX.search(body)
+            for name, ref in _REF_RX.findall(body):
+                if name == b"Pages":
+                    pages_obj = objs.get(int(ref))
+            break
+    page_ids: list[int] = []
+    if pages_obj is not None:
+        m = _KIDS_RX.search(pages_obj)
+        if m:
+            page_ids = [int(r) for r in _NUM_REF_RX.findall(m.group(1))]
+    if not page_ids:  # fallback: any /Type /Page objects in numeric order
+        page_ids = sorted(
+            k for k, body in objs.items()
+            if b"/Type" in body and b"/Page" in body and b"/Pages" not in body)
+    if not page_ids:
+        raise PdfUnsupported("no pages found")
+    streams: list[bytes] = []
+    for pid in page_ids:
+        body = objs.get(pid, b"")
+        cid = None
+        for name, ref in _REF_RX.findall(body):
+            if name == b"Contents":
+                cid = int(ref)
+        if cid is None:
+            streams.append(b"")
+            continue
+        s = _stream_of(objs.get(cid, b""))
+        streams.append(s or b"")
+    return streams
+
+
+PAGE_WIDTH = 612.0   # US Letter; fixture writer uses the same MediaBox
+_COL_SPLIT = PAGE_WIDTH / 2
+_Y_GAP_FACTOR = 1.5
+
+
+def extract_pdf(content: bytes) -> str:
+    """PDF bytes → Markdown. Raises PdfUnsupported outside the scoped
+    grammar; any other exception is a parse_error (caller maps it)."""
+    if not content.startswith(b"%PDF-"):
+        raise PdfUnsupported("not a pdf header")
+    streams = _page_streams(content)
+    all_items: list[tuple] = []
+    for pno, s in enumerate(streams):
+        all_items.extend(_extract_items(s, pno))
+    if not all_items:
+        return ""
+    # reading order: page, column (two-column split at half width), top-down, left-right
+    def key(it):
+        page, x, y, size, txt = it
+        col = 0 if x < _COL_SPLIT else 1
+        return (page, col, -y, x)
+    all_items.sort(key=key)
+    # group into blocks by y-gap within (page, column)
+    blocks: list[tuple[float, list[str]]] = []  # (heading size, lines)
+    prev = None
+    cur_lines: list[str] = []
+    cur_size = 0.0
+    line_parts: list[str] = []
+    def flush_line():
+        nonlocal line_parts
+        if line_parts:
+            cur_lines.append(" ".join(line_parts))
+            line_parts = []
+    def flush_block():
+        nonlocal cur_lines, cur_size
+        flush_line()
+        if cur_lines:
+            blocks.append((cur_size, cur_lines))
+        cur_lines = []
+        cur_size = 0.0
+    for it in all_items:
+        page, x, y, size, txt = it
+        if prev is not None:
+            ppage, pcol, py = prev
+            col = 0 if x < _COL_SPLIT else 1
+            if (page, col) != (ppage, pcol):
+                flush_block()
+            elif abs(py - y) > _Y_GAP_FACTOR * max(size, 1.0):
+                flush_block()
+            elif py != y:
+                flush_line()
+        if not cur_lines and not line_parts:
+            cur_size = size
+        line_parts.append(txt)
+        prev = (page, 0 if x < _COL_SPLIT else 1, y)
+    flush_block()
+    out: list[str] = []
+    for size, lines in blocks:
+        text = " ".join(" ".join(lines).split())
+        if not text:
+            continue
+        if size >= 20:
+            out.append("# " + text)
+        elif size >= 16:
+            out.append("## " + text)
+        else:
+            out.append(text)
+    return "\n\n".join(out)
