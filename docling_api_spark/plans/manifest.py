@@ -1,0 +1,66 @@
+"""Checkpointed partition manifest — the engine's resume + lineage protocol.
+
+Replaces the reference's whole job-status machinery (Celery ``AsyncResult``
+state machine, ``service.py:151-204``; Redis result backend,
+``celery_config.py:9``) with two small Parquet tables (SURVEY.md §1.4):
+
+- ``manifest(run_id, partition_id, status, attempt)`` — a partition is the
+  unit of completion; a run resumes by **broadcast left-anti joining** the
+  done partitions (SURVEY.md Table B: joins row);
+- ``metrics(run_id, partition_id, docs, bytes_in, bytes_out, n_errors,
+  failure_codes map<string,bigint>, wall_ms)`` — per-partition lineage
+  (north_rule requirement).
+
+Idempotency: results are written with dynamic partition overwrite keyed by
+``partition_id``, so recomputing a partition rewrites exactly its directory;
+Celery's at-least-once ≈ Spark task retry, and the manifest makes re-runs
+exact (SURVEY.md Table A row A15).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schemas import MANIFEST_SCHEMA
+
+
+def read_done_partitions(spark: SparkSession, manifest_path: str,
+                         run_id: str) -> DataFrame | None:
+    """→ DataFrame(partition_id int) of completed partitions, or None."""
+    try:
+        mf = spark.read.schema(MANIFEST_SCHEMA).parquet(manifest_path)
+    except Exception:
+        return None
+    done = (mf.where((F.col("run_id") == run_id) & (F.col("status") == "done"))
+              .select("partition_id").distinct())
+    return done
+
+
+def anti_join_done(pages: DataFrame, done: DataFrame | None) -> DataFrame:
+    """Resume filter: drop rows whose partition already completed. The done
+    set is tiny (≤ num_partitions rows) → always broadcast; Catalyst turns
+    this into a BroadcastHashJoin with no shuffle of the big side."""
+    if done is None:
+        return pages
+    return pages.join(F.broadcast(done), "partition_id", "left_anti")
+
+
+def append_manifest(spark: SparkSession, manifest_path: str, run_id: str,
+                    partition_ids: list[int], attempt: int = 1) -> None:
+    rows = [(run_id, int(p), "done", attempt) for p in partition_ids]
+    if not rows:
+        return
+    spark.createDataFrame(rows, schema=MANIFEST_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(manifest_path)
+
+
+def manifest_status(spark: SparkSession, manifest_path: str,
+                    run_id: str, num_partitions: int) -> str:
+    """Job-status poll over the manifest — replaces
+    ``get_single_document_task_result`` (``service.py:151-173``):
+    all partitions done → SUCCESS, some → IN_PROGRESS, none → PENDING."""
+    done = read_done_partitions(spark, manifest_path, run_id)
+    n = 0 if done is None else done.count()
+    if n >= num_partitions:
+        return "SUCCESS"
+    return "IN_PROGRESS" if n > 0 else "PENDING"

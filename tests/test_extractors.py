@@ -1,0 +1,107 @@
+"""Golden + property tests for the extractors (SURVEY.md §5.2 items 1/2/4)."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from docling_api_spark.config import ExtractConfig
+from docling_api_spark.operators.convert import convert_one
+from docling_api_spark.operators.html_extract import extract_html
+from docling_api_spark.operators.md_adoc import normalize_markdown
+from docling_api_spark.sources.corpus import FIXTURE_CLASSES, make_url
+
+CFG = ExtractConfig()
+
+
+@pytest.mark.parametrize("cls", FIXTURE_CLASSES, ids=lambda c: c.__name__)
+@pytest.mark.parametrize("i", [0, 1, 7, 42])
+def test_fixture_golden(cls, i):
+    fx = cls(i)
+    r = convert_one(fx.content, make_url(fx.name, i, fx.ext), CFG)
+    assert r["fmt"] == fx.fmt
+    if fx.error:
+        assert r["error"] == fx.error
+        assert r["markdown"] is None
+    else:
+        assert r["error"] is None, r["error"]
+        assert r["markdown"] is not None
+    if fx.golden is not None:
+        assert r["markdown"] == fx.golden  # byte-identical target
+    if fx.images is not None:
+        assert r["images"] == fx.images
+
+
+def test_markdown_xor_error_invariant():
+    # exactly one of {markdown, error} populated — service.py:83-88 contract
+    for cls in FIXTURE_CLASSES:
+        fx = cls(3)
+        r = convert_one(fx.content, make_url(fx.name, 3, fx.ext), CFG)
+        assert (r["markdown"] is None) != (r["error"] is None)
+
+
+def test_placeholder_rewrite_first_occurrence_only():
+    # service.py:61 — left-to-right, one at a time
+    html = ('<html><body><img src="a.png"><p>mid</p>'
+            '<img src="b.png"><img src="c.png"></body></html>')
+    r = extract_html(html, CFG)
+    assert "picture-1.png" in r.markdown
+    assert "picture-2.png" in r.markdown
+    assert "picture-3.png" in r.markdown
+    assert "<!-- image -->" not in r.markdown
+    assert r.markdown.index("picture-1.png") < r.markdown.index("picture-2.png")
+
+
+def test_tables_as_images_not_rewritten():
+    # service.py:53-56 quirk: table image recorded, markdown table kept
+    cfg = ExtractConfig(extract_tables_as_images=True)
+    html = ("<html><body><table><tr><th>a</th></tr><tr><td>1</td></tr>"
+            "</table></body></html>")
+    r = extract_html(html, cfg)
+    assert "| a |" in r.markdown
+    assert "table-1.png" not in r.markdown  # never substituted
+    assert r.images == [{"type": "table", "filename": "table-1.png",
+                         "image": ""}]
+
+
+def test_span_offsets_exact():
+    fx = FIXTURE_CLASSES[1](5)  # headings+lists
+    r = convert_one(fx.content, "https://x/f.html", CFG)
+    md = r["markdown"]
+    for s in r["spans"]:
+        seg = md[s["start"]:s["end"]]
+        assert seg == seg.strip("\n")
+        assert len(seg) == s["end"] - s["start"]
+    # spans tile the document with "\n\n" separators
+    rebuilt = "\n\n".join(md[s["start"]:s["end"]] for s in r["spans"])
+    assert rebuilt == md
+
+
+def test_determinism_repeat_runs():
+    for cls in FIXTURE_CLASSES:
+        fx = cls(9)
+        url = make_url(fx.name, 9, fx.ext)
+        r1 = convert_one(fx.content, url, CFG)
+        r2 = convert_one(fx.content, url, CFG)
+        assert r1 == r2
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_total_function_arbitrary_bytes(data):
+    # raises_on_error=False semantics (service.py:80): never raises,
+    # always markdown xor error
+    r = convert_one(data, "https://fuzz.example/x.html", CFG)
+    assert (r["markdown"] is None) != (r["error"] is None)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+               max_size=1024))
+def test_html_extract_never_raises_on_text(text):
+    extract_html(text, CFG)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=512))
+def test_markdown_normalize_idempotent(text):
+    once = normalize_markdown(text)
+    assert normalize_markdown(once) == once

@@ -1,0 +1,144 @@
+"""Spark end-to-end tests: golden e2e, dedup window, resume, parallelism
+invariance (SURVEY.md §5.2 items 1/3/5)."""
+
+import pytest
+from pyspark.sql import functions as F, Window as W
+
+from docling_api_spark.config import ExtractConfig
+from docling_api_spark.operators.convert import convert_one
+from docling_api_spark.plans import manifest as mf
+from docling_api_spark.plans.pipeline import (
+    add_partition_id, extract_df, run_extraction)
+from docling_api_spark.sources.corpus import (
+    FIXTURE_CLASSES, corpus_df, make_corpus, make_url)
+
+CFG = ExtractConfig(num_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return corpus_df(spark, 72, dup_fraction=16).cache()
+
+
+def test_e2e_golden(spark, pages):
+    out = extract_df(pages, CFG).collect()
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r.url, []).append(r)
+    n = 0
+    for i in range(72):
+        fx = FIXTURE_CLASSES[i % len(FIXTURE_CLASSES)](i)
+        url = make_url(fx.name, i, fx.ext)
+        assert url in by_url
+        for r in by_url[url]:
+            if fx.golden is not None:
+                assert r.markdown == fx.golden, (url, r.markdown, fx.golden)
+            if fx.error:
+                assert r.error == fx.error
+            assert r.fmt == fx.fmt
+            n += 1
+    assert n >= 72
+
+
+def test_errors_are_rows_not_exceptions(spark, pages):
+    out = extract_df(pages, CFG)
+    total = out.count()
+    assert total == pages.count()  # no row lost, no job death
+    errs = out.where(F.col("error").isNotNull())
+    codes = {r.error for r in errs.select("error").distinct().collect()}
+    assert codes <= {"unsupported_format", "decode_error", "parse_error",
+                     "pdf_unsupported_feature", "ocr_not_supported",
+                     "empty_document"}
+    assert "unsupported_format" in codes
+    assert "ocr_not_supported" in codes
+
+
+def test_dedup_window_latest_capture(spark, pages):
+    # keep-latest-capture per url (SURVEY.md Table B window row)
+    w = W.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    latest = (pages.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") == 1).drop("rn"))
+    assert latest.count() == pages.select("url").distinct().count()
+
+
+def test_parallelism_invariance(spark, pages):
+    """Byte-identical output irrespective of partitioning (north_rule
+    determinism across cluster sizes)."""
+    a = extract_df(pages, ExtractConfig(num_partitions=2))
+    b = extract_df(pages, ExtractConfig(num_partitions=16))
+    ka = sorted((r.url, str(r.warc_ts), r.markdown, r.error,
+                 str(r.images), str(r.spans))
+                for r in a.collect())
+    kb = sorted((r.url, str(r.warc_ts), r.markdown, r.error,
+                 str(r.images), str(r.spans))
+                for r in b.collect())
+    assert ka == kb
+
+
+def test_partition_id_stable(spark, pages):
+    df1 = add_partition_id(pages, 8).select("url", "partition_id")
+    df2 = add_partition_id(pages.repartition(3), 8).select("url", "partition_id")
+    assert sorted(map(tuple, df1.collect())) == sorted(map(tuple, df2.collect()))
+
+
+def test_run_and_resume(spark, pages, tmp_path):
+    """Kill-after-K test (SURVEY.md §5.2 item 5): first run fails on 3 of 8
+    partitions (injected), resume recomputes exactly those, final output is
+    byte-equal to a single-shot run."""
+    out_a = str(tmp_path / "single_shot")
+    res_a = run_extraction(spark, pages, out_a, "runA", CFG, resume=False)
+    assert res_a.partitions_computed == 8
+
+    out_b = str(tmp_path / "resumed")
+    fail_cfg = ExtractConfig(num_partitions=8,
+                             fail_partitions=frozenset({5, 6, 7}))
+    with pytest.raises(Exception):
+        run_extraction(spark, pages, out_b, "runB", fail_cfg, resume=True)
+    # simulate the partial commit a killed cluster run leaves behind:
+    # write only the completed partitions' results + manifest rows
+    ok_cfg = ExtractConfig(num_partitions=8)
+    partial = (extract_df(pages, ok_cfg)
+               .where(~F.col("partition_id").isin([5, 6, 7])))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    partial.write.mode("overwrite").partitionBy("partition_id").parquet(out_b)
+    done_ids = [r.partition_id for r in
+                partial.select("partition_id").distinct().collect()]
+    mf.append_manifest(spark, out_b + "_manifest", "runB", done_ids)
+
+    res_b = run_extraction(spark, pages, out_b, "runB", ok_cfg, resume=True)
+    assert res_b.partitions_computed == 8 - len(done_ids)
+    assert mf.manifest_status(spark, out_b + "_manifest", "runB", 8) == "SUCCESS"
+
+    a = sorted((r.url, str(r.warc_ts), r.markdown, r.error)
+               for r in spark.read.parquet(out_a).collect())
+    b = sorted((r.url, str(r.warc_ts), r.markdown, r.error)
+               for r in spark.read.parquet(out_b).collect())
+    assert a == b
+
+
+def test_metrics_lineage(spark, pages, tmp_path):
+    out = str(tmp_path / "with_metrics")
+    run_extraction(spark, pages, out, "runM", CFG, resume=False)
+    met = spark.read.parquet(out + "_metrics")
+    rows = met.collect()
+    assert {r.partition_id for r in rows} == set(range(8))
+    total_docs = sum(r.docs for r in rows)
+    assert total_docs == pages.count()
+    errs = sum(r.n_errors for r in rows)
+    assert errs > 0
+    hist = {}
+    for r in rows:
+        for k, v in (r.failure_codes or {}).items():
+            hist[k] = hist.get(k, 0) + v
+    assert sum(hist.values()) == errs
+
+
+def test_huge_page_skew_class(spark):
+    """The ~1 MB page class flows through Arrow batching unharmed."""
+    from docling_api_spark.sources.corpus import huge_page
+    rows = make_corpus(4, classes=[huge_page], dup_fraction=0)
+    from docling_api_spark.schemas import PAGES_SCHEMA
+    df = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    out = extract_df(df, ExtractConfig(num_partitions=4)).collect()
+    assert len(out) == 4
+    assert all(r.error is None and len(r.markdown) > 100_000 for r in out)

@@ -1,0 +1,57 @@
+"""Table-driven sniffer tests mirroring utils.py:60-105 semantics."""
+
+from docling_api_spark.functions.sniffer import (
+    detect_format, detect_html_xhtml, format_from_extension)
+from docling_api_spark.operators.pdf_write import write_pdf
+from docling_api_spark.sources.corpus import docx_basic, pptx_basic
+
+
+def test_magic_pdf():
+    assert detect_format(b"%PDF-1.4 junk", "https://x/doc") == "pdf"
+
+
+def test_magic_images():
+    assert detect_format(b"\x89PNG\r\n\x1a\nxx", "u") == "image"
+    assert detect_format(b"\xff\xd8\xff\xe0xx", "u") == "image"
+    assert detect_format(b"GIF89ax", "u") == "image"
+    assert detect_format(b"MM\x00*rest", "u") == "image"
+
+
+def test_magic_beats_extension():
+    # content magic wins over a lying extension (guess_format order,
+    # utils.py:80-85)
+    pdf = write_pdf([[(72, 720, 12, ["x"])]])
+    assert detect_format(pdf, "https://x/fake.html") == "pdf"
+
+
+def test_ooxml_zip_discrimination():
+    assert detect_format(docx_basic(1).content, "https://x/f") == "docx"
+    assert detect_format(pptx_basic(1).content, "https://x/f") == "pptx"
+
+
+def test_extension_fallback():
+    assert format_from_extension("https://a/b/readme.md") == "md"
+    assert format_from_extension("https://a/b/guide.ADOC") == "asciidoc"
+    assert format_from_extension("https://a/b/page.htm?q=1#frag") == "html"
+    assert format_from_extension("https://a/b/noext") is None
+    assert detect_format(b"plain words", "https://a/notes.md") == "md"
+
+
+def test_html_content_heuristic():
+    assert detect_html_xhtml(b"<!DOCTYPE html><html>") == "text/html"
+    assert detect_html_xhtml(b"  <body><p>x</p>") == "text/html"
+    assert detect_html_xhtml(
+        b'<?xml version="1.0"?><html xmlns="http://www.w3.org/1999/xhtml">'
+    ) == "application/xhtml+xml"
+    # XML comment stripped before probing (utils.py:63-65)
+    assert detect_html_xhtml(b"<!-- c --><html>") == "text/html"
+    assert detect_html_xhtml(b"just some text") is None
+
+
+def test_plaintext_falls_through_to_none():
+    # utils.py:87-89: text/plain default → unsupported
+    assert detect_format(b"no structure at all", "https://a/file.txt") is None
+
+
+def test_empty_is_none():
+    assert detect_format(b"", "https://a/file.html") is None
