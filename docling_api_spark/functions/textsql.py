@@ -1,0 +1,101 @@
+"""Two-dialect (Spark SQL / DuckDB) expression snippets for the
+training-data operators.
+
+Every operator that is oracle-checked by the driver computes the SAME
+deterministic formula in both engines. The only portable hash both engines
+share is ``md5`` (hex string), so all hashing here is
+``int(md5(payload)[:k], 16)`` — unsigned, well inside BIGINT:
+
+- Spark : ``CAST(conv(substring(md5(x), 1, k), 16, 10) AS BIGINT)``
+- DuckDB: ``CAST(('0x' || substr(md5(x), 1, k)) AS BIGINT)``
+
+Tokenization (shared normalization): lowercase, non-alphanumerics → space,
+split on runs of spaces, drop empties. Verified byte-equal across engines
+on the driver testdata.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+
+def tokens(dialect: str, col: str = "text") -> str:
+    norm_spark = f"regexp_replace(lower({col}), '[^a-z0-9 ]', ' ')"
+    norm_duck = f"regexp_replace(lower({col}), '[^a-z0-9 ]', ' ', 'g')"
+    if dialect == "spark":
+        return f"filter(split({norm_spark}, ' +'), x -> x != '')"
+    return f"list_filter(string_split_regex({norm_duck}, ' +'), x -> x != '')"
+
+
+def md5_int(dialect: str, payload: str, hex_digits: int = 8) -> str:
+    """Deterministic unsigned int from the first ``hex_digits`` of md5."""
+    if dialect == "spark":
+        return (f"CAST(conv(substring(md5({payload}), 1, {hex_digits}),"
+                f" 16, 10) AS BIGINT)")
+    return f"CAST(('0x' || substr(md5({payload}), 1, {hex_digits})) AS BIGINT)"
+
+
+def seeded(dialect: str, expr: str, seed: int) -> str:
+    """payload = expr || '#' || seed — portable seeding."""
+    if dialect == "spark":
+        return f"concat({expr}, '#', '{seed}')"
+    return f"({expr} || '#' || '{seed}')"
+
+
+def shingles(dialect: str, tokens_expr: str, k: int = 3) -> str:
+    """k-word shingles joined by single spaces (k=3). Spark arrays are
+    0-based, DuckDB lists 1-based — indices differ, content identical."""
+    assert k == 3, "only 3-shingles wired"
+    if dialect == "spark":
+        return (f"CASE WHEN size({tokens_expr}) >= 3 THEN "
+                f"transform(sequence(0, size({tokens_expr}) - 3), "
+                f"i -> concat({tokens_expr}[i], ' ', {tokens_expr}[i+1], "
+                f"' ', {tokens_expr}[i+2])) "
+                f"ELSE array() END")
+    return (f"list_transform(generate_series(1, len({tokens_expr}) - 2), "
+            f"i -> ({tokens_expr}[i] || ' ' || {tokens_expr}[i+1] || ' ' || "
+            f"{tokens_expr}[i+2]))")
+
+
+def minhash_sig(dialect: str, shingles_expr: str, seed: int) -> str:
+    """min over shingles of the seeded 32-bit md5 hash."""
+    h = md5_int(dialect, seeded(dialect, "s", seed))
+    if dialect == "spark":
+        return f"array_min(transform({shingles_expr}, s -> {h}))"
+    return f"list_min(list_transform({shingles_expr}, s -> {h}))"
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 random-hyperplane weights for sign-LSH, derived
+    from md5 — same literal vectors are inlined into BOTH engines' SQL."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            b = hashlib.md5(f"plane{p}_{i}".encode()).digest()[0]
+            row.append(1 if b % 2 else -1)
+        planes.append(row)
+    return planes
+
+
+#: stopword markers per language for the lang-id heuristic — fixed,
+#: deterministic priority order for ties (en > fr > de > es > it > pt)
+LANG_MARKERS = [
+    ("en", ("the", "and", "of", "to", "is", "in")),
+    ("fr", ("le", "la", "et", "les", "des", "est")),
+    ("de", ("der", "die", "und", "das", "ist", "nicht")),
+    ("es", ("el", "los", "las", "es", "una", "para")),
+    ("it", ("il", "di", "che", "per", "una", "sono")),
+    ("pt", ("o", "os", "das", "um", "uma", "para")),
+]
+
+EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is",
+                "it", "on", "for", "with", "as", "at", "by")
+
+
+def array_lit(dialect: str, values) -> str:
+    inner = ", ".join(f"'{v}'" if isinstance(v, str) else str(v)
+                      for v in values)
+    if dialect == "spark":
+        return f"array({inner})"
+    return f"[{inner}]"

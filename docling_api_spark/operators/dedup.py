@@ -1,0 +1,195 @@
+"""Deduplication operators over the ``documents`` table — the
+training-data-pipeline layer on top of the extraction engine.
+
+Five strategies, each a ``queries()`` entry with a DuckDB oracle:
+
+- **exact**: md5 of the raw text, canonicalized to the min doc_id per group
+  (one hash-shuffle; at 100 TB this is the classic hash-groupBy dedup —
+  AQE coalesces the post-shuffle partitions);
+- **minhash signatures**: 8 seeded 32-bit md5 minhashes over 3-word
+  shingles — all computed inside one projection (no shuffle at all, scales
+  linearly with input);
+- **minhash LSH candidate pairs**: 4 bands × 2 rows; band keys exploded and
+  equi-self-joined — the *equi*-join is the point: at scale this is a
+  shuffle-hash join on band key, never an O(n²) cross join;
+- **simhash**: 16-bit sign-aggregated token-hash fingerprint (explode +
+  one groupBy);
+- **n-gram jaccard**: token-set jaccard between adjacent doc_ids —
+  the verification step LSH candidates would feed at scale.
+
+All hashing/tokenization via :mod:`..functions.textsql` so the Spark and
+DuckDB results are value-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions import textsql as X
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ------------------------------------------------------------- exact dedup
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = W.partitionBy(F.md5("text"))
+    return docs.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       count(*)    OVER (PARTITION BY md5(text)) AS group_size
+FROM documents
+"""
+
+
+# ------------------------------------------------------- minhash signatures
+
+N_SIGS = 8
+
+
+def _sig_select(dialect: str) -> str:
+    toks = X.tokens(dialect)
+    sh = X.shingles(dialect, toks)
+    cols = [f"{X.minhash_sig(dialect, 'sh', s)} AS sig_{s}"
+            for s in range(N_SIGS)]
+    base = "documents"
+    return (f"SELECT doc_id, {', '.join(cols)} FROM "
+            f"(SELECT doc_id, {sh} AS sh FROM {base}) t")
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_sig_select("spark"))
+
+
+MINHASH_SIG_ORACLE = _sig_select("duck")
+
+
+# -------------------------------------------------- minhash LSH dedup pairs
+
+N_BANDS = 4  # bands of 2 rows each over the 8 signatures
+
+
+def _band_expr(dialect: str, b: int) -> str:
+    a, c = 2 * b, 2 * b + 1
+    if dialect == "spark":
+        return (f"concat(CAST(sig_{a} AS STRING), ':', "
+                f"CAST(sig_{c} AS STRING))")
+    return f"(CAST(sig_{a} AS VARCHAR) || ':' || CAST(sig_{c} AS VARCHAR))"
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
+
+    Plan shape: projection → explode(4 band keys) → self equi-join on
+    (band_idx, band_key) → distinct pairs. The join key is a hash band, so
+    Catalyst runs a shuffle-hash/sort-merge join on it — linear in the
+    number of colliding docs, never all-pairs."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.expr(_band_expr("spark", b)).alias("band_key"))
+            for b in range(N_BANDS)])).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (left.join(right, ["band_idx", "band_key"])
+             .where(F.col("l.doc_id") < F.col("r.doc_id"))
+             .select(F.col("l.doc_id").alias("left_id"),
+                     F.col("r.doc_id").alias("right_id"))
+             .distinct())
+    return pairs
+
+
+DEDUP_MINHASH_LSH_ORACLE = f"""
+WITH sig AS ({_sig_select('duck')}),
+bands AS (
+  SELECT doc_id, b.band_idx, b.band_key
+  FROM sig, UNNEST([
+    {', '.join(f"{{'band_idx': {b}, 'band_key': {_band_expr('duck', b)}}}"
+               for b in range(N_BANDS))}
+  ]) AS t(b)
+)
+SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+FROM bands l JOIN bands r
+  ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+WHERE l.doc_id < r.doc_id
+"""
+
+
+# ----------------------------------------------------------------- simhash
+
+N_SIM_BITS = 16
+
+
+def _simhash_sql(dialect: str) -> str:
+    toks = X.tokens(dialect)
+    h = X.md5_int(dialect, "tok", hex_digits=15)  # 60-bit token hash
+    if dialect == "spark":
+        explode = (f"SELECT doc_id, explode({toks}) AS tok FROM documents")
+        bit = "shiftright(h, {j}) % 2"
+    else:
+        explode = (f"SELECT doc_id, unnest({toks}) AS tok FROM documents")
+        bit = "(h >> {j}) % 2"
+    sums = ", ".join(
+        f"sum(CASE WHEN {bit.format(j=j)} = 1 THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(N_SIM_BITS))
+    val = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_SIM_BITS))
+    return (f"SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM ("
+            f"SELECT doc_id, {sums} FROM ("
+            f"SELECT doc_id, {h} AS h FROM ({explode}) e) hh "
+            f"GROUP BY doc_id) s")
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_simhash_sql("spark"))
+
+
+SIMHASH_ORACLE = _simhash_sql("duck")
+
+
+# ---------------------------------------------------------- n-gram jaccard
+
+def _jaccard_sql(dialect: str) -> str:
+    toks = X.tokens(dialect)
+    if dialect == "spark":
+        dist = f"array_distinct({toks})"
+        inter = "size(filter(a.t, x -> array_contains(b.t, x)))"
+        sz = "size"
+    else:
+        dist = f"list_distinct({toks})"
+        inter = "len(list_filter(a.t, x -> list_contains(b.t, x)))"
+        sz = "len"
+    return f"""
+WITH t AS (SELECT doc_id, {dist} AS t FROM documents)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       ROUND({inter} /
+             CAST(({sz}(a.t) + {sz}(b.t) - {inter}) AS DOUBLE), 4)
+         AS jaccard
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set jaccard for adjacent doc_id pairs — the exact-verify stage
+    a near-dup pipeline runs on LSH candidates."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_jaccard_sql("spark"))
+
+
+NGRAM_JACCARD_ORACLE = _jaccard_sql("duck")

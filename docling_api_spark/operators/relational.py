@@ -1,0 +1,77 @@
+"""Relational operators the engine uses for its own mechanics
+(SURVEY.md Table B), expressed over the driver testdata so each has a
+DuckDB oracle:
+
+- dedup window (keep-latest-capture; our url dedup) → latest event per user;
+- resume anti-join (manifest protocol) → orders with no lineitems;
+- metrics rollup (per-partition lineage aggregation shape) → per-event-type
+  rollup with exact DECIMAL sums (float sums are partition-order-dependent;
+  decimal sums are not — the same discipline the metrics table uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                         F.col("event_id").desc())
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_id", "ts", "event_type"))
+
+
+LATEST_EVENT_ORACLE = """
+SELECT user_id, event_id, ts, event_type FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+"""
+
+
+def resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest resume primitive: rows whose key is absent from the
+    done-set (broadcast left-anti join — no shuffle of the big side)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select(F.col("l_orderkey").alias("o_orderkey")).distinct()
+    return (orders.join(li, "o_orderkey", "left_anti")
+            .select("o_orderkey", "o_custkey", "o_orderstatus"))
+
+
+RESUME_ANTI_JOIN_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+def metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group lineage rollup — the exact aggregation shape of the
+    engine's metrics table. DECIMAL sums: bit-identical regardless of
+    partitioning (float sums are not associative)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                  .cast("decimal(28,6)").alias("sum_value"),
+                 F.min("ts").alias("first_ts"),
+                 F.max("ts").alias("last_ts")))
+
+
+METRICS_ROLLUP_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events
+GROUP BY event_type
+"""

@@ -1,0 +1,142 @@
+"""Text-analysis operators: token counting, quality scoring, language-ID,
+document fingerprinting — all pure column expressions (JVM-side, whole-stage
+codegen; zero Python in the hot path), each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import textsql as X
+
+
+def _view(spark: SparkSession, sf_dir: str) -> None:
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+
+
+# ------------------------------------------------------------ token counts
+
+def _token_count_sql(dialect: str) -> str:
+    toks = X.tokens(dialect)
+    if dialect == "spark":
+        n_ws = f"size({toks})"
+        n_bpe = "size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))"
+    else:
+        n_ws = f"len({toks})"
+        n_bpe = "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
+    return (f"SELECT doc_id, CAST({n_ws} AS BIGINT) AS n_ws_tokens, "
+            f"CAST({n_bpe} AS BIGINT) AS n_bpe_tokens, "
+            f"CAST(length(text) AS BIGINT) AS n_chars_measured "
+            f"FROM documents")
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_token_count_sql("spark"))
+
+
+TOKEN_COUNTS_ORACLE = _token_count_sql("duck")
+
+
+# ----------------------------------------------------------- quality score
+
+def _quality_sql(dialect: str) -> str:
+    toks = X.tokens(dialect)
+    sw = X.array_lit(dialect, X.EN_STOPWORDS)
+    if dialect == "spark":
+        n_tok = f"size({toks})"
+        n_stop = f"size(filter({toks}, t -> array_contains({sw}, t)))"
+        n_punct = "length(text) - length(regexp_replace(text, '[.,!?;:]', ''))"
+    else:
+        n_tok = f"len({toks})"
+        n_stop = f"len(list_filter({toks}, t -> list_contains({sw}, t)))"
+        n_punct = "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))"
+    return f"""
+SELECT doc_id,
+  CAST(n_tok AS BIGINT) AS n_tokens,
+  ROUND(n_stop / CAST(nullif(n_tok, 0) AS DOUBLE), 4) AS stopword_ratio,
+  ROUND(n_punct / CAST(nullif(length(text), 0) AS DOUBLE), 4) AS punct_ratio,
+  ROUND(length(text) / CAST(nullif(n_tok, 0) AS DOUBLE), 4) AS chars_per_token,
+  CASE WHEN n_tok >= 40 AND n_stop * 100 >= n_tok * 2 THEN 'high'
+       WHEN n_tok >= 10 THEN 'medium'
+       ELSE 'low' END AS quality_bucket
+FROM (
+  SELECT doc_id, text, {n_tok} AS n_tok, {n_stop} AS n_stop,
+         {n_punct} AS n_punct
+  FROM documents
+) q
+"""
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_quality_sql("spark"))
+
+
+QUALITY_ORACLE = _quality_sql("duck")
+
+
+# ---------------------------------------------------------------- lang id
+
+def _lang_id_sql(dialect: str) -> str:
+    toks = X.tokens(dialect)
+    scores = []
+    for lang, markers in X.LANG_MARKERS:
+        lit = X.array_lit(dialect, markers)
+        if dialect == "spark":
+            scores.append(
+                f"size(filter(tk, t -> array_contains({lit}, t))) AS s_{lang}")
+        else:
+            scores.append(
+                f"len(list_filter(tk, t -> list_contains({lit}, t))) AS s_{lang}")
+    langs = [lang for lang, _ in X.LANG_MARKERS]
+    # deterministic priority: first language reaching the max wins
+    case = "CASE "
+    for lang in langs:
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in langs if o != lang)
+        case += f"WHEN s_{lang} > 0 AND {conds} THEN '{lang}' "
+    case += "ELSE 'unknown' END"
+    return (f"SELECT doc_id, {case} AS lang_pred, "
+            f"CAST(s_en + s_fr + s_de + s_es + s_it + s_pt AS BIGINT)"
+            f" AS marker_hits "
+            f"FROM (SELECT doc_id, {', '.join(scores)} FROM "
+            f"(SELECT doc_id, {toks} AS tk FROM documents) tt) ss")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic (n-gram-class heuristic;
+    deterministic tie-break by fixed language priority)."""
+    _view(spark, sf_dir)
+    return spark.sql(_lang_id_sql("spark"))
+
+
+LANG_ID_ORACLE = _lang_id_sql("duck")
+
+
+# ------------------------------------------------------------ fingerprints
+
+def _fingerprint_sql(dialect: str) -> str:
+    toks = X.tokens(dialect)
+    sh = X.shingles(dialect, toks)
+    h = X.md5_int(dialect, "s")
+    if dialect == "spark":
+        hmin = f"array_min(transform(sh, s -> {h}))"
+        hmax = f"array_max(transform(sh, s -> {h}))"
+    else:
+        hmin = f"list_min(list_transform(sh, s -> {h}))"
+        hmax = f"list_max(list_transform(sh, s -> {h}))"
+    # 15 hex digits = 60 bits — the full 16 would overflow signed BIGINT
+    return (f"SELECT doc_id, {hmin} AS fp_min, {hmax} AS fp_max, "
+            f"{X.md5_int(dialect, 'text', 15)} AS fp_head "
+            f"FROM (SELECT doc_id, text, {sh} AS sh FROM documents) t")
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-shingle min/max hash fingerprint + whole-text hash — the
+    winnowing-style per-document signature."""
+    _view(spark, sf_dir)
+    return spark.sql(_fingerprint_sql("spark"))
+
+
+FINGERPRINT_ORACLE = _fingerprint_sql("duck")

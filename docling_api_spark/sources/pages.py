@@ -34,9 +34,6 @@ def read_pages(spark: SparkSession, path: str, storage: str = "parquet",
 #: epoch for deterministic warc_ts (FIXTURES.md §1) — 2025-01-01T00:00:00Z
 _EPOCH_S = 1735689600
 
-_LANGS = F.array(*[F.lit(x) for x in ("en", "fr", "de", "es", "it", "pt")])
-
-
 def pages_from_documents(spark: SparkSession, sf_dir: str,
                          repeat: int = 1) -> DataFrame:
     """documents.parquet → pages(url, warc_ts, html, text, lang).
@@ -54,8 +51,8 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
             .drop("rep")
     i = F.col("doc_id")
     para = F.coalesce(F.col("text"), F.lit(""))
-    # split text into two paragraphs at the midpoint word for block variety
     title = F.concat(F.lit("Doc "), i.cast("string"))
+    is_md = (i % 10) == 7  # every 10th doc ships as raw Markdown, rest as HTML
     lst = F.when(
         i % 3 == 0,
         F.concat(F.lit("<ul><li>item one of doc "), i.cast("string"),
@@ -81,12 +78,14 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
         lst, tbl,
         F.lit("</main><footer>Copyright 2025</footer></body></html>"),
     )
+    md_str = F.concat(F.lit("# "), title, F.lit("\n\n"), para, F.lit("\n"))
+    body = F.when(is_md, md_str).otherwise(html_str)
+    ext = F.when(is_md, F.lit(".md")).otherwise(F.lit(".html"))
     return docs.select(
         F.concat(F.lit("https://site"), (i % 97).cast("string"),
-                 F.lit(".example/doc/"), i.cast("string"),
-                 F.lit(".html")).alias("url"),
+                 F.lit(".example/doc/"), i.cast("string"), ext).alias("url"),
         F.timestamp_seconds(F.lit(_EPOCH_S) + (i % 86400)).alias("warc_ts"),
-        F.encode(html_str, "UTF-8").alias("html"),
+        F.encode(body, "UTF-8").alias("html"),
         F.lit("").alias("text"),
         F.col("lang"),
     )
