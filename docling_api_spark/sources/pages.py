@@ -35,15 +35,28 @@ def read_pages(spark: SparkSession, path: str, storage: str = "parquet",
 _EPOCH_S = 1735689600
 
 def pages_from_documents(spark: SparkSession, sf_dir: str,
-                         repeat: int = 1) -> DataFrame:
+                         repeat: int = 1,
+                         parallelism: int | None = None) -> DataFrame:
     """documents.parquet → pages(url, warc_ts, html, text, lang).
 
     Pure column expressions (whole-stage codegen; zero Python in this
     step). ``repeat`` tiles the corpus deterministically for larger bench
     inputs. Every 3rd doc gets a list, every 5th a table, so the extractor
     exercises more than paragraphs; boilerplate chrome is always present.
+
+    ``parallelism`` repartitions the *raw docs* (tiny rows) before the HTML
+    synthesis: documents.parquet is a single small file → a single input
+    split, so without this the synthesis and any downstream shuffle map side
+    run in ONE task — a serial Amdahl bottleneck that caps scaling. The
+    repartition moves only the pre-synthesis text, so it is far cheaper
+    than shuffling the synthesized html.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if parallelism:
+        # BEFORE the repeat crossJoin: the repartition then moves only the
+        # original 5k small rows, and the row multiplication + synthesis
+        # fan out across all partitions instead of one scan task.
+        docs = docs.repartition(parallelism, "doc_id")
     if repeat > 1:
         reps = spark.range(repeat).withColumnRenamed("id", "rep")
         docs = docs.crossJoin(F.broadcast(reps)) \
