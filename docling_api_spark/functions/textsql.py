@@ -35,34 +35,52 @@ def md5_int(dialect: str, payload: str, hex_digits: int = 8) -> str:
     return f"CAST(('0x' || substr(md5({payload}), 1, {hex_digits})) AS BIGINT)"
 
 
-def seeded(dialect: str, expr: str, seed: int) -> str:
-    """payload = expr || '#' || seed — portable seeding."""
-    if dialect == "spark":
-        return f"concat({expr}, '#', '{seed}')"
-    return f"({expr} || '#' || '{seed}')"
+def shingles_from(dialect: str, tk: str = "tk", k: int = 3) -> str:
+    """k-word shingles (k=3) from a *token-array column* ``tk``.
 
-
-def shingles(dialect: str, tokens_expr: str, k: int = 3) -> str:
-    """k-word shingles joined by single spaces (k=3). Spark arrays are
-    0-based, DuckDB lists 1-based — indices differ, content identical."""
+    Must be given a column reference, never an inline tokens expression:
+    the shingle lambda reads the array 5 times, and an inlined expression
+    would be recomputed per reference per shingle — measured 36x slower.
+    Stage it as ``(SELECT ..., <tokens> AS tk FROM ...)``; Spark keeps the
+    projection separate (expensive multi-referenced expressions are not
+    collapsed, SPARK-36718). Spark arrays are 0-based, DuckDB lists
+    1-based — indices differ, content identical."""
     assert k == 3, "only 3-shingles wired"
     if dialect == "spark":
-        return (f"CASE WHEN size({tokens_expr}) >= 3 THEN "
-                f"transform(sequence(0, size({tokens_expr}) - 3), "
-                f"i -> concat({tokens_expr}[i], ' ', {tokens_expr}[i+1], "
-                f"' ', {tokens_expr}[i+2])) "
+        return (f"CASE WHEN size({tk}) >= 3 THEN "
+                f"transform(sequence(0, size({tk}) - 3), "
+                f"i -> concat({tk}[i], ' ', {tk}[i+1], ' ', {tk}[i+2])) "
                 f"ELSE array() END")
-    return (f"list_transform(generate_series(1, len({tokens_expr}) - 2), "
-            f"i -> ({tokens_expr}[i] || ' ' || {tokens_expr}[i+1] || ' ' || "
-            f"{tokens_expr}[i+2]))")
+    return (f"CASE WHEN len({tk}) >= 3 THEN "
+            f"list_transform(generate_series(1, len({tk}) - 2), "
+            f"i -> ({tk}[i] || ' ' || {tk}[i+1] || ' ' || {tk}[i+2])) "
+            f"ELSE [] END")
 
 
-def minhash_sig(dialect: str, shingles_expr: str, seed: int) -> str:
-    """min over shingles of the seeded 32-bit md5 hash."""
-    h = md5_int(dialect, seeded(dialect, "s", seed))
+def shingle_hashes(dialect: str, sh: str = "sh") -> str:
+    """32-bit md5 hash of each shingle in array column ``sh`` — computed
+    ONCE per shingle; per-seed minhash signatures derive from these via
+    cheap affine rehashing (:func:`minhash_affine`)."""
+    h = md5_int(dialect, "s")
     if dialect == "spark":
-        return f"array_min(transform({shingles_expr}, s -> {h}))"
-    return f"list_min(list_transform({shingles_expr}, s -> {h}))"
+        return f"transform({sh}, s -> {h})"
+    return f"list_transform({sh}, s -> {h})"
+
+
+#: Mersenne prime 2^31-1: affine products stay < 2^62 (no BIGINT overflow)
+MINHASH_P = 2147483647
+
+
+def minhash_affine(dialect: str, hs: str, seed: int) -> str:
+    """Signature ``seed``: min over hashed shingles of (a*h + b) mod p,
+    a/b fixed odd/offset constants per seed — the standard universal-hash
+    family, identical arithmetic in both engines."""
+    a, b = 2 * seed + 1, 7919 * (seed + 1)
+    if dialect == "spark":
+        return (f"array_min(transform({hs}, "
+                f"h -> pmod({a} * h + {b}, {MINHASH_P})))")
+    return (f"list_min(list_transform({hs}, "
+            f"h -> (({a} * h + {b}) % {MINHASH_P})))")
 
 
 def hyperplanes(n_planes: int, dim: int) -> list[list[int]]:

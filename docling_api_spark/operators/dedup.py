@@ -6,9 +6,9 @@ Five strategies, each a ``queries()`` entry with a DuckDB oracle:
 - **exact**: md5 of the raw text, canonicalized to the min doc_id per group
   (one hash-shuffle; at 100 TB this is the classic hash-groupBy dedup —
   AQE coalesces the post-shuffle partitions);
-- **minhash signatures**: 8 seeded 32-bit md5 minhashes over 3-word
-  shingles — all computed inside one projection (no shuffle at all, scales
-  linearly with input);
+- **minhash signatures**: one 32-bit md5 per 3-word shingle, then 8
+  affine-rehashed minimums — staged projections, no shuffle at all, scales
+  linearly with input (each stage's array is computed once per row);
 - **minhash LSH candidate pairs**: 4 bands × 2 rows; band keys exploded and
   equi-self-joined — the *equi*-join is the point: at scale this is a
   shuffle-hash join on band key, never an O(n²) cross join;
@@ -58,13 +58,15 @@ N_SIGS = 8
 
 
 def _sig_select(dialect: str) -> str:
-    toks = X.tokens(dialect)
-    sh = X.shingles(dialect, toks)
-    cols = [f"{X.minhash_sig(dialect, 'sh', s)} AS sig_{s}"
+    # staged tk -> sh -> hs subqueries: each expensive array is a named
+    # column computed once per row (see textsql.shingles_from)
+    cols = [f"{X.minhash_affine(dialect, 'hs', s)} AS sig_{s}"
             for s in range(N_SIGS)]
-    base = "documents"
     return (f"SELECT doc_id, {', '.join(cols)} FROM "
-            f"(SELECT doc_id, {sh} AS sh FROM {base}) t")
+            f"(SELECT doc_id, {X.shingle_hashes(dialect)} AS hs FROM "
+            f"(SELECT doc_id, {X.shingles_from(dialect)} AS sh FROM "
+            f"(SELECT doc_id, {X.tokens(dialect)} AS tk "
+            f"FROM documents) a) b) c")
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -117,19 +117,17 @@ LANG_ID_ORACLE = _lang_id_sql("duck")
 # ------------------------------------------------------------ fingerprints
 
 def _fingerprint_sql(dialect: str) -> str:
-    toks = X.tokens(dialect)
-    sh = X.shingles(dialect, toks)
-    h = X.md5_int(dialect, "s")
-    if dialect == "spark":
-        hmin = f"array_min(transform(sh, s -> {h}))"
-        hmax = f"array_max(transform(sh, s -> {h}))"
-    else:
-        hmin = f"list_min(list_transform(sh, s -> {h}))"
-        hmax = f"list_max(list_transform(sh, s -> {h}))"
+    # staged tk -> sh -> hs (see textsql.shingles_from): hs computed once,
+    # min/max read the named column
+    mn, mx = ("array_min", "array_max") if dialect == "spark" else \
+             ("list_min", "list_max")
     # 15 hex digits = 60 bits — the full 16 would overflow signed BIGINT
-    return (f"SELECT doc_id, {hmin} AS fp_min, {hmax} AS fp_max, "
+    return (f"SELECT doc_id, {mn}(hs) AS fp_min, {mx}(hs) AS fp_max, "
             f"{X.md5_int(dialect, 'text', 15)} AS fp_head "
-            f"FROM (SELECT doc_id, text, {sh} AS sh FROM documents) t")
+            f"FROM (SELECT doc_id, text, {X.shingle_hashes(dialect)} AS hs "
+            f"FROM (SELECT doc_id, text, {X.shingles_from(dialect)} AS sh "
+            f"FROM (SELECT doc_id, text, {X.tokens(dialect)} AS tk "
+            f"FROM documents) a) b) c")
 
 
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
