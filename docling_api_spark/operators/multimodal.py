@@ -77,11 +77,12 @@ def _decode_image_bytes(blob: bytes):
 def _fake_decode(blob: bytes):
     """Deterministic fake: 'dimensions' and an 8-dim 'feature' derived from
     the content hash — exercises the exact batch shapes the real decoder
-    would produce."""
+    would produce. b/255.0 (no rounding) is the same IEEE double in every
+    engine, which is what makes this oracle-checkable."""
     d = hashlib.md5(blob).digest()
     width = 64 + d[0]
     height = 64 + d[1]
-    feature = [round(b / 255.0, 6) for b in d[2:2 + _FEATURE_DIM]]
+    feature = [b / 255.0 for b in d[2:2 + _FEATURE_DIM]]
     return width, height, feature
 
 
@@ -111,3 +112,128 @@ def image_features_df(blobs: DataFrame, fake: bool = False) -> DataFrame:
     """blobs(doc_id bigint, blob binary) → decoded features. Partition- and
     Arrow-batch-shaped exactly as the real decoder path would be."""
     return blobs.mapInPandas(make_image_feature_fn(fake), IMAGE_FEATURES_DDL)
+
+
+def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked driver query: the full decode plumbing (binary column
+    → mapInPandas → width/height/feature batch) with the deterministic
+    fake decoder, so DuckDB can recompute the identical md5-derived values
+    from the same bytes."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return image_features_df(blobs, fake=True)
+
+
+def _hexbyte(i: int) -> str:
+    """DuckDB: i-th byte (0-based) of md5(text) as INT."""
+    return f"CAST(('0x' || substr(md5(text), {2 * i + 1}, 2)) AS INT)"
+
+
+IMAGE_FEATURES_ORACLE = f"""
+SELECT doc_id,
+       CAST(64 + {_hexbyte(0)} AS INT) AS width,
+       CAST(64 + {_hexbyte(1)} AS INT) AS height,
+       [{', '.join(f"{_hexbyte(i)} / 255.0" for i in range(2, 2 + _FEATURE_DIM))}]
+         AS feature
+FROM documents
+"""
+
+
+# ----------------------------------------------------- resize / frame-sample
+
+RESIZED_DDL = ("doc_id bigint, out_w int, out_h int, n_bytes_out bigint, "
+               "resize_error string")
+
+
+def _resize_image_bytes(blob: bytes, w: int, h: int) -> bytes:
+    """THE STUB: a real deployment resizes with PIL/libvips here."""
+    raise NotImplementedError(
+        "image resize requires PIL/libvips — not available in this "
+        "environment; use fake=True for plumbing tests")
+
+
+def make_resize_fn(out_w: int, out_h: int, fake: bool = False):
+    """Resize plumbing: errors are rows, never exceptions (the reference's
+    raises_on_error=False semantics, service.py:80)."""
+    def resize(batches):
+        for pdf in batches:
+            ws, hs, nb, err = [], [], [], []
+            for b in pdf["blob"]:
+                if b is None or len(b) == 0:
+                    ws.append(None); hs.append(None); nb.append(None)
+                    err.append("empty_blob")
+                    continue
+                try:
+                    if fake:
+                        # deterministic fake: output size scales with input
+                        out = bytes(b[: max(1, len(b) // 2)])
+                    else:
+                        out = _resize_image_bytes(bytes(b), out_w, out_h)
+                    ws.append(out_w); hs.append(out_h); nb.append(len(out))
+                    err.append(None)
+                except NotImplementedError as exc:
+                    ws.append(None); hs.append(None); nb.append(None)
+                    err.append(f"decode_not_supported: {exc}")
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "out_w": pd.Series(ws, dtype="Int32", index=pdf.index),
+                "out_h": pd.Series(hs, dtype="Int32", index=pdf.index),
+                "n_bytes_out": pd.Series(nb, dtype="Int64", index=pdf.index),
+                "resize_error": pd.Series(err, dtype="object",
+                                          index=pdf.index),
+            })
+
+    return resize
+
+
+def resize_images_df(blobs: DataFrame, out_w: int = 256, out_h: int = 256,
+                     fake: bool = False) -> DataFrame:
+    """blobs(doc_id, blob) → resized metadata rows."""
+    return blobs.mapInPandas(make_resize_fn(out_w, out_h, fake), RESIZED_DDL)
+
+
+FRAMES_DDL = ("doc_id bigint, frame_idx int, frame_md5 string")
+
+#: fixed fake frame length so frame counts are a pure function of bytes
+_FAKE_FRAME_BYTES = 4096
+
+
+def make_frame_sample_fn(every_k: int, fake: bool = False):
+    """Video frame-sampling plumbing: one input row fans out to 0..n output
+    rows (frame_idx, frame content hash) — the mapInPandas shape a real
+    ffmpeg-backed sampler produces. Fake mode treats each 4 KiB slice of
+    the blob as one 'frame'."""
+    def sample(batches):
+        for pdf in batches:
+            ids, idxs, md5s = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+                if b is None or len(b) == 0:
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "video decode requires ffmpeg — not available in "
+                        "this environment; use fake=True for plumbing "
+                        "tests")
+                raw = bytes(b)
+                n_frames = (len(raw) + _FAKE_FRAME_BYTES - 1) \
+                    // _FAKE_FRAME_BYTES
+                for i in range(0, n_frames, every_k):
+                    frame = raw[i * _FAKE_FRAME_BYTES:
+                                (i + 1) * _FAKE_FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    md5s.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_md5": pd.Series(md5s, dtype="object"),
+            })
+
+    return sample
+
+
+def sample_frames_df(blobs: DataFrame, every_k: int = 2,
+                     fake: bool = False) -> DataFrame:
+    """blobs(doc_id, blob) → sampled frame rows (fan-out mapInPandas)."""
+    return blobs.mapInPandas(make_frame_sample_fn(every_k, fake), FRAMES_DDL)

@@ -75,3 +75,27 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation via ``F.window`` —
+    the exact operator a Structured Streaming job puts behind a watermark;
+    in batch mode it is a plain hash aggregation on the window bucket, so
+    DuckDB's date_trunc reproduces it."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                  .cast("decimal(28,6)").alias("sum_value"))
+            .select(F.col("window.start").alias("win_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
+WINDOWED_EVENT_COUNTS_ORACLE = """
+SELECT date_trunc('hour', ts) AS win_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""

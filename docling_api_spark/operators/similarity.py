@@ -115,3 +115,50 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_LSH_ORACLE = _ann_sql("duck")
+
+
+# -------------------------------------------- embedding-cosine near-dedup
+
+#: calibrated to the synthetic testdata (max pairwise cos there is ~0.51;
+#: a production near-dup run on real embeddings uses ~0.95)
+NEAR_DUP_COS = 0.35
+
+
+def _embedding_dedup_sql(dialect: str) -> str:
+    # staged: norm once per VECTOR (not per pair), cosine once per PAIR
+    # (dot/(na*nb) in a named column, filtered and rounded from that) —
+    # same anti-duplication discipline as textsql.shingles_from
+    bucket = _bucket_expr(dialect, "embedding")
+    if dialect == "spark":
+        nrm = ("sqrt(aggregate(embedding, 0D, (acc, x) -> "
+               "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+        dot = ("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> "
+               "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, "
+               "(acc, v) -> acc + v)")
+    else:
+        nrm = ("sqrt(list_sum(list_transform(embedding, x -> "
+               "CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+        dot = ("list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+               "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {nrm} AS nrm, {bucket} AS bucket
+           FROM embeddings),
+p AS (SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+             {dot} / (a.nrm * b.nrm) AS cos
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT left_id, right_id, ROUND(cos, 4) AS cos_sim
+FROM p WHERE cos >= {NEAR_DUP_COS}
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the fifth dedup strategy
+    (exact / minhash-LSH / simhash / jaccard / embedding). Candidates are
+    same-sign-LSH-bucket only, so the plan is an equi-join on the bucket
+    key followed by a cosine filter: at 1000 executors the join hash-
+    partitions on bucket and the O(n²) stays within buckets."""
+    _view(spark, sf_dir)
+    return spark.sql(_embedding_dedup_sql("spark"))
+
+
+DEDUP_EMBEDDING_ORACLE = _embedding_dedup_sql("duck")

@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_window_latest": relational.latest_event_per_user,
         "resume_anti_join": relational.resume_anti_join,
         "metrics_rollup": relational.metrics_rollup,
+        "windowed_event_counts": relational.windowed_event_counts,
         # training-data pipeline: dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
@@ -92,8 +93,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk": similarity.cosine_topk,
         "ann_lsh": similarity.ann_lsh,
+        "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         # multimodal binary plumbing
         "media_metadata": multimodal.media_metadata,
+        "image_features": multimodal.image_features,
     }
 
 
@@ -104,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,
         "metrics_rollup": relational.METRICS_ROLLUP_ORACLE,
+        "windowed_event_counts": relational.WINDOWED_EVENT_COUNTS_ORACLE,
         "dedup_exact": dedup.DEDUP_EXACT_ORACLE,
         "minhash_signatures": dedup.MINHASH_SIG_ORACLE,
         "dedup_minhash_lsh": dedup.DEDUP_MINHASH_LSH_ORACLE,
@@ -115,7 +119,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": text_stats.FINGERPRINT_ORACLE,
         "cosine_topk": similarity.COSINE_TOPK_ORACLE,
         "ann_lsh": similarity.ANN_LSH_ORACLE,
+        "dedup_embedding_cosine": similarity.DEDUP_EMBEDDING_ORACLE,
         "media_metadata": multimodal.MEDIA_METADATA_ORACLE,
+        "image_features": multimodal.IMAGE_FEATURES_ORACLE,
     }
 
 
