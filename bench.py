@@ -77,12 +77,17 @@ def flagship(spark, sf_dir: str, cpus: int, repeat: int) -> dict:
     from docling_api_spark.plans.pipeline import extract_df
     from docling_api_spark.sources.pages import pages_from_documents
 
+    from docling_api_spark.sources.pages import with_fixture_pdfs
+
     # materialize the input table ONCE (untimed) — production reads a table
-    # on disk, not a synthesized stream competing for the same cores
+    # on disk, not a synthesized stream competing for the same cores.
+    # 80% HTML / 10% MD / 10% PDF so the PDF path is in the headline metric.
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/bench_pages_{tag}_r{repeat}"
+    path = f"/tmp/bench_pages_{tag}_r{repeat}_v2"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        (pages_from_documents(spark, sf_dir, repeat=repeat, parallelism=64)
+        (with_fixture_pdfs(
+            pages_from_documents(spark, sf_dir, repeat=repeat,
+                                 parallelism=64))
          .write.mode("overwrite").parquet(path))
 
     cfg = ExtractConfig(num_partitions=cpus * 2)

@@ -99,6 +99,52 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
                  F.lit(".example/doc/"), i.cast("string"), ext).alias("url"),
         F.timestamp_seconds(F.lit(_EPOCH_S) + (i % 86400)).alias("warc_ts"),
         F.encode(body, "UTF-8").alias("html"),
-        F.lit("").alias("text"),
+        para.alias("text"),   # the WET-style text column of the CC shape
         F.col("lang"),
     )
+
+
+def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
+    """Replace docs with ``doc_id % 10 == every_mod`` by fixture-grammar
+    PDFs (``pdf_write``), so a corpus exercises the PDF extraction path
+    end-to-end ("HTML/PDF→Markdown", BASELINE.json metric).
+
+    mapInPandas (Python) — intended for corpus *materialization*, not for
+    inside a timed region. Deterministic: PDF bytes are a pure function of
+    (doc_id, text)."""
+    import pandas as pd
+
+    from ..operators.pdf_write import write_pdf
+
+    def rewrite(batches):
+        for pdf in batches:
+            urls = pdf["url"].tolist()
+            htmls = pdf["html"].tolist()
+            for j, url in enumerate(urls):
+                stem = url.rsplit("/", 1)[-1]
+                i = int(stem.split(".")[0])
+                if i % 10 != every_mod or not url.endswith(".html"):
+                    continue
+                text = pdf["text"].iat[j] or ""
+                words, lines, cur = text.split(), [], ""
+                for w in words:
+                    if len(cur) + len(w) + 1 > 90:
+                        lines.append(cur)
+                        cur = w
+                    else:
+                        cur = w if not cur else f"{cur} {w}"
+                if cur:
+                    lines.append(cur)
+                blocks = [(72.0, 720.0, 18.0, [f"Doc {i}"])]
+                if lines:
+                    blocks.append((72.0, 680.0, 11.0, lines))
+                htmls[j] = write_pdf([blocks], compress=i % 2 == 0)
+                urls[j] = url[: -len(".html")] + ".pdf"
+            out = pdf.copy()
+            out["url"] = pd.Series(urls, index=pdf.index)
+            out["html"] = pd.Series(htmls, index=pdf.index, dtype="object")
+            yield out
+
+    return pages.mapInPandas(
+        rewrite, "url string, warc_ts timestamp, html binary, "
+                 "text string, lang string")

@@ -142,3 +142,21 @@ def test_huge_page_skew_class(spark):
     out = extract_df(df, ExtractConfig(num_partitions=4)).collect()
     assert len(out) == 4
     assert all(r.error is None and len(r.markdown) > 100_000 for r in out)
+
+
+def test_job_cli_main(spark, tmp_path):
+    """The spark-submit entry point end-to-end (in-process: getOrCreate
+    reuses the test session). The real spark-submit --py-files launch is
+    exercised in BENCH/verify runs."""
+    from docling_api_spark import job
+    from docling_api_spark.sources.pages import pages_from_documents
+
+    inp = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    pages_from_documents(spark, "/root/testdata/sf0.001").limit(100) \
+        .write.mode("overwrite").parquet(inp)
+    job.main(["--input", inp, "--output", out,
+              "--run-id", "t-cli", "--partitions", "8"])
+    got = spark.read.parquet(out)
+    assert got.count() == 100
+    assert spark.read.parquet(out + "_manifest").count() == 8
