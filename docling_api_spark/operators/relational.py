@@ -99,3 +99,46 @@ SELECT date_trunc('hour', ts) AS win_start,
 FROM events
 GROUP BY 1, 2
 """
+
+
+#: session gap — events within 30 minutes of the previous one (same user)
+#: belong to one session
+SESSION_GAP_MINUTES = 30
+
+
+def _sessionize_sql(dialect: str) -> str:
+    unit = "MINUTES" if dialect == "spark" else "MINUTE"
+    return f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MINUTES} {unit}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-and-islands sessionization (30-min inactivity gap) — the batch
+    ground truth the stateful-streaming sessionizer
+    (:mod:`..streaming.stateful`) is tested against. One window + one
+    aggregation: at scale both hash-partition on user_id, so the whole
+    query is a single shuffle."""
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .createOrReplaceTempView("events")
+    return spark.sql(_sessionize_sql("spark"))
+
+
+SESSIONIZE_ORACLE = _sessionize_sql("duck")

@@ -151,6 +151,77 @@ FROM p WHERE cos >= {NEAR_DUP_COS}
 """
 
 
+def _centroids(k: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-centroids in [-1, 1]^dim from md5 — the same
+    literal vectors are inlined into BOTH engines' SQL (an IVF index would
+    learn these with k-means; the *query plan shape* — assign to cell,
+    equi-join within cell — is identical)."""
+    import hashlib
+    cents = []
+    for c in range(k):
+        row = []
+        for i in range(dim):
+            b = hashlib.md5(f"centroid{c}_{i}".encode()).digest()[0]
+            row.append(round(b / 127.5 - 1.0, 6))
+        cents.append(row)
+    return cents
+
+
+N_CELLS = 8
+
+
+def _ivf_sql(dialect: str) -> str:
+    cents = _centroids(N_CELLS, DIM)
+    wlits = ", ".join(X.array_lit(dialect, c) for c in cents)
+    if dialect == "spark":
+        dots = (f"transform(array({wlits}), w -> "
+                f"aggregate(zip_with(embedding, w, (x, y) -> "
+                f"CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v))")
+        cell = "array_position(dots, array_max(dots))"
+        nrm = ("sqrt(aggregate(embedding, 0D, (acc, x) -> "
+               "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+        dot = ("aggregate(zip_with(q.embedding, c.embedding, (x, y) -> "
+               "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, "
+               "(acc, v) -> acc + v)")
+    else:
+        dots = (f"list_transform([{wlits}], w -> "
+                f"list_sum(list_transform(list_zip(embedding, w), p -> "
+                f"CAST(p[1] AS DOUBLE) * p[2])))")
+        cell = "list_position(dots, list_max(dots))"
+        nrm = ("sqrt(list_sum(list_transform(embedding, x -> "
+               "CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+        dot = ("list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+               "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+    # staged: dots once per vector -> cell id; norms once per vector;
+    # candidate join is an equi-join on cell
+    return f"""
+WITH d AS (SELECT vec_id, embedding, {nrm} AS nrm, {dots} AS dots
+           FROM embeddings),
+b AS (SELECT vec_id, embedding, nrm, {cell} AS cell FROM d)
+SELECT qid, nid, cos_sim FROM (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         ROUND({dot} / (q.nrm * c.nrm), 4) AS cos_sim,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {dot} / (q.nrm * c.nrm) DESC, c.vec_id)
+           AS rn
+  FROM b q JOIN b c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+) r WHERE rn <= {TOP_K}
+"""
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: vectors assigned to the nearest of 8
+    deterministic centroids (argmax dot), candidates restricted to the same
+    cell. At scale the cell assignment is a projection and the candidate
+    join hash-partitions on cell — the canonical IVF probe=1 plan."""
+    _view(spark, sf_dir)
+    return spark.sql(_ivf_sql("spark"))
+
+
+ANN_IVF_ORACLE = _ivf_sql("duck")
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the fifth dedup strategy
     (exact / minhash-LSH / simhash / jaccard / embedding). Candidates are

@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_anti_join": relational.resume_anti_join,
         "metrics_rollup": relational.metrics_rollup,
         "windowed_event_counts": relational.windowed_event_counts,
+        "sessionize_events": relational.sessionize_events,
         # training-data pipeline: dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
@@ -93,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk": similarity.cosine_topk,
         "ann_lsh": similarity.ann_lsh,
+        "ann_ivf": similarity.ann_ivf,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         # multimodal binary plumbing
         "media_metadata": multimodal.media_metadata,
@@ -108,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,
         "metrics_rollup": relational.METRICS_ROLLUP_ORACLE,
         "windowed_event_counts": relational.WINDOWED_EVENT_COUNTS_ORACLE,
+        "sessionize_events": relational.SESSIONIZE_ORACLE,
         "dedup_exact": dedup.DEDUP_EXACT_ORACLE,
         "minhash_signatures": dedup.MINHASH_SIG_ORACLE,
         "dedup_minhash_lsh": dedup.DEDUP_MINHASH_LSH_ORACLE,
@@ -119,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": text_stats.FINGERPRINT_ORACLE,
         "cosine_topk": similarity.COSINE_TOPK_ORACLE,
         "ann_lsh": similarity.ANN_LSH_ORACLE,
+        "ann_ivf": similarity.ANN_IVF_ORACLE,
         "dedup_embedding_cosine": similarity.DEDUP_EMBEDDING_ORACLE,
         "media_metadata": multimodal.MEDIA_METADATA_ORACLE,
         "image_features": multimodal.IMAGE_FEATURES_ORACLE,
