@@ -168,6 +168,21 @@ _RAWTEXT_END = {
     "style": re.compile(r"</style[^>]*>", re.I | re.S),
 }
 
+#: DROP subtrees skipped at scan time — no nodes built for content the
+#: emitter discards anyway (boilerplate is a large tag share of real
+#: pages). Same-tag depth tracking; mismatched inner tags are irrelevant
+#: because the whole subtree is dropped either way. Comments and
+#: script/style raw text are consumed atomically so a literal close tag
+#: inside them can't end the skip early. embed is void.
+_DROP_SKIP_RX = {
+    t: re.compile(
+        rf"<!--.*?(?:-->|\Z)"
+        rf"|<(/?){t}(?=[\s/>])[^>]*>"
+        rf"|<(script|style)(?=[\s/>])[^>]*>",
+        re.I | re.S)
+    for t in DROP_TAGS - {"script", "style", "embed"}
+}
+
 
 def _parse_attrs(blob: str) -> list:
     attrs = []
@@ -227,6 +242,25 @@ def parse_html(text: str) -> Node:
                 data(unescape(tok) if "&" in tok else tok)
             continue
         tag = name.lower()
+        rx = _DROP_SKIP_RX.get(tag)
+        if rx is not None and not m.group(4):
+            depth = 1
+            while depth:
+                m2 = rx.search(text, pos)
+                if m2 is None:
+                    pos = n
+                    break
+                pos = m2.end()
+                rt = m2.group(2)
+                if rt is not None:
+                    if not m2.group(0).endswith("/>"):
+                        m3 = _RAWTEXT_END[rt.lower()].search(text, pos)
+                        pos = m3.end() if m3 else n
+                    continue
+                if m2.group(1) is None:
+                    continue  # comment
+                depth += -1 if m2.group(1) else 1
+            continue
         blob = m.group(3)
         attrs = _parse_attrs(blob) if blob and not blob.isspace() else []
         if m.group(4):

@@ -29,6 +29,15 @@ ADVERSARIAL = [
     "",
     "<",
     "<!DOCTYPE html><!-- c --><?pi ?><![CDATA[x]]><p>rest</p>",
+    # DROP-subtree scan-skip hazards
+    "<nav><a href='/x'>boiler</a></nav><p>keep</p>",
+    "<nav><script>var s='</nav>';</script><a>ad</a></nav><p>keep</p>",
+    "<header><!-- </header> --><h1>still boiler</h1></header><p>keep</p>",
+    "<nav><nav>inner</nav>outer</nav><p>keep</p>",
+    "<form><div></form><p>after mismatched form</p>",
+    "<aside>unclosed aside swallows<p>this",
+    "<p>a<nav/>self-closing drop</p>",
+    "<svg><rect width='5'/><circle/></svg><p>keep</p>",
 ]
 
 
