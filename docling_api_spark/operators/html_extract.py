@@ -244,23 +244,28 @@ def parse_html(text: str) -> Node:
         tag = name.lower()
         rx = _DROP_SKIP_RX.get(tag)
         if rx is not None and not m.group(4):
-            depth = 1
+            # skip ONLY if the matching close tag exists — an unclosed
+            # boilerplate tag must not swallow the document (stdlib/tree
+            # semantics auto-close it at an ancestor's end tag instead)
+            scan, depth = pos, 1
             while depth:
-                m2 = rx.search(text, pos)
+                m2 = rx.search(text, scan)
                 if m2 is None:
-                    pos = n
                     break
-                pos = m2.end()
+                scan = m2.end()
                 rt = m2.group(2)
                 if rt is not None:
                     if not m2.group(0).endswith("/>"):
-                        m3 = _RAWTEXT_END[rt.lower()].search(text, pos)
-                        pos = m3.end() if m3 else n
+                        m3 = _RAWTEXT_END[rt.lower()].search(text, scan)
+                        scan = m3.end() if m3 else n
                     continue
                 if m2.group(1) is None:
                     continue  # comment
                 depth += -1 if m2.group(1) else 1
-            continue
+            if depth == 0:
+                pos = scan
+                continue
+            # unclosed: fall through and build the node normally
         blob = m.group(3)
         attrs = _parse_attrs(blob) if blob and not blob.isspace() else []
         if m.group(4):
@@ -578,6 +583,15 @@ def extract_html(text: str, cfg: ExtractConfig) -> ExtractResult:
 
     Returns markdown + images manifest + per-block spans. Never raises on
     malformed input (tolerant tree builder)."""
+    # HTML5: an unterminated comment swallows everything to EOF. Normalize
+    # here (truncate at the unclosed "<!--") so the fast scanner and the
+    # stdlib reference parser agree — stdlib's close() recovery re-parses
+    # fragments after an unclosed comment in input-dependent ways.
+    while True:
+        p = text.rfind("<!--")
+        if p == -1 or text.find("-->", p + 4) != -1:
+            break
+        text = text[:p]
     root = parse_html(text)
     content_root = _pick_root(root)
     ctx = _Ctx(cfg=cfg)

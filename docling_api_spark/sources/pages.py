@@ -34,6 +34,40 @@ def read_pages(spark: SparkSession, path: str, storage: str = "parquet",
 #: epoch for deterministic warc_ts (FIXTURES.md §1) — 2025-01-01T00:00:00Z
 _EPOCH_S = 1735689600
 
+# Real Common-Crawl pages are mostly chrome: the synthetic shell carries a
+# representative ~4 KB of it (scripts, styles, nav trees, footer link
+# farms) — all inside DROP tags, so extraction output (and therefore the
+# extract_markdown oracle) is unchanged while the per-doc parse work is
+# honest. Static literals: identical on every page, pure JVM concat.
+_CHROME_HEAD = (
+    "<style>" + "".join(f".c{i}{{margin:{i}px;padding:0}}"
+                        for i in range(40)) + "</style>"
+    + "".join(
+        f"<script>var cfg{i} = {{\"page\": \"x\", \"ids\": "
+        f"[{','.join(str(j) for j in range(12))}], \"flag{i}\": true}};"
+        f"function f{i}(a) {{ return a + {i}; }}</script>"
+        for i in range(6))
+)
+
+_CHROME_NAV = (
+    "<nav><ul>"
+    + "".join(
+        f"<li><a href=\"/cat/{i}\">Category {i}</a><ul>"
+        + "".join(f"<li><a href=\"/cat/{i}/{j}\">Sub {i}.{j}</a></li>"
+                  for j in range(4))
+        + "</ul></li>"
+        for i in range(12))
+    + "</ul></nav>"
+)
+
+_CHROME_FOOTER = (
+    "<footer><div>"
+    + "".join(f"<a href=\"/foot/{i}\">Footer link {i}</a> "
+              for i in range(24))
+    + "</div><p>Copyright 2025</p></footer>"
+    + "<script>var tail = 'analytics';</script>"
+)
+
 def pages_from_documents(spark: SparkSession, sf_dir: str,
                          repeat: int = 1,
                          parallelism: int | None = None) -> DataFrame:
@@ -79,9 +113,9 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
             F.lit("</td></tr></table>"))).otherwise(F.lit(""))
     html_str = F.concat(
         F.lit("<!DOCTYPE html><html><head><title>t</title>"
-              "<style>.x{color:#000}</style><script>var q=1;</script></head>"
-              "<body><nav><a href=\"/a\">Home</a> <a href=\"/b\">About</a> "
-              "<a href=\"/c\">Contact</a></nav><header><h1>Site</h1></header>"
+              + _CHROME_HEAD +
+              "</head><body>" + _CHROME_NAV +
+              "<header><h1>Site</h1></header>"
               "<div><a href=\"/s1\">sponsored story one</a> "
               "<a href=\"/s2\">sponsored story two</a> "
               "<a href=\"/s3\">sponsored story three</a></div>"
@@ -89,7 +123,7 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
         title,
         F.lit("</h1><p>"), para, F.lit("</p>"),
         lst, tbl,
-        F.lit("</main><footer>Copyright 2025</footer></body></html>"),
+        F.lit("</main>" + _CHROME_FOOTER + "</body></html>"),
     )
     md_str = F.concat(F.lit("# "), title, F.lit("\n\n"), para, F.lit("\n"))
     body = F.when(is_md, md_str).otherwise(html_str)

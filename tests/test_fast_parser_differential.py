@@ -71,3 +71,23 @@ def test_adversarial_identical(snippet):
     fast = _extract_with(hx.parse_html, content)
     ref = _extract_with(hx.parse_html_stdlib, content)
     assert fast == ref, snippet
+
+
+from hypothesis import given, settings, strategies as st
+
+_soup_atoms = st.sampled_from([
+    "<p>", "</p>", "<div>", "</div>", "<b>", "</b>", "<nav>", "</nav>",
+    "<script>", "</script>", "<style>", "</style>", "<li>", "<ul>", "</ul>",
+    "<a href='/x'>", "</a>", "<img src=y>", "<br>", "<!-- c -->", "<!--",
+    "<table><tr><td>", "</td></tr></table>", "&amp;", "&#65;", "&bogus;",
+    "text ", "< ", ">", "\"", "'", "\n", "  ", "é", "<P CLASS=Z>", "<p/>",
+    "<h1>", "</h1>", "<header>", "</header>", "<form>", "</form>",
+])
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_soup_atoms, min_size=0, max_size=40))
+def test_random_soup_identical(atoms):
+    content = "".join(atoms).encode()
+    assert _extract_with(hx.parse_html, content) == \
+        _extract_with(hx.parse_html_stdlib, content)
