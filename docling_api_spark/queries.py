@@ -69,10 +69,83 @@ FROM documents GROUP BY 1
 """
 
 
+def extract_pdf_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PDF path, value-checked: fixture-grammar PDFs synthesized from
+    the same documents (pdf_write), extracted by the content-stream reader
+    (pdf_extract); the oracle reconstructs the expected markdown from the
+    generation rule. Covers Flate and plain streams (compress = i%2==0)."""
+    from .sources.pages import with_fixture_pdfs
+    pages = with_fixture_pdfs(pages_from_documents(spark, sf_dir))
+    out = extract_df(pages.where(F.col("url").endswith(".pdf")), _CFG)
+    return out.select("url", "fmt", "markdown", "error")
+
+
+EXTRACT_PDF_ORACLE = """
+SELECT
+  'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
+    || CAST(doc_id AS VARCHAR) || '.pdf' AS url,
+  'pdf' AS fmt,
+  '## Doc ' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN length(trim(text)) > 0
+            THEN chr(10) || chr(10) || text ELSE '' END AS markdown,
+  CAST(NULL AS VARCHAR) AS error
+FROM documents
+WHERE doc_id % 10 = 4
+"""
+
+
+def span_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-offset plumbing check: per url, the span count and the total
+    covered length must equal what the generation rule implies (covered =
+    len(markdown) - 2*(n_spans-1), blocks joined by blank lines)."""
+    pages = pages_from_documents(spark, sf_dir)
+    out = extract_df(pages, _CFG)
+    return out.select(
+        "url",
+        F.size("spans").alias("n_spans"),
+        F.aggregate("spans", F.lit(0).cast("long"),
+                    lambda acc, s: acc + s.end - s.start).alias("covered"),
+        F.length("markdown").alias("md_len"),
+    )
+
+
+SPAN_SUMMARY_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang, text,
+    CASE WHEN doc_id % 10 = 7 THEN 1
+         ELSE 2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+    END AS n_spans,
+    length('# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || text
+      || CASE WHEN doc_id % 10 <> 7 AND doc_id % 3 = 0
+              THEN chr(10) || chr(10) || '- item one of doc '
+                   || CAST(doc_id AS VARCHAR) || chr(10) || '- item two'
+              ELSE '' END
+      || CASE WHEN doc_id % 10 <> 7 AND doc_id % 5 = 0
+              THEN chr(10) || chr(10) || '| k | v |' || chr(10)
+                   || '| --- | --- |' || chr(10)
+                   || '| id | ' || CAST(doc_id AS VARCHAR) || ' |' || chr(10)
+                   || '| lang | ' || lang || ' |'
+              ELSE '' END) AS md_len
+  FROM documents
+)
+SELECT
+  'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
+    || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 10 = 7 THEN '.md' ELSE '.html' END AS url,
+  n_spans,
+  CAST(md_len - 2 * (n_spans - 1) AS BIGINT) AS covered,
+  CAST(md_len AS BIGINT) AS md_len
+FROM base
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship extraction (SQL-reconstructed golden oracle)
         "extract_markdown": extract_markdown,
+        "extract_pdf_markdown": extract_pdf_markdown,
+        "span_summary": span_summary,
         "format_distribution": format_distribution,
         # engine mechanics as relational ops (SURVEY.md Table B)
         "dedup_window_latest": relational.latest_event_per_user,
@@ -105,6 +178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_markdown": EXTRACT_MARKDOWN_ORACLE,
+        "extract_pdf_markdown": EXTRACT_PDF_ORACLE,
+        "span_summary": SPAN_SUMMARY_ORACLE,
         "format_distribution": FORMAT_DISTRIBUTION_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,
