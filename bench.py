@@ -163,9 +163,15 @@ def main() -> None:
                     [sys.executable, __file__, "--flagship-only",
                      "--cores", str(c)],
                     capture_output=True, text=True, env=env, cwd=REPO)
-                line = [l for l in p.stdout.splitlines()
-                        if l.startswith("{")][-1]
-                r = json.loads(line)
+                lines = [l for l in p.stdout.splitlines()
+                         if l.startswith("{")]
+                if p.returncode != 0 or not lines:
+                    sys.stderr.write(
+                        f"flagship subprocess (cores={c}) failed "
+                        f"rc={p.returncode}\n--- stderr tail ---\n"
+                        + "\n".join(p.stderr.splitlines()[-20:]) + "\n")
+                    sys.exit(1)
+                r = json.loads(lines[-1])
                 if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
                     best = r
             out[c] = best

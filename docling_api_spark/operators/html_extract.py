@@ -147,41 +147,216 @@ def parse_html_stdlib(text: str) -> Node:
     return tb.root
 
 
-# one pass, one compiled alternation; group 1 = end-tag name,
-# groups 2/3/4 = start-tag name / attr blob / self-closing slash.
-# The attr blob tolerates '>' inside quoted values.
+# one pass, one compiled alternation; group 1 = end-tag name, group 2 =
+# start-tag name (attr blob is scanned by _scan_tag_end — a quote-aware
+# char loop, NOT a regex: an ambiguous quoted-or-unquoted blob pattern
+# backtracks exponentially on truncated tags full of quotes), group 3 =
+# unterminated-construct marker (stdlib incomplete rule applies).
 _TOKEN_RX = re.compile(
-    r"<!--.*?(?:-->|\Z)"
-    r"|<!\[CDATA\[.*?(?:\]\]>|\Z)"
-    r"|<[!?][^>]*(?:>|\Z)"
-    r"|</([a-zA-Z][a-zA-Z0-9:._-]*)[^>]*(?:>|\Z)"
-    r"|<([a-zA-Z][a-zA-Z0-9:._-]*)((?:\"[^\"]*\"|'[^']*'|[^>])*?)(/?)>",
+    r"<!--.*?-->"                 # comment
+    r"|<!\[CDATA\[.*?\]\]>"       # CDATA section
+    r"|<!\[.*?\]>"                # other marked section (<![if ...]>)
+    r"|<!(?!--|\[)[^>]*>"         # declaration (never a comment/CDATA head)
+    r"|<\?[^>]*>"                 # processing instruction
+    r"|</([a-zA-Z][a-zA-Z0-9:._-]*)[^>]*>"
+    r"|<([a-zA-Z][a-zA-Z0-9:._-]*)"
+    r"|(<[!?])",                  # unterminated construct head
     re.S)
+
+
+#: fast path for the attribute region: UNAMBIGUOUS alternation — the
+#: catch-all class excludes quote chars, so a quote can only match via a
+#: completed quoted pair; no alternative overlap ⇒ linear, never the
+#: exponential backtracking an ambiguous blob pattern has on truncated
+#: quote-heavy tags.
+_TAG_END_RX = re.compile(
+    r"((?:[^<>\"']|\"[^\"]*\"|'[^']*')*)(/?)>")
+
+
+def _find_tag_end(text: str, pos: int) -> tuple[int, int, bool]:
+    """Locate the end of a start tag's attribute region from ``pos``.
+    Regex fast path for the common case; the char-level state machine
+    (:func:`_scan_tag_end`) only for (a) a trailing '/' — which needs the
+    HTML5 unquoted-value rule to classify — or (b) regex failure
+    (unpaired quote, '<' in an unquoted value, EOF truncation)."""
+    m = _TAG_END_RX.match(text, pos)
+    if m is not None and not m.group(1).endswith("/") and not m.group(2):
+        return m.end() - 1, m.end(), False
+    return _scan_tag_end(text, pos)
+
+
+def _scan_tag_end(text: str, pos: int) -> tuple[int, int, bool]:
+    """Scan a start tag's attribute region from ``pos`` (just past the tag
+    name) to its closing '>'. Linear, quote-aware, and HTML5-faithful about
+    the self-closing slash: '/' inside a quoted or unquoted attribute VALUE
+    is data ('<a href=https://x/>' is NOT self-closing), '/' between
+    attributes is. Returns (blob_end_exclusive, resume_pos, self_closing);
+    blob_end == -1
+    means EOF before '>' (caller applies the stdlib incomplete rule)."""
+    n = len(text)
+    j = pos
+    quote = ""          # inside "..." or '...'
+    unquoted = False    # inside an unquoted attribute value
+    seen_eq = False     # just passed '=' (value comes next)
+    slash = False       # a self-closing-position slash was last seen
+    while j < n:
+        ch = text[j]
+        if quote:
+            if ch == quote:
+                quote = ""
+        elif ch == ">":
+            return (j - 1 if slash else j), j + 1, slash
+        elif ch in "\"'":
+            if seen_eq or not unquoted:
+                quote = ch
+            seen_eq = False
+            slash = False
+        elif ch in " \t\r\n":
+            unquoted = False
+            seen_eq = False
+            slash = False
+        elif ch == "=":
+            seen_eq = True
+            slash = False
+        elif ch == "/":
+            if seen_eq or unquoted:
+                unquoted = True
+                seen_eq = False
+            else:
+                slash = True
+        else:
+            if seen_eq or unquoted:
+                unquoted = True
+                seen_eq = False
+            slash = False
+        j += 1
+    return -1, n, False
+
+
+def _incomplete_end(text: str, i: int) -> int:
+    """stdlib html.parser's rule for an incomplete construct at EOF-side
+    parsing: flush data up to (and including) the next '>', else up to the
+    next '<', else a single character."""
+    k = text.find(">", i + 1)
+    if k >= 0:
+        return k + 1
+    k = text.find("<", i + 1)
+    if k >= 0:
+        return k
+    return i + 1
 
 _ATTR_RX = re.compile(
     r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
     r"(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?")
 
-#: script/style content is raw text in HTML5 — no tags inside
+#: script/style content is raw text in HTML5 — no tags inside. stdlib
+#: semantics: the closer is '</' + optional whitespace + the EXACT tag
+#: name + optional whitespace + '>'; '</scripty>' or '</script foo>' do
+#: NOT close (they stay raw text).
 _RAWTEXT_END = {
-    "script": re.compile(r"</script[^>]*>", re.I | re.S),
-    "style": re.compile(r"</style[^>]*>", re.I | re.S),
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
 }
 
 #: DROP subtrees skipped at scan time — no nodes built for content the
 #: emitter discards anyway (boilerplate is a large tag share of real
-#: pages). Same-tag depth tracking; mismatched inner tags are irrelevant
-#: because the whole subtree is dropped either way. Comments and
-#: script/style raw text are consumed atomically so a literal close tag
-#: inside them can't end the skip early. embed is void.
-_DROP_SKIP_RX = {
+#: pages). The skip tracks ALL tags opened inside the region on a small
+#: name stack: an end tag that matches nothing open inside the region
+#: (e.g. '</div>' closing an ANCESTOR of a misnested '<nav>') aborts the
+#: skip and falls back to tree building, which auto-closes correctly.
+#: Comments and script/style raw text are consumed atomically so a
+#: literal close tag inside them can't end the skip early. embed is void.
+_DROP_SKIPPABLE = frozenset(DROP_TAGS - {"script", "style", "embed"})
+
+#: one match per tag event inside a skipped region: closing flag, name,
+#: attr blob (same unambiguous alternation as _TAG_END_RX — linear), all
+#: in one pass; comments consumed atomically. A truncated tag matches
+#: nothing and ultimately aborts the skip via the EOF check.
+_SKIP_TOKEN_RX = re.compile(
+    r"<!--.*?-->"
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9:._-]*)"
+    r"((?:[^<>\"']|\"[^\"]*\"|'[^']*')*)>",
+    re.S)
+
+#: cheap candidate-end scan: same-tag depth only (6-ish events per region
+#: instead of one per tag), comments/rawtext atomic — used to propose the
+#: region for the memo cache; the full stack walk validates it once.
+_DROP_CAND_RX = {
     t: re.compile(
-        rf"<!--.*?(?:-->|\Z)"
-        rf"|<(/?){t}(?=[\s/>])[^>]*>"
-        rf"|<(script|style)(?=[\s/>])[^>]*>",
+        rf"<!--.*?-->"
+        rf"|<(/?){t}(?=[\s/>])(?:[^<>\"']|\"[^\"]*\"|'[^']*')*>"
+        rf"|<(script|style)(?=[\s/>])(?:[^<>\"']|\"[^\"]*\"|'[^']*')*>",
         re.I | re.S)
-    for t in DROP_TAGS - {"script", "style", "embed"}
+    for t in _DROP_SKIPPABLE
 }
+
+#: validated-region memo: chrome repeats byte-identically across pages of
+#: a site (and across this bench corpus), so each distinct region is
+#: stack-validated once per worker; lookups are exact string compares.
+_SKIP_CACHE: dict[str, bool] = {}
+_SKIP_CACHE_MAX = 512
+
+
+def _candidate_end(text: str, pos: int, tag: str):
+    """Same-tag-depth scan for the region's candidate end position."""
+    rx = _DROP_CAND_RX[tag]
+    scan, depth = pos, 1
+    while depth:
+        m = rx.search(text, scan)
+        if m is None:
+            return None
+        scan = m.end()
+        if m.group(2) is not None:
+            if not m.group(0).endswith("/>"):
+                m3 = _RAWTEXT_END[m.group(2).lower()].search(text, scan)
+                if m3 is None:
+                    return None
+                scan = m3.end()
+            continue
+        if m.group(1) is None:
+            continue  # comment
+        depth += -1 if m.group(1) else 1
+    return scan
+
+
+def _try_skip_subtree(text: str, pos: int, tag: str):
+    """Attempt to consume the whole subtree of DROP tag ``tag`` starting
+    just after its open tag at ``pos``. Returns the resume position, or
+    None when skipping is unsafe (unclosed at EOF, or an end tag crosses
+    an ancestor boundary) — caller falls back to node building."""
+    stack = [tag]
+    scan = pos
+    search = _SKIP_TOKEN_RX.search
+    while stack:
+        m = search(text, scan)
+        if m is None:
+            return None  # unclosed (or truncated tag) at EOF
+        scan = m.end()
+        name = m.group(2)
+        if name is None:
+            continue  # comment
+        name = name.lower()
+        if m.group(1):  # closing tag
+            if name in stack:
+                while stack[-1] != name:
+                    stack.pop()
+                stack.pop()
+            elif name in VOID_TAGS:
+                continue
+            else:
+                return None  # closes an ancestor outside the region
+        else:
+            rt = _RAWTEXT_END.get(name)
+            if rt is not None:
+                if not m.group(3).endswith("/"):
+                    m3 = rt.search(text, scan)
+                    if m3 is None:
+                        return None
+                    scan = m3.end()
+                continue
+            if name not in VOID_TAGS and not m.group(3).endswith("/"):
+                stack.append(name)
+    return scan
 
 
 def _parse_attrs(blob: str) -> list:
@@ -203,10 +378,13 @@ def _parse_attrs(blob: str) -> list:
 def parse_html(text: str) -> Node:
     """Fast single-pass tokenizer feeding the same tolerant tree builder.
 
-    Matches parse_html_stdlib on the whole fixture corpus (differential
-    test); attribute lists are parsed lazily and entity-decoded only when
-    an ampersand is present. Stray '<' runs are data, unterminated
-    comments swallow the tail, script/style bodies are raw text."""
+    Matches parse_html_stdlib on the whole fixture corpus, an adversarial
+    set, and a hypothesis random-soup differential. Attribute regions are
+    scanned with a linear quote-aware char loop (no backtracking — a
+    regex blob is exponential on truncated quote-heavy tags); entities
+    decode only when an ampersand is present; stray '<' runs are data;
+    incomplete constructs follow the stdlib flush rule; script/style
+    bodies are raw text ended only by an exact-name close tag."""
     from html import unescape
 
     tb = _TreeBuilder()
@@ -233,48 +411,43 @@ def parse_html(text: str) -> Node:
             continue
         name = m.group(2)
         if name is None:
-            # comment / doctype / PI / CDATA — skipped; but an UNTERMINATED
-            # construct is flushed as literal data, matching the stdlib
-            # parser's close() behavior on buffered incomplete input
-            tok = m.group(0)
-            terminator = "-->" if tok.startswith("<!--") else ">"
-            if not tok.endswith(terminator):
-                data(unescape(tok) if "&" in tok else tok)
-            continue
+            if m.group(3) is not None:
+                # unterminated comment/decl/PI: stdlib incomplete rule —
+                # flush up to the next '>' as data, resume parsing there
+                pos = _incomplete_end(text, s)
+                chunk = text[s:pos]
+                data(unescape(chunk) if "&" in chunk else chunk)
+            continue  # terminated comment / doctype / PI / CDATA
         tag = name.lower()
-        rx = _DROP_SKIP_RX.get(tag)
-        if rx is not None and not m.group(4):
-            # skip ONLY if the matching close tag exists — an unclosed
-            # boilerplate tag must not swallow the document (stdlib/tree
-            # semantics auto-close it at an ancestor's end tag instead)
-            scan, depth = pos, 1
-            while depth:
-                m2 = rx.search(text, scan)
-                if m2 is None:
-                    break
-                scan = m2.end()
-                rt = m2.group(2)
-                if rt is not None:
-                    if not m2.group(0).endswith("/>"):
-                        m3 = _RAWTEXT_END[rt.lower()].search(text, scan)
-                        scan = m3.end() if m3 else n
-                    continue
-                if m2.group(1) is None:
-                    continue  # comment
-                depth += -1 if m2.group(1) else 1
-            if depth == 0:
-                pos = scan
+        blob_end, tag_end, selfclose = _find_tag_end(text, pos)
+        if blob_end < 0:
+            # truncated start tag at EOF: stdlib incomplete rule
+            pos = _incomplete_end(text, s)
+            chunk = text[s:pos]
+            data(unescape(chunk) if "&" in chunk else chunk)
+            continue
+        blob = text[pos:blob_end]
+        pos = tag_end
+        if not selfclose and tag in _DROP_SKIPPABLE:
+            cand = _candidate_end(text, pos, tag)
+            if cand is not None and text[pos:cand] in _SKIP_CACHE:
+                pos = cand
                 continue
-            # unclosed: fall through and build the node normally
-        blob = m.group(3)
+            resume = _try_skip_subtree(text, pos, tag)
+            if resume is not None:
+                if resume == cand and len(_SKIP_CACHE) < _SKIP_CACHE_MAX:
+                    _SKIP_CACHE[text[pos:cand]] = True
+                pos = resume
+                continue
+            # unsafe to skip: fall through and build the node normally
         attrs = _parse_attrs(blob) if blob and not blob.isspace() else []
-        if m.group(4):
+        if selfclose:
             startend(tag, attrs)
             continue
         starttag(tag, attrs)
-        rx = _RAWTEXT_END.get(tag)
-        if rx is not None:
-            m2 = rx.search(text, pos)
+        rt = _RAWTEXT_END.get(tag)
+        if rt is not None:
+            m2 = rt.search(text, pos)
             if m2 is not None:
                 if m2.start() > pos:
                     data(text[pos:m2.start()])
@@ -583,15 +756,6 @@ def extract_html(text: str, cfg: ExtractConfig) -> ExtractResult:
 
     Returns markdown + images manifest + per-block spans. Never raises on
     malformed input (tolerant tree builder)."""
-    # HTML5: an unterminated comment swallows everything to EOF. Normalize
-    # here (truncate at the unclosed "<!--") so the fast scanner and the
-    # stdlib reference parser agree — stdlib's close() recovery re-parses
-    # fragments after an unclosed comment in input-dependent ways.
-    while True:
-        p = text.rfind("<!--")
-        if p == -1 or text.find("-->", p + 4) != -1:
-            break
-        text = text[:p]
     root = parse_html(text)
     content_root = _pick_root(root)
     ctx = _Ctx(cfg=cfg)

@@ -44,7 +44,12 @@ def run_extraction_streaming(spark: SparkSession, input_path: str,
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = extract_df(batch_df, cfg)
-        out.write.mode("append").parquet(output_path)
+        # foreachBatch is at-least-once: a replayed batch_id must not
+        # duplicate rows. Each batch owns a batch_id=N subdirectory and
+        # overwrites it wholesale on replay (partition-style naming, so
+        # readers of the root see batch_id as a partition column).
+        out.write.mode("overwrite").parquet(
+            f"{output_path}/batch_id={batch_id}")
 
     q = (stream.writeStream
          .foreachBatch(process_batch)

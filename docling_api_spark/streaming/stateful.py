@@ -11,8 +11,15 @@ State per user = the currently-open session ``(start, end, n_events,
 idx)``. Each trigger merges the new (sorted) events: sessions that closed
 emit final rows (``open=false``); the still-open tail emits a provisional
 row (``open=true``) and stays in state. Provisional rows are superseded
-by later emissions for the same (user_id, session_start) — consumers
-keep the row with the largest n_events (sessions only grow).
+by later emissions for the same **(user_id, session_idx)** — the idx is
+assigned once and never changes, while session_start may move *earlier*
+when a late event within the gap arrives in a later batch; consumers keep
+the row with the largest n_events (sessions only grow).
+
+Disorder bound: cross-batch lateness is handled up to the session gap
+(events later than ``gap`` behind the open session's span would need
+state for closed sessions — a production job bounds that with
+``withWatermark`` upstream, same as any stateful operator).
 """
 
 from __future__ import annotations
@@ -60,6 +67,11 @@ def _sessionize_group(key: Tuple[Any],
             idx += 1
             start, end, n = t, t, 1
         else:
+            # cross-batch disorder: a late event within the gap can
+            # precede the stored session start — extend backwards too
+            # (consumers supersede by (user_id, session_idx), which is
+            # stable; session_start may move earlier across emissions)
+            start = min(start, t)
             end = max(end, t)
             n += 1
     if n:

@@ -29,6 +29,15 @@ ADVERSARIAL = [
     "",
     "<",
     "<!DOCTYPE html><!-- c --><?pi ?><![CDATA[x]]><p>rest</p>",
+    # code-review findings (round 1): each of these diverged or hung once
+    "<a href=https://x.com/>link text</a>",
+    "<script src=https://cdn.x.com/a.js/>var x;</script><p>after</p>",
+    "<body><script>var s = \"<!--\";</script><p>hi after script</p></body>",
+    "<div><nav>ad</div>Important content</nav><p>more</p>",
+    "<p>one<script>code</scripty> leaked </script></p><p>two</p>",
+    "<script>x</ script><p>in or out?</p>",
+    "<body><p>tail</p></p",
+    "<form><input type=text/><div></form><p>after</p>",
     # DROP-subtree scan-skip hazards
     "<nav><a href='/x'>boiler</a></nav><p>keep</p>",
     "<nav><script>var s='</nav>';</script><a>ad</a></nav><p>keep</p>",

@@ -11,15 +11,15 @@ SF = "/root/testdata/sf0.001"
 
 
 def _final_sessions(rows: pd.DataFrame) -> set:
-    """Collapse provisional re-emissions: per (user, session_start) keep
-    the largest session (sessions only grow across triggers)."""
+    """Collapse provisional re-emissions: per (user, session_idx) keep
+    the largest session (idx is stable; start/end can extend)."""
     best = {}
     for r in rows.itertuples():
-        key = (int(r.user_id), r.session_start)
+        key = (int(r.user_id), int(r.session_idx))
         prev = best.get(key)
         if prev is None or r.n_events > prev.n_events:
             best[key] = r
-    return {(k[0], k[1], v.session_end, int(v.n_events))
+    return {(k[0], v.session_start, v.session_end, int(v.n_events))
             for k, v in best.items()}
 
 
