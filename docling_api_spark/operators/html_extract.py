@@ -155,11 +155,12 @@ def parse_html_stdlib(text: str) -> Node:
 _TOKEN_RX = re.compile(
     r"<!--.*?-->"                 # comment
     r"|<!\[CDATA\[.*?\]\]>"       # CDATA section
-    r"|<!\[.*?\]>"                # other marked section (<![if ...]>)
+    r"|<!\[(?!CDATA\[).*?\]>"                # other marked section (<![if ...]>)
     r"|<!(?!--|\[)[^>]*>"         # declaration (never a comment/CDATA head)
     r"|<\?[^>]*>"                 # processing instruction
-    r"|</([a-zA-Z][a-zA-Z0-9:._-]*)[^>]*>"
-    r"|<([a-zA-Z][a-zA-Z0-9:._-]*)"
+    r"|</\s*([a-zA-Z][^\t\n\r\f />\x00]*)[^>]*>"
+    r"|</[^>]*>"                  # nameless end tag: bogus comment, skipped
+    r"|<([a-zA-Z][^\t\n\r\f />\x00]*)"
     r"|(<[!?])",                  # unterminated construct head
     re.S)
 
@@ -170,7 +171,7 @@ _TOKEN_RX = re.compile(
 #: exponential backtracking an ambiguous blob pattern has on truncated
 #: quote-heavy tags.
 _TAG_END_RX = re.compile(
-    r"((?:[^<>\"']|\"[^\"]*\"|'[^']*')*)(/?)>")
+    r"((?:[^<>\"'=]|(?>=[ \t\r\n]*\"[^\"]*\"|=[ \t\r\n]*'[^']*'|=))*+)(/?)>")
 
 
 def _find_tag_end(text: str, pos: int) -> tuple[int, int, bool]:
@@ -207,9 +208,12 @@ def _scan_tag_end(text: str, pos: int) -> tuple[int, int, bool]:
         elif ch == ">":
             return (j - 1 if slash else j), j + 1, slash
         elif ch in "\"'":
-            if seen_eq or not unquoted:
+            # a quote is a delimiter ONLY right after '=' (HTML5
+            # before-attribute-value state); anywhere else it's a junk
+            # name/value character like any other
+            if seen_eq:
                 quote = ch
-            seen_eq = False
+                seen_eq = False
             slash = False
         elif ch in " \t\r\n":
             unquoted = False
@@ -274,8 +278,8 @@ _DROP_SKIPPABLE = frozenset(DROP_TAGS - {"script", "style", "embed"})
 #: nothing and ultimately aborts the skip via the EOF check.
 _SKIP_TOKEN_RX = re.compile(
     r"<!--.*?-->"
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9:._-]*)"
-    r"((?:[^<>\"']|\"[^\"]*\"|'[^']*')*)>",
+    r"|<(/?)\s*([a-zA-Z][^\t\n\r\f />\x00]*)"
+    r"((?:[^<>\"'=]|(?>=[ \t\r\n]*\"[^\"]*\"|=[ \t\r\n]*'[^']*'|=))*)>",
     re.S)
 
 #: cheap candidate-end scan: same-tag depth only (6-ish events per region
@@ -284,8 +288,8 @@ _SKIP_TOKEN_RX = re.compile(
 _DROP_CAND_RX = {
     t: re.compile(
         rf"<!--.*?-->"
-        rf"|<(/?){t}(?=[\s/>])(?:[^<>\"']|\"[^\"]*\"|'[^']*')*>"
-        rf"|<(script|style)(?=[\s/>])(?:[^<>\"']|\"[^\"]*\"|'[^']*')*>",
+        rf"|<(/?){t}(?=[\s/>])(?:[^<>\"'=]|(?>=[ \t\r\n]*\"[^\"]*\"|=[ \t\r\n]*'[^']*'|=))*>"
+        rf"|<(script|style)(?=[\s/>])(?:[^<>\"'=]|(?>=[ \t\r\n]*\"[^\"]*\"|=[ \t\r\n]*'[^']*'|=))*>",
         re.I | re.S)
     for t in _DROP_SKIPPABLE
 }
@@ -307,7 +311,13 @@ def _candidate_end(text: str, pos: int, tag: str):
             return None
         scan = m.end()
         if m.group(2) is not None:
-            if not m.group(0).endswith("/>"):
+            # trailing '/' is usually part of an unquoted value (stdlib/
+            # HTML5), i.e. the script OPENS rawtext; ask the state machine
+            selfclose = False
+            if m.group(0).endswith("/>"):
+                _, _, selfclose = _scan_tag_end(
+                    text, m.start(2) + len(m.group(2)))
+            if not selfclose:
                 m3 = _RAWTEXT_END[m.group(2).lower()].search(text, scan)
                 if m3 is None:
                     return None
@@ -348,7 +358,11 @@ def _try_skip_subtree(text: str, pos: int, tag: str):
         else:
             rt = _RAWTEXT_END.get(name)
             if rt is not None:
-                if not m.group(3).endswith("/"):
+                selfclose = False
+                if m.group(3).endswith("/"):
+                    _, _, selfclose = _scan_tag_end(
+                        text, m.start(2) + len(name))
+                if not selfclose:
                     m3 = rt.search(text, scan)
                     if m3 is None:
                         return None

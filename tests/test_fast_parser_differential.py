@@ -86,11 +86,19 @@ from hypothesis import given, settings, strategies as st
 
 _soup_atoms = st.sampled_from([
     "<p>", "</p>", "<div>", "</div>", "<b>", "</b>", "<nav>", "</nav>",
-    "<script>", "</script>", "<style>", "</style>", "<li>", "<ul>", "</ul>",
-    "<a href='/x'>", "</a>", "<img src=y>", "<br>", "<!-- c -->", "<!--",
-    "<table><tr><td>", "</td></tr></table>", "&amp;", "&#65;", "&bogus;",
-    "text ", "< ", ">", "\"", "'", "\n", "  ", "é", "<P CLASS=Z>", "<p/>",
-    "<h1>", "</h1>", "<header>", "</header>", "<form>", "</form>",
+    "<header>", "</header>", "<form>", "</form>", "<svg>", "</svg>",
+    "<script>", "</script>", "</scripty>", "</ script>", "</script foo>",
+    "<script src=x/>", "<script/>", '<script src="x"/>', "<style/>",
+    "<style>", "</style>", "<table>", "</table>", "<tr>", "<td>", "</td>",
+    "<pre>", "</pre>", "<blockquote>", "</blockquote>", "<ol>", "<ul>",
+    "<li>", "</ul>", "<hr>", "<h1>", "</h1>", "<a href='/x'>", "</a>",
+    "<a href=https://x.com/>", "<img src=y>", "<img src=y/>", "<br/>",
+    "<!--", "-->", "<!-- c -->", "<![CDATA[x]]>", "<![CDATA[", "<![if x]>",
+    "<!DOCTYPE html>", "<?pi?>", "<?", "<!", '"', "'", "=", "/", "/>",
+    "text ", "< ", ">", "</td", "<p", "&amp;", "&#65;", "&bogus;", "&",
+    "<input type=text/>", "<select>", "</select>", "café  ",
+    "<P ALIGN=CENTER>", "<p class='a b'>", '<p data-x="1>2">', '="q>r"',
+    "<p =x>", "<a href=>", "</>", "</ >", "<p<p>", "<nav<x>", "<p/>",
 ])
 
 
