@@ -118,11 +118,19 @@ def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked driver query: the full decode plumbing (binary column
     → mapInPandas → width/height/feature batch) with the deterministic
     fake decoder, so DuckDB can recompute the identical md5-derived values
-    from the same bytes."""
+    from the same bytes.
+
+    The feature vector is flattened to scalar ``f0..f7`` DOUBLE columns for
+    the driver gate only (its pandas canonicalizer cannot sort/hash an
+    ``array<double>`` column — CORRECTNESS_r01 ``unhashable type: 'list'``);
+    real consumers use :func:`image_features_df`, which keeps the array."""
     from pyspark.sql import functions as F
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
-    return image_features_df(blobs, fake=True)
+    feats = image_features_df(blobs, fake=True)
+    return feats.select(
+        "doc_id", "width", "height",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(_FEATURE_DIM)])
 
 
 def _hexbyte(i: int) -> str:
@@ -134,8 +142,7 @@ IMAGE_FEATURES_ORACLE = f"""
 SELECT doc_id,
        CAST(64 + {_hexbyte(0)} AS INT) AS width,
        CAST(64 + {_hexbyte(1)} AS INT) AS height,
-       [{', '.join(f"{_hexbyte(i)} / 255.0" for i in range(2, 2 + _FEATURE_DIM))}]
-         AS feature
+       {', '.join(f"{_hexbyte(i + 2)} / 255.0 AS f{i}" for i in range(_FEATURE_DIM))}
 FROM documents
 """
 

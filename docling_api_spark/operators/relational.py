@@ -53,14 +53,18 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem l
 
 def metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group lineage rollup — the exact aggregation shape of the
-    engine's metrics table. DECIMAL sums: bit-identical regardless of
-    partitioning (float sums are not associative)."""
+    engine's metrics table. The sum runs in DECIMAL internally
+    (bit-identical regardless of partitioning; float sums are not
+    associative) and only the *output* is cast to a rounded DOUBLE: the
+    driver's hasher compares pandas frames, where Spark DECIMAL arrives
+    as ``decimal.Decimal`` objects but DuckDB DECIMAL arrives as
+    ``float64`` — identical values, different hash (CORRECTNESS_r01)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (ev.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.countDistinct("user_id").alias("n_users"),
-                 F.sum(F.col("value").cast("decimal(18,6)"))
-                  .cast("decimal(28,6)").alias("sum_value"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                          .cast("double"), 6).alias("sum_value"),
                  F.min("ts").alias("first_ts"),
                  F.max("ts").alias("last_ts")))
 
@@ -69,7 +73,8 @@ METRICS_ROLLUP_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value,
+       ROUND(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS sum_value,
        min(ts) AS first_ts,
        max(ts) AS last_ts
 FROM events
@@ -85,8 +90,8 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (ev.groupBy(F.window("ts", "1 hour"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum(F.col("value").cast("decimal(18,6)"))
-                  .cast("decimal(28,6)").alias("sum_value"))
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                          .cast("double"), 6).alias("sum_value"))
             .select(F.col("window.start").alias("win_start"),
                     "event_type", "n_events", "sum_value"))
 
@@ -95,7 +100,8 @@ WINDOWED_EVENT_COUNTS_ORACLE = """
 SELECT date_trunc('hour', ts) AS win_start,
        event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
+       ROUND(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -118,9 +124,13 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
+  -- CAST: DuckDB's windowed sum is HUGEINT, which pandas renders as
+  -- float64; Spark's is BIGINT/int64 — same values, different driver
+  -- hash (CORRECTNESS_r01). BIGINT on both sides.
   SELECT user_id, ts,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_idx
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_idx
   FROM g
 )
 SELECT user_id, session_idx,
