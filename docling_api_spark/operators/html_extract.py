@@ -169,7 +169,8 @@ _TOKEN_RX = re.compile(
 #: catch-all class excludes quote chars, so a quote can only match via a
 #: completed quoted pair; no alternative overlap ⇒ linear, never the
 #: exponential backtracking an ambiguous blob pattern has on truncated
-#: quote-heavy tags.
+#: quote-heavy tags. Possessive quantifiers/atomic groups require
+#: Python >= 3.11 (declared in pyproject.toml).
 _TAG_END_RX = re.compile(
     r"((?:[^<>\"'=]|(?>=[ \t\r\n]*\"[^\"]*\"|=[ \t\r\n]*'[^']*'|=))*+)(/?)>")
 
@@ -325,7 +326,18 @@ def _candidate_end(text: str, pos: int, tag: str):
             continue
         if m.group(1) is None:
             continue  # comment
-        depth += -1 if m.group(1) else 1
+        if m.group(1):
+            depth -= 1
+        else:
+            # same self-closing classification as _try_skip_subtree: a
+            # genuinely self-closing <nav/> must not add depth, and
+            # <nav a=b/> (slash is value data per HTML5) must
+            selfclose = False
+            if m.group(0).endswith("/>"):
+                _, _, selfclose = _scan_tag_end(
+                    text, m.start() + 1 + len(tag))
+            if not selfclose:
+                depth += 1
     return scan
 
 
@@ -356,19 +368,25 @@ def _try_skip_subtree(text: str, pos: int, tag: str):
             else:
                 return None  # closes an ancestor outside the region
         else:
+            selfclose = False
+            if m.group(3).endswith("/"):
+                # '/' ending an unquoted attribute VALUE is data, not a
+                # self-close (HTML5) — classify with the same state
+                # machine the tree-builder path uses, else a nested
+                # same-name tag like <nav a=b/> is wrongly treated as
+                # self-closing, the region ends at the wrong </nav>, and
+                # boilerplate text leaks into the extraction output
+                _, _, selfclose = _scan_tag_end(
+                    text, m.start(2) + len(name))
             rt = _RAWTEXT_END.get(name)
             if rt is not None:
-                selfclose = False
-                if m.group(3).endswith("/"):
-                    _, _, selfclose = _scan_tag_end(
-                        text, m.start(2) + len(name))
                 if not selfclose:
                     m3 = rt.search(text, scan)
                     if m3 is None:
                         return None
                     scan = m3.end()
                 continue
-            if name not in VOID_TAGS and not m.group(3).endswith("/"):
+            if name not in VOID_TAGS and not selfclose:
                 stack.append(name)
     return scan
 

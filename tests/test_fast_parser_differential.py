@@ -47,6 +47,14 @@ ADVERSARIAL = [
     "<aside>unclosed aside swallows<p>this",
     "<p>a<nav/>self-closing drop</p>",
     "<svg><rect width='5'/><circle/></svg><p>keep</p>",
+    # round-2 advisor finding: a nested same-name tag whose unquoted attr
+    # value ends in '/' is NOT self-closing (HTML5) — the skip path must
+    # classify it with _scan_tag_end or the region ends at the wrong
+    # close tag and boilerplate text leaks
+    "<body><nav><nav a=b/></nav>LEAK?</nav><p>keep</p></body>",
+    "<nav><aside x=1/>inner</aside>boiler</nav><p>keep</p>",
+    "<nav><nav/>genuinely self-closing</nav><p>keep</p>",
+    "<header><form action=/submit/>f</form>h</header><p>keep</p>",
 ]
 
 
@@ -99,6 +107,7 @@ _soup_atoms = st.sampled_from([
     "<input type=text/>", "<select>", "</select>", "café  ",
     "<P ALIGN=CENTER>", "<p class='a b'>", '<p data-x="1>2">', '="q>r"',
     "<p =x>", "<a href=>", "</>", "</ >", "<p<p>", "<nav<x>", "<p/>",
+    "<nav a=b/>", "<nav/>", "<aside x=1/>", "</aside>", "<form action=/s/>",
 ])
 
 
