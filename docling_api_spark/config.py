@@ -35,8 +35,17 @@ class ExtractConfig:
     emit_spans: bool = True
 
     # scale mechanics
-    num_partitions: int = 64          # salted repartition width
+    num_partitions: int = 64          # manifest width / salted repartition width
     max_batch_rows: int = 64          # arrow maxRecordsPerBatch guidance (big docs)
+    #: how the resume/lineage partition_id is derived (PLANS.md §1):
+    #: - "file" (default, scale-safe): hash of the input file name — the
+    #:   binary html column NEVER crosses an exchange; extraction is pure
+    #:   map-side. Rows without file provenance (synthesized inputs) fall
+    #:   back to the url hash. Resume assumes the same input files.
+    #: - "salted": hash of the url + an explicit repartition — opt-in for
+    #:   pathologically skewed input layouts (one giant unsplittable file),
+    #:   at the cost of shuffling the full page bytes once (~2x measured).
+    partition_mode: str = "file"
 
     # boilerplate-strip heuristics (pure integer ratios; §7.3 determinism)
     link_density_num: int = 2         # drop container if link_chars*DEN >= total*NUM
@@ -50,3 +59,5 @@ class ExtractConfig:
         if not (1 <= self.image_resolution_scale <= 4):
             # FastAPI Query(4, ge=1, le=4) — route.py:28
             raise ValueError("image_resolution_scale must be in [1, 4]")
+        if self.partition_mode not in ("file", "salted"):
+            raise ValueError("partition_mode must be 'file' or 'salted'")

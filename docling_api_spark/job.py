@@ -19,9 +19,14 @@ rewritten idempotently (dynamic partition overwrite). Per-partition
 lineage/metrics land next to the output (``<output>_manifest``,
 ``<output>_metrics``).
 
-On a real cluster, size ``--partitions`` to ~2-4x total executor cores and
-let AQE handle stragglers; the salted key (``pmod(xxhash64(url), P)``)
-spreads hot hosts uniformly.
+On a real cluster, size ``--partitions`` to the resume granularity you
+want (it is the manifest width, not the task count). The default
+``--partition-mode file`` keys the manifest on input files and runs the
+whole job as ONE map stage — the page bytes never cross an exchange;
+``--partition-mode salted`` (``pmod(xxhash64(url), P)`` + repartition)
+is the opt-in for pathologically skewed input layouts, and there size
+``--partitions`` to ~2-4x total executor cores and let AQE handle
+stragglers.
 
 This replaces the reference's whole service surface (FastAPI endpoints +
 Celery queue + Redis backend — ``main.py``, ``worker/celery_config.py:5-11``,
@@ -54,7 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run-id", required=True,
                    help="resume key: same run-id skips completed partitions")
     p.add_argument("--partitions", type=int, default=256,
-                   help="salted repartition width (default 256)")
+                   help="manifest width / resume granularity (default 256)")
+    p.add_argument("--partition-mode", choices=("file", "salted"),
+                   default="file",
+                   help="file: no-shuffle map-only job keyed on input "
+                        "files (default); salted: url-hash repartition "
+                        "for skewed input layouts")
     p.add_argument("--format", choices=("parquet", "iceberg"),
                    default="parquet")
     p.add_argument("--no-resume", action="store_true",
@@ -75,6 +85,7 @@ def main(argv: list[str] | None = None) -> None:
              .getOrCreate())
     cfg = ExtractConfig(
         num_partitions=args.partitions,
+        partition_mode=args.partition_mode,
         extract_tables_as_images=args.extract_tables_as_images,
         image_resolution_scale=args.image_resolution_scale)
     pages = read_pages(spark, args.input, storage=args.format,

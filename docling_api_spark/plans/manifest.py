@@ -58,7 +58,13 @@ def manifest_status(spark: SparkSession, manifest_path: str,
                     run_id: str, num_partitions: int) -> str:
     """Job-status poll over the manifest — replaces
     ``get_single_document_task_result`` (``service.py:151-173``):
-    all partitions done → SUCCESS, some → IN_PROGRESS, none → PENDING."""
+    all partitions done → SUCCESS, some → IN_PROGRESS, none → PENDING.
+
+    ``num_partitions`` is the expected id count: the config's P in salted
+    mode (every id 0..P-1 occurs for non-trivial inputs); in file mode
+    the input may map to fewer ids, so pass the input's distinct
+    partition_id count (``add_partition_id(input, P, 'file')`` → distinct)
+    when polling a file-keyed run."""
     done = read_done_partitions(spark, manifest_path, run_id)
     n = 0 if done is None else done.count()
     if n >= num_partitions:

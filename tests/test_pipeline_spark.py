@@ -81,23 +81,24 @@ def test_partition_id_stable(spark, pages):
     assert sorted(map(tuple, df1.collect())) == sorted(map(tuple, df2.collect()))
 
 
-def test_run_and_resume(spark, pages, tmp_path):
-    """Kill-after-K test (SURVEY.md §5.2 item 5): first run fails on 3 of 8
-    partitions (injected), resume recomputes exactly those, final output is
-    byte-equal to a single-shot run."""
+@pytest.mark.parametrize("mode", ["file", "salted"])
+def test_run_and_resume(spark, pages, tmp_path, mode):
+    """Kill-after-K test (SURVEY.md §5.2 item 5), in BOTH partition modes:
+    first run fails on 3 of 8 partitions (injected), resume recomputes
+    exactly those, final output is byte-equal to a single-shot run."""
+    cfg = ExtractConfig(num_partitions=8, partition_mode=mode)
     out_a = str(tmp_path / "single_shot")
-    res_a = run_extraction(spark, pages, out_a, "runA", CFG, resume=False)
+    res_a = run_extraction(spark, pages, out_a, "runA", cfg, resume=False)
     assert res_a.partitions_computed == 8
 
     out_b = str(tmp_path / "resumed")
-    fail_cfg = ExtractConfig(num_partitions=8,
+    fail_cfg = ExtractConfig(num_partitions=8, partition_mode=mode,
                              fail_partitions=frozenset({5, 6, 7}))
     with pytest.raises(Exception):
         run_extraction(spark, pages, out_b, "runB", fail_cfg, resume=True)
     # simulate the partial commit a killed cluster run leaves behind:
     # write only the completed partitions' results + manifest rows
-    ok_cfg = ExtractConfig(num_partitions=8)
-    partial = (extract_df(pages, ok_cfg)
+    partial = (extract_df(pages, cfg)
                .where(~F.col("partition_id").isin([5, 6, 7])))
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     partial.write.mode("overwrite").partitionBy("partition_id").parquet(out_b)
@@ -105,10 +106,68 @@ def test_run_and_resume(spark, pages, tmp_path):
                 partial.select("partition_id").distinct().collect()]
     mf.append_manifest(spark, out_b + "_manifest", "runB", done_ids)
 
-    res_b = run_extraction(spark, pages, out_b, "runB", ok_cfg, resume=True)
+    res_b = run_extraction(spark, pages, out_b, "runB", cfg, resume=True)
     assert res_b.partitions_computed == 8 - len(done_ids)
     assert mf.manifest_status(spark, out_b + "_manifest", "runB", 8) == "SUCCESS"
 
+    a = sorted((r.url, str(r.warc_ts), r.markdown, r.error)
+               for r in spark.read.parquet(out_a).collect())
+    b = sorted((r.url, str(r.warc_ts), r.markdown, r.error)
+               for r in spark.read.parquet(out_b).collect())
+    assert a == b
+
+
+def _plan_str(df) -> str:
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_file_mode_no_shuffle_plan(spark, pages, tmp_path):
+    """The scale contract of the default mode: extraction is ONE map stage —
+    no Exchange anywhere in the plan (at 100 TB a pre-extraction shuffle
+    moves 100 TB of page bytes)."""
+    inp = str(tmp_path / "pages_in")
+    pages.repartition(4).write.mode("overwrite").parquet(inp)
+    fpages = spark.read.parquet(inp)
+    plan = _plan_str(extract_df(fpages, ExtractConfig(num_partitions=8)))
+    assert "Exchange" not in plan, plan
+    # salted mode keeps its (opt-in) repartition
+    salted = extract_df(fpages, ExtractConfig(num_partitions=8,
+                                              partition_mode="salted"))
+    assert "Exchange" in _plan_str(salted)
+
+
+def test_file_mode_resume_file_keyed(spark, pages, tmp_path):
+    """Resume with file-keyed ids on a real file-backed input: kill-after-K
+    simulated by a partial commit; the resumed run recomputes exactly the
+    missing ids and the final output is byte-equal to a single shot."""
+    inp = str(tmp_path / "pages_files")
+    pages.repartition(4).write.mode("overwrite").parquet(inp)
+    fpages = spark.read.parquet(inp)
+    cfg = ExtractConfig(num_partitions=8)  # partition_mode="file" default
+
+    out_a = str(tmp_path / "fs_single")
+    res_a = run_extraction(spark, fpages, out_a, "runF", cfg, resume=False)
+    all_ids = sorted(r.partition_id for r in spark.read.parquet(out_a)
+                     .select("partition_id").distinct().collect())
+    assert res_a.partitions_computed == len(all_ids)
+    assert 1 <= len(all_ids) <= 8  # 4 files -> <=4 distinct file-hash ids
+    assert len(all_ids) > 1
+
+    # partial commit: half the ids done, manifest records them
+    done_ids = all_ids[: len(all_ids) // 2]
+    out_b = str(tmp_path / "fs_resumed")
+    partial = (extract_df(fpages, cfg)
+               .where(F.col("partition_id").isin(done_ids)))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    partial.write.mode("overwrite").partitionBy("partition_id").parquet(out_b)
+    mf.append_manifest(spark, out_b + "_manifest", "runF", done_ids)
+
+    res_b = run_extraction(spark, fpages, out_b, "runF", cfg, resume=True)
+    assert res_b.partitions_computed == len(all_ids) - len(done_ids)
     a = sorted((r.url, str(r.warc_ts), r.markdown, r.error)
                for r in spark.read.parquet(out_a).collect())
     b = sorted((r.url, str(r.warc_ts), r.markdown, r.error)
@@ -159,4 +218,7 @@ def test_job_cli_main(spark, tmp_path):
               "--run-id", "t-cli", "--partitions", "8"])
     got = spark.read.parquet(out)
     assert got.count() == 100
-    assert spark.read.parquet(out + "_manifest").count() == 8
+    # file mode: one manifest row per distinct file-hash id (the input here
+    # is a handful of parquet files, so fewer than the width of 8)
+    n_ids = got.select("partition_id").distinct().count()
+    assert spark.read.parquet(out + "_manifest").count() == n_ids
