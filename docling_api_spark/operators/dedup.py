@@ -189,9 +189,73 @@ FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set jaccard for adjacent doc_id pairs — the exact-verify stage
-    a near-dup pipeline runs on LSH candidates."""
+    in isolation (kept as a micro-oracle of the jaccard arithmetic; the
+    real pipeline wiring is :func:`dedup_near_pipeline`)."""
     _docs(spark, sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_jaccard_sql("spark"))
 
 
 NGRAM_JACCARD_ORACLE = _jaccard_sql("duck")
+
+
+# ------------------------------------------- end-to-end near-dup pipeline
+
+#: verified near-duplicate threshold on exact token-set jaccard
+NEAR_DUP_THRESHOLD = 0.8
+
+
+def dedup_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline: MinHash-LSH candidates → exact token-set
+    jaccard verification → threshold → confirmed duplicate pairs.
+
+    Plan shape at scale: every stage is keyed — band equi-join for
+    candidates, then two hash joins on doc_id to attach the (deduplicated)
+    token arrays, then a map-side jaccard + filter. Candidate cardinality,
+    not corpus cardinality, drives the verify cost — the reason LSH feeds
+    this stage instead of the O(n²) all-pairs jaccard."""
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    t = spark.sql(
+        f"SELECT doc_id, array_distinct({X.tokens('spark')}) AS t "
+        f"FROM documents")
+    a = t.select(F.col("doc_id").alias("left_id"), F.col("t").alias("lt"))
+    b = t.select(F.col("doc_id").alias("right_id"), F.col("t").alias("rt"))
+    j = (cand.join(a, "left_id").join(b, "right_id")
+         .withColumn("inter",
+                     F.expr("size(filter(lt, x -> array_contains(rt, x)))"))
+         .withColumn("jaccard",
+                     F.round(F.col("inter") /
+                             (F.size("lt") + F.size("rt") - F.col("inter"))
+                             .cast("double"), 4)))
+    return (j.where(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+            .select("left_id", "right_id", "jaccard"))
+
+
+DEDUP_NEAR_ORACLE = f"""
+WITH sig AS ({_sig_select('duck')}),
+bands AS (
+  SELECT doc_id, b.band_idx, b.band_key
+  FROM sig, UNNEST([
+    {', '.join(f"{{'band_idx': {b}, 'band_key': {_band_expr('duck', b)}}}"
+               for b in range(N_BANDS))}
+  ]) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+t AS (SELECT doc_id, list_distinct({X.tokens('duck')}) AS t FROM documents),
+j AS (
+  SELECT c.left_id, c.right_id,
+         len(list_filter(a.t, x -> list_contains(b.t, x))) AS inter,
+         len(a.t) AS la, len(b.t) AS lb
+  FROM cand c
+  JOIN t a ON a.doc_id = c.left_id
+  JOIN t b ON b.doc_id = c.right_id
+)
+SELECT left_id, right_id,
+       ROUND(inter / CAST(la + lb - inter AS DOUBLE), 4) AS jaccard
+FROM j
+WHERE ROUND(inter / CAST(la + lb - inter AS DOUBLE), 4) >= {NEAR_DUP_THRESHOLD}
+"""

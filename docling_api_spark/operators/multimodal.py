@@ -147,6 +147,81 @@ FROM documents
 """
 
 
+# ------------------------------------------------------- image header meta
+
+IMAGE_META_DDL = ("url string, img_fmt string, width int, height int, "
+                  "n_bytes bigint")
+
+
+def parse_image_header(b: bytes):
+    """(format, width, height) from container headers alone — PNG IHDR,
+    GIF screen descriptor, JPEG SOF scan. Pure stdlib byte peeking: no
+    decoder needed, so IMAGE inputs yield real metadata even though OCR/
+    rasterization are env-scoped out (narrows SURVEY Table C gap #1
+    without faking capability). Returns (None, None, None) if unknown."""
+    if b.startswith(b"\x89PNG\r\n\x1a\n") and len(b) >= 24:
+        return ("png", int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"))
+    if b.startswith((b"GIF87a", b"GIF89a")) and len(b) >= 10:
+        return ("gif", int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"))
+    if b.startswith(b"\xff\xd8\xff"):
+        i = 2
+        while i + 9 < len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            seglen = int.from_bytes(b[i + 2:i + 4], "big")
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                return ("jpeg", int.from_bytes(b[i + 7:i + 9], "big"),
+                        int.from_bytes(b[i + 5:i + 7], "big"))
+            i += 2 + seglen
+        return ("jpeg", None, None)
+    return (None, None, None)
+
+
+def _image_meta_batches(batches):
+    for pdf in batches:
+        fmts, ws, hs, nb = [], [], [], []
+        for b in pdf["html"]:
+            raw = bytes(b) if b is not None else b""
+            f, w, h = parse_image_header(raw)
+            fmts.append(f); ws.append(w); hs.append(h); nb.append(len(raw))
+        yield pd.DataFrame({
+            "url": pdf["url"],
+            "img_fmt": pd.Series(fmts, dtype="object", index=pdf.index),
+            "width": pd.Series(ws, dtype="Int32", index=pdf.index),
+            "height": pd.Series(hs, dtype="Int32", index=pdf.index),
+            "n_bytes": pd.Series(nb, dtype="int64", index=pdf.index),
+        })
+
+
+def image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE-input metadata rows (the bounded-honesty path for OCR-less
+    environments): deterministic PNG/GIF fixtures flow through the header
+    parser; the oracle reconstructs format/dims/bytes from the generation
+    rule (sources.pages.with_fixture_images)."""
+    from pyspark.sql import functions as F
+    from ..sources.pages import pages_from_documents, with_fixture_images
+    pages = with_fixture_images(pages_from_documents(spark, sf_dir))
+    imgs = pages.where(F.col("url").endswith(".png")
+                       | F.col("url").endswith(".gif")) \
+        .select("url", "html")
+    return imgs.mapInPandas(_image_meta_batches, IMAGE_META_DDL)
+
+
+IMAGE_METADATA_ORACLE = """
+SELECT
+  'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
+    || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0 THEN '.png' ELSE '.gif' END AS url,
+  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS img_fmt,
+  CAST(16 + doc_id % 64 AS INT) AS width,
+  CAST(16 + doc_id % 32 AS INT) AS height,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 45 ELSE 14 END AS BIGINT) AS n_bytes
+FROM documents
+WHERE doc_id % 10 = 6
+"""
+
+
 # ----------------------------------------------------- resize / frame-sample
 
 RESIZED_DDL = ("doc_id bigint, out_w int, out_h int, n_bytes_out bigint, "

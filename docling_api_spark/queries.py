@@ -94,6 +94,159 @@ WHERE doc_id % 10 = 4
 """
 
 
+def _url_sql(ext: str) -> str:
+    return ("'https://site' || CAST(doc_id % 97 AS VARCHAR) "
+            "|| '.example/doc/' || CAST(doc_id AS VARCHAR) "
+            f"|| '{ext}'")
+
+
+#: text paragraph block — empty/whitespace-only text emits no block in
+#: every extractor (docx strips runs, pptx skips empty bullets, adoc's
+#: normalizer drops blank lines), mirroring the PDF oracle's CASE
+_TEXT_BLOCK = ("CASE WHEN length(trim(text)) > 0 "
+               "THEN chr(10) || chr(10) || {expr} ELSE '' END")
+
+
+def extract_docx_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX path, value-checked end-to-end: deterministic ZIP+XML fixtures
+    (ooxml_write) extracted by the stdlib OOXML reader (ooxml.extract_docx);
+    the oracle reconstructs the expected markdown from the generation rule
+    (heading + paragraph + bullets + table — reference capability
+    utils.py:26)."""
+    from .sources.pages import with_fixture_ooxml
+    pages = with_fixture_ooxml(pages_from_documents(spark, sf_dir))
+    out = extract_df(pages.where(F.col("url").endswith(".docx")), _CFG)
+    return out.select("url", "fmt", "markdown", "error")
+
+
+EXTRACT_DOCX_ORACLE = f"""
+SELECT
+  {_url_sql('.docx')} AS url,
+  'docx' AS fmt,
+  '# Doc ' || CAST(doc_id AS VARCHAR)
+    || {_TEXT_BLOCK.format(expr='text')}
+    || chr(10) || chr(10) || '- item one of doc '
+    || CAST(doc_id AS VARCHAR) || chr(10) || '- item two'
+    || chr(10) || chr(10) || '| k | v |' || chr(10)
+    || '| --- | --- |' || chr(10)
+    || '| id | ' || CAST(doc_id AS VARCHAR) || ' |' || chr(10)
+    || '| lang | ' || lang || ' |' AS markdown,
+  CAST(NULL AS VARCHAR) AS error
+FROM documents
+WHERE doc_id % 10 = 2
+"""
+
+
+def extract_pptx_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPTX path, value-checked end-to-end: two-slide fixtures (title
+    placeholder + body bullets with indent levels) — reference capability
+    utils.py:27."""
+    from .sources.pages import with_fixture_ooxml
+    pages = with_fixture_ooxml(pages_from_documents(spark, sf_dir))
+    out = extract_df(pages.where(F.col("url").endswith(".pptx")), _CFG)
+    return out.select("url", "fmt", "markdown", "error")
+
+
+EXTRACT_PPTX_ORACLE = f"""
+SELECT
+  {_url_sql('.pptx')} AS url,
+  'pptx' AS fmt,
+  '## Doc ' || CAST(doc_id AS VARCHAR)
+    || {_TEXT_BLOCK.format(expr="'- ' || text")}
+    || chr(10) || chr(10) || '## Summary ' || CAST(doc_id AS VARCHAR)
+    || chr(10) || chr(10) || '- point one of doc '
+    || CAST(doc_id AS VARCHAR) || chr(10) || '  - point two' AS markdown,
+  CAST(NULL AS VARCHAR) AS error
+FROM documents
+WHERE doc_id % 10 = 9
+"""
+
+
+def extract_adoc_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AsciiDoc path, value-checked end-to-end: heading/ulist/olist fixture
+    grammar through asciidoc_to_markdown — reference capability
+    utils.py:32."""
+    from .sources.pages import with_fixture_ooxml
+    pages = with_fixture_ooxml(pages_from_documents(spark, sf_dir))
+    out = extract_df(pages.where(F.col("url").endswith(".adoc")), _CFG)
+    return out.select("url", "fmt", "markdown", "error")
+
+
+EXTRACT_ADOC_ORACLE = f"""
+SELECT
+  {_url_sql('.adoc')} AS url,
+  'asciidoc' AS fmt,
+  '# Doc ' || CAST(doc_id AS VARCHAR)
+    || {_TEXT_BLOCK.format(expr='text')}
+    || chr(10) || chr(10) || '- item one of doc '
+    || CAST(doc_id AS VARCHAR) || chr(10) || '- item two'
+    || chr(10) || chr(10) || '1. first' || chr(10) || '1. second'
+    AS markdown,
+  CAST(NULL AS VARCHAR) AS error
+FROM documents
+WHERE doc_id % 10 = 3
+"""
+
+
+def extract_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A12 image-manifest contract, driver-gated per image row
+    (reference ``_process_document_images``, service.py:41-66):
+    - each ``<img>`` yields a picture-N.png manifest entry whose payload is
+      the base64 of the source ref bytes (env-scoped stand-in for the
+      rasterized PNG — SURVEY.md Table C);
+    - the markdown rewrite replaces, per picture in order, the FIRST
+      remaining placeholder (service.py:61);
+    - with extract_tables_as_images, tables join the manifest but are
+      NEVER substituted into the markdown (service.py:53-56 quirk) —
+      payload empty-flagged (no rasterizer in env).
+    The markdown column rides along so both quirks are value-hashed."""
+    from .sources.pages import pages_with_images
+    pages = pages_with_images(spark, sf_dir)
+    cfg = ExtractConfig(num_partitions=32, extract_tables_as_images=True)
+    out = extract_df(pages, cfg)
+    ex = out.select("url", "markdown",
+                    F.posexplode("images").alias("seq", "img"))
+    return ex.select(
+        "url", F.col("seq").cast("int").alias("seq"),
+        F.col("img.type").alias("img_type"),
+        F.col("img.filename").alias("filename"),
+        F.col("img.image").alias("payload"),
+        "markdown")
+
+
+EXTRACT_IMAGES_ORACLE = """
+WITH md AS (
+  SELECT doc_id,
+    'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
+      || CAST(doc_id AS VARCHAR) || '.html' AS url,
+    '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+      || 'picture-1.png '
+      || CASE WHEN length(trim(text)) > 0 THEN text || ' ' ELSE '' END
+      || 'picture-2.png'
+      || CASE WHEN doc_id % 5 = 0
+              THEN chr(10) || chr(10) || '| k | v |' || chr(10)
+                   || '| --- | --- |' || chr(10)
+                   || '| id | ' || CAST(doc_id AS VARCHAR) || ' |' || chr(10)
+                   || '| lang | ' || lang || ' |'
+              ELSE '' END AS markdown
+  FROM documents
+)
+SELECT url, CAST(0 AS INT) AS seq, 'picture' AS img_type,
+       'picture-1.png' AS filename,
+       to_base64(encode('pic-' || CAST(doc_id AS VARCHAR) || '-a.png'))
+         AS payload, markdown
+FROM md
+UNION ALL
+SELECT url, CAST(1 AS INT), 'picture', 'picture-2.png',
+       to_base64(encode('pic-' || CAST(doc_id AS VARCHAR) || '-b.png')),
+       markdown
+FROM md
+UNION ALL
+SELECT url, CAST(2 AS INT), 'table', 'table-1.png', '', markdown
+FROM md WHERE doc_id % 5 = 0
+"""
+
+
 def span_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-offset plumbing check: per url, the span count and the total
     covered length must equal what the generation rule implies (covered =
@@ -140,12 +293,85 @@ FROM base
 """
 
 
+def span_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-span VALUE check (start, end, kind, ref exploded per url) — the
+    oracle recomputes every offset from the generation rule with length
+    arithmetic, so span *positions*, not just totals (span_summary), are
+    driver-gated."""
+    pages = pages_from_documents(spark, sf_dir)
+    out = extract_df(pages, _CFG)
+    ex = out.select("url", F.posexplode("spans").alias("seq", "s"))
+    return ex.select(
+        "url", F.col("seq").cast("int").alias("seq"),
+        F.col("s.start").cast("long").alias("span_start"),
+        F.col("s.end").cast("long").alias("span_end"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.ref").alias("ref"))
+
+
+SPAN_DETAIL_ORACLE = """
+WITH b AS (
+  SELECT doc_id, lang, text,
+    'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
+      || CAST(doc_id AS VARCHAR)
+      || CASE WHEN doc_id % 10 = 7 THEN '.md' ELSE '.html' END AS url,
+    doc_id % 10 = 7 AS is_md,
+    '# Doc ' || CAST(doc_id AS VARCHAR) AS h,
+    CASE WHEN doc_id % 10 <> 7 AND doc_id % 3 = 0
+         THEN '- item one of doc ' || CAST(doc_id AS VARCHAR)
+              || chr(10) || '- item two' END AS lst,
+    CASE WHEN doc_id % 10 <> 7 AND doc_id % 5 = 0
+         THEN '| k | v |' || chr(10) || '| --- | --- |' || chr(10)
+              || '| id | ' || CAST(doc_id AS VARCHAR) || ' |' || chr(10)
+              || '| lang | ' || lang || ' |' END AS tb
+  FROM documents
+),
+o AS (
+  SELECT *,
+    length(h) AS hend,
+    length(h) + 2 + length(text) AS pend
+  FROM b
+)
+SELECT url, CAST(0 AS INT) AS seq, CAST(0 AS BIGINT) AS span_start,
+       CAST(hend AS BIGINT) AS span_end, 'heading' AS kind,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS ref
+FROM o WHERE NOT is_md
+UNION ALL
+SELECT url, CAST(1 AS INT), CAST(hend + 2 AS BIGINT),
+       CAST(pend AS BIGINT), 'paragraph', ''
+FROM o WHERE NOT is_md
+UNION ALL
+SELECT url, CAST(2 AS INT), CAST(pend + 2 AS BIGINT),
+       CAST(pend + 2 + length(lst) AS BIGINT), 'list', ''
+FROM o WHERE NOT is_md AND lst IS NOT NULL
+UNION ALL
+SELECT url,
+       CAST(CASE WHEN lst IS NOT NULL THEN 3 ELSE 2 END AS INT),
+       CAST(CASE WHEN lst IS NOT NULL
+                 THEN pend + 4 + length(lst) ELSE pend + 2 END AS BIGINT),
+       CAST(CASE WHEN lst IS NOT NULL
+                 THEN pend + 4 + length(lst) ELSE pend + 2 END
+            + length(tb) AS BIGINT),
+       'table', ''
+FROM o WHERE NOT is_md AND tb IS NOT NULL
+UNION ALL
+SELECT url, CAST(0 AS INT), CAST(0 AS BIGINT),
+       CAST(length(h) + 2 + length(text) AS BIGINT), 'document', 'md'
+FROM o WHERE is_md
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship extraction (SQL-reconstructed golden oracle)
         "extract_markdown": extract_markdown,
         "extract_pdf_markdown": extract_pdf_markdown,
+        "extract_docx_markdown": extract_docx_markdown,
+        "extract_pptx_markdown": extract_pptx_markdown,
+        "extract_adoc_markdown": extract_adoc_markdown,
+        "extract_images": extract_images,
         "span_summary": span_summary,
+        "span_detail": span_detail,
         "format_distribution": format_distribution,
         # engine mechanics as relational ops (SURVEY.md Table B)
         "dedup_window_latest": relational.latest_event_per_user,
@@ -159,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "simhash": dedup.simhash,
         "ngram_jaccard": dedup.ngram_jaccard,
+        "dedup_near_pipeline": dedup.dedup_near_pipeline,
         # text analysis
         "token_counts": text_stats.token_counts,
         "quality_scores": text_stats.quality_scores,
@@ -172,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal binary plumbing
         "media_metadata": multimodal.media_metadata,
         "image_features": multimodal.image_features,
+        "image_metadata": multimodal.image_metadata,
     }
 
 
@@ -179,7 +407,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_markdown": EXTRACT_MARKDOWN_ORACLE,
         "extract_pdf_markdown": EXTRACT_PDF_ORACLE,
+        "extract_docx_markdown": EXTRACT_DOCX_ORACLE,
+        "extract_pptx_markdown": EXTRACT_PPTX_ORACLE,
+        "extract_adoc_markdown": EXTRACT_ADOC_ORACLE,
+        "extract_images": EXTRACT_IMAGES_ORACLE,
         "span_summary": SPAN_SUMMARY_ORACLE,
+        "span_detail": SPAN_DETAIL_ORACLE,
         "format_distribution": FORMAT_DISTRIBUTION_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,
@@ -191,6 +424,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": dedup.DEDUP_MINHASH_LSH_ORACLE,
         "simhash": dedup.SIMHASH_ORACLE,
         "ngram_jaccard": dedup.NGRAM_JACCARD_ORACLE,
+        "dedup_near_pipeline": dedup.DEDUP_NEAR_ORACLE,
         "token_counts": text_stats.TOKEN_COUNTS_ORACLE,
         "quality_scores": text_stats.QUALITY_ORACLE,
         "lang_id": text_stats.LANG_ID_ORACLE,
@@ -201,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": similarity.DEDUP_EMBEDDING_ORACLE,
         "media_metadata": multimodal.MEDIA_METADATA_ORACLE,
         "image_features": multimodal.IMAGE_FEATURES_ORACLE,
+        "image_metadata": multimodal.IMAGE_METADATA_ORACLE,
     }
 
 

@@ -138,6 +138,159 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
     )
 
 
+def pages_with_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → pages whose HTML carries ``<img>`` tags (and a
+    table on every 5th doc), for oracle-gating the image-manifest quirks
+    (reference ``_process_document_images``, ``service.py:41-66``):
+    per-picture base64 payload + first-remaining-placeholder rewrite
+    (``service.py:61``), and tables collected but NEVER substituted into
+    the markdown (``service.py:53-56``). Pure column expressions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    para = F.coalesce(F.col("text"), F.lit(""))
+    sid = i.cast("string")
+    tbl = F.when(
+        i % 5 == 0,
+        F.concat(
+            F.lit("<table><tr><th>k</th><th>v</th></tr><tr><td>id</td><td>"),
+            sid,
+            F.lit("</td></tr><tr><td>lang</td><td>"), F.col("lang"),
+            F.lit("</td></tr></table>"))).otherwise(F.lit(""))
+    html_str = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>t</title></head><body>"
+              + _CHROME_NAV + "<main><h1>"),
+        F.lit("Doc "), sid,
+        F.lit("</h1><p><img src=\"pic-"), sid, F.lit("-a.png\"> "),
+        para,
+        F.lit(" <img src=\"pic-"), sid, F.lit("-b.png\"></p>"),
+        tbl,
+        F.lit("</main>" + _CHROME_FOOTER + "</body></html>"))
+    return docs.select(
+        F.concat(F.lit("https://site"), (i % 97).cast("string"),
+                 F.lit(".example/doc/"), sid, F.lit(".html")).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_S) + (i % 86400)).alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        para.alias("text"),
+        F.col("lang"),
+    )
+
+
+def with_fixture_ooxml(pages: DataFrame, docx_mod: int = 2,
+                       pptx_mod: int = 9, adoc_mod: int = 3) -> DataFrame:
+    """Replace docs with ``doc_id % 10 == docx_mod/pptx_mod/adoc_mod`` by
+    deterministic DOCX / PPTX / AsciiDoc fixtures (generation rules below —
+    each reconstructable in SQL, so the driver's DuckDB gate value-checks
+    the OOXML and adoc extraction paths end-to-end; reference capability:
+    ``utils.py:26-32``).
+
+    - DOCX:  Heading1 'Doc i' + text paragraph + 2 bullets + k/v table
+    - PPTX:  slide1(title 'Doc i', bullet text) +
+             slide2(title 'Summary i', bullets lvl0/lvl1)
+    - ADOC:  '= Doc i' + text + '* item...'x2 + '. first' '. second'
+
+    mapInPandas (Python) — corpus *materialization*, not for a timed
+    region. Deterministic: bytes are a pure function of (doc_id, text,
+    lang)."""
+    import pandas as pd
+
+    from ..operators.ooxml_write import write_docx, write_pptx
+
+    def rewrite(batches):
+        for pdf in batches:
+            urls = pdf["url"].tolist()
+            htmls = pdf["html"].tolist()
+            for j, url in enumerate(urls):
+                if not url.endswith(".html"):
+                    continue
+                stem = url.rsplit("/", 1)[-1]
+                i = int(stem.split(".")[0])
+                text = pdf["text"].iat[j] or ""
+                lang = pdf["lang"].iat[j] or ""
+                if i % 10 == docx_mod:
+                    htmls[j] = write_docx(
+                        f"Doc {i}", text,
+                        [f"item one of doc {i}", "item two"],
+                        [["k", "v"], ["id", str(i)], ["lang", lang]])
+                    ext = ".docx"
+                elif i % 10 == pptx_mod:
+                    htmls[j] = write_pptx([
+                        (f"Doc {i}", [(0, text)]),
+                        (f"Summary {i}",
+                         [(0, f"point one of doc {i}"), (1, "point two")]),
+                    ])
+                    ext = ".pptx"
+                elif i % 10 == adoc_mod:
+                    htmls[j] = (
+                        f"= Doc {i}\n\n{text}\n\n"
+                        f"* item one of doc {i}\n* item two\n\n"
+                        f". first\n. second\n").encode("utf-8")
+                    ext = ".adoc"
+                else:
+                    continue
+                urls[j] = url[: -len(".html")] + ext
+            out = pdf.copy()
+            out["url"] = pd.Series(urls, index=pdf.index)
+            out["html"] = pd.Series(htmls, index=pdf.index, dtype="object")
+            yield out
+
+    return pages.mapInPandas(
+        rewrite, "url string, warc_ts timestamp, html binary, "
+                 "text string, lang string")
+
+
+def with_fixture_images(pages: DataFrame, every_mod: int = 6) -> DataFrame:
+    """Replace docs with ``doc_id % 10 == every_mod`` by minimal-but-real
+    image bytes (valid PNG sig+IHDR+IEND / GIF header+trailer), for the
+    IMAGE-input metadata path: width = 16 + i%64, height = 16 + i%32,
+    PNG when i is even (45 bytes) else GIF (14 bytes). The conversion path
+    still yields ``error='ocr_not_supported'`` for these rows (OCR is
+    env-scoped out); the metadata query parses headers only."""
+    import struct
+    import zlib
+
+    import pandas as pd
+
+    def png_bytes(w: int, h: int) -> bytes:
+        ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        chunk = b"IHDR" + ihdr
+        return (b"\x89PNG\r\n\x1a\n"
+                + struct.pack(">I", 13) + chunk
+                + struct.pack(">I", zlib.crc32(chunk))
+                + struct.pack(">I", 0) + b"IEND"
+                + struct.pack(">I", zlib.crc32(b"IEND")))
+
+    def gif_bytes(w: int, h: int) -> bytes:
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00;"
+
+    def rewrite(batches):
+        for pdf in batches:
+            urls = pdf["url"].tolist()
+            htmls = pdf["html"].tolist()
+            for j, url in enumerate(urls):
+                if not url.endswith(".html"):
+                    continue
+                stem = url.rsplit("/", 1)[-1]
+                i = int(stem.split(".")[0])
+                if i % 10 != every_mod:
+                    continue
+                w, h = 16 + i % 64, 16 + i % 32
+                if i % 2 == 0:
+                    htmls[j] = png_bytes(w, h)
+                    ext = ".png"
+                else:
+                    htmls[j] = gif_bytes(w, h)
+                    ext = ".gif"
+                urls[j] = url[: -len(".html")] + ext
+            out = pdf.copy()
+            out["url"] = pd.Series(urls, index=pdf.index)
+            out["html"] = pd.Series(htmls, index=pdf.index, dtype="object")
+            yield out
+
+    return pages.mapInPandas(
+        rewrite, "url string, warc_ts timestamp, html binary, "
+                 "text string, lang string")
+
+
 def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
     """Replace docs with ``doc_id % 10 == every_mod`` by fixture-grammar
     PDFs (``pdf_write``), so a corpus exercises the PDF extraction path
