@@ -82,6 +82,27 @@ MINHASH_SIG_ORACLE = _sig_select("duck")
 N_BANDS = 4  # bands of 2 rows each over the 8 signatures
 
 
+def lsh_params_for(threshold: float, max_sigs: int = 256) -> tuple[int, int]:
+    """Size (n_sigs, n_bands) for a target jaccard threshold: with b bands
+    of r rows the LSH S-curve midpoint is ~(1/b)^(1/r); pick the (b, r)
+    under ``max_sigs`` total signatures whose midpoint is closest to the
+    target. The module defaults (8 sigs, 4 bands of 2 rows → midpoint
+    ~0.5) are calibrated to the 500-row testdata; a production near-dup
+    run at ~0.85 gets e.g. (128 sigs, 16 bands of 8 rows). Signature cost
+    is linear in n_sigs and shuffle volume linear in n_bands — size to the
+    corpus, not to a constant."""
+    best, best_err = (8, 4), float("inf")
+    for r in range(1, 33):
+        for b in range(1, max_sigs + 1):
+            if b * r > max_sigs:
+                break
+            mid = (1.0 / b) ** (1.0 / r)
+            err = abs(mid - threshold)
+            if err < best_err:
+                best, best_err = (b * r, b), err
+    return best
+
+
 def _band_expr(dialect: str, b: int) -> str:
     a, c = 2 * b, 2 * b + 1
     if dialect == "spark":

@@ -6,11 +6,29 @@ Two paths, mirroring what a 100 TB pipeline needs:
   (small) query set, JVM-side ``zip_with``/``aggregate`` dot products, one
   window for top-k. O(Q·N) but embarrassingly parallel and shuffle-free up
   to the final per-query top-k.
-- **sign-LSH bucketed ANN** — the scale path: 4 deterministic ±1
-  hyperplanes (literal weights inlined into both engines' SQL) hash every
-  vector to a 4-bit bucket; candidates are same-bucket only, so the join is
-  an equi-join on bucket — at 1000 executors this is a hash-partitioned
-  join, never a cross join.
+- **sign-LSH bucketed ANN** — the scale path: ``AnnConfig.n_planes``
+  deterministic ±1 hyperplanes (literal weights inlined into both engines'
+  SQL) hash every vector to a bucket; candidates are same-bucket only, so
+  the join is an equi-join on bucket — at 1000 executors this is a
+  hash-partitioned join, never a cross join.
+
+Scale parameterization (:class:`AnnConfig`) — the recall/cost trade:
+
+- ``n_planes`` controls bucket count (2^planes). Expected bucket size is
+  N/2^planes, and the within-bucket join is quadratic — so planes must
+  grow with the corpus: ``AnnConfig.for_corpus(N)`` sizes
+  ``planes = ceil(log2(N / target_bucket))`` (e.g. 10^12 vectors,
+  4096/bucket → 28 planes → 268M buckets). Small fixed plane counts are a
+  scale-killer: at 4 planes each bucket is ~N/16 and the join blows up.
+- ``n_probes`` (multi-probe) recovers the recall lost to more planes:
+  each query also searches the buckets at Hamming distance 1 from its own
+  (flip one sign bit), trading ``n_probes`` × candidate cost for recall —
+  cheaper than halving the plane count, which would *square* bucket size.
+- ``bucket_cap`` bounds the candidate side per bucket (deterministic
+  row_number cap), so one pathological hot bucket (all-zero embeddings,
+  spam clusters) cannot go quadratic regardless of the data.
+- ``n_cells`` (IVF) follows the k ≈ √N rule: ``for_corpus`` sizes it as
+  ``ceil(sqrt(N))`` capped to keep the centroid table broadcastable.
 
 Cosine math is done in double with identical fold order in both engines;
 outputs round to 4 decimals.
@@ -18,14 +36,46 @@ outputs round to 4 decimals.
 
 from __future__ import annotations
 
+import math
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import textsql as X
 
 N_QUERIES = 10
 TOP_K = 5
-N_PLANES = 4
 DIM = 64
+
+
+@dataclass(frozen=True)
+class AnnConfig:
+    """Scale knobs for the bucketed ANN paths. Defaults are calibrated to
+    the 500-row testdata (so the driver-gated queries have non-trivial
+    buckets); production sizes come from :meth:`for_corpus`."""
+
+    n_planes: int = 4       # sign-LSH hyperplanes -> 2^n_planes buckets
+    n_probes: int = 2       # multi-probe: own bucket + (n_probes-1) 1-bit flips
+    bucket_cap: int | None = None   # max candidates per bucket (None = uncapped)
+    n_cells: int = 8        # IVF cell count
+    dim: int = DIM
+
+    @classmethod
+    def for_corpus(cls, n_vectors: int, target_bucket: int = 4096,
+                   n_probes: int = 4, bucket_cap: int = 65536,
+                   dim: int = DIM) -> "AnnConfig":
+        """Size the index to a corpus: planes ∝ log2(N/target_bucket) so
+        expected bucket size stays ~target_bucket; cells ≈ √N (capped at
+        2^20 so the inlined centroid table stays broadcastable); a hard
+        per-bucket cap as the skew backstop."""
+        n_planes = max(1, math.ceil(math.log2(max(2, n_vectors)
+                                              / target_bucket)))
+        n_cells = min(1 << 20, max(1, math.ceil(math.sqrt(n_vectors))))
+        return cls(n_planes=n_planes, n_probes=n_probes,
+                   bucket_cap=bucket_cap, n_cells=n_cells, dim=dim)
+
+
+DEFAULT_ANN = AnnConfig()
 
 
 def _view(spark: SparkSession, sf_dir: str) -> None:
@@ -76,8 +126,8 @@ COSINE_TOPK_ORACLE = _topk_sql("duck")
 
 # ------------------------------------------------------------- sign-LSH ANN
 
-def _bucket_expr(dialect: str, vec: str) -> str:
-    planes = X.hyperplanes(N_PLANES, DIM)
+def _bucket_expr(dialect: str, vec: str, cfg: AnnConfig) -> str:
+    planes = X.hyperplanes(cfg.n_planes, cfg.dim)
     bits = []
     for p, w in enumerate(planes):
         wlit = X.array_lit(dialect, [float(x) for x in w])
@@ -91,27 +141,57 @@ def _bucket_expr(dialect: str, vec: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-def _ann_sql(dialect: str) -> str:
+def _probe_list(dialect: str, cfg: AnnConfig) -> str:
+    """Multi-probe keys: own bucket + the buckets at Hamming distance 1
+    (one sign bit flipped), deterministically ordered by bit index. The
+    masks are distinct, so a candidate pair is found at most once —
+    no dedup pass needed."""
+    masks = [0] + [1 << j for j in range(cfg.n_planes)]
+    masks = masks[: max(1, cfg.n_probes)]
+    if dialect == "spark":
+        items = ", ".join(f"bucket ^ {m}" if m else "bucket" for m in masks)
+        return f"array({items})"
+    items = ", ".join(f"xor(bucket, {m})" if m else "bucket" for m in masks)
+    return f"[{items}]"
+
+
+def _ann_sql(dialect: str, cfg: AnnConfig = DEFAULT_ANN) -> str:
     cos = _cos(dialect, "q.embedding", "c.embedding")
-    bucket = _bucket_expr(dialect, "embedding")
+    bucket = _bucket_expr(dialect, "embedding", cfg)
+    probes = _probe_list(dialect, cfg)
+    unnest = "explode" if dialect == "spark" else "unnest"
+    if cfg.bucket_cap is None:
+        cand = "SELECT vec_id, embedding, bucket FROM b"
+    else:
+        # deterministic per-bucket candidate cap — the skew backstop: one
+        # hot bucket can no longer go quadratic
+        cand = f"""SELECT vec_id, embedding, bucket FROM (
+      SELECT vec_id, embedding, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS brn
+      FROM b) cb WHERE brn <= {cfg.bucket_cap}"""
+    qp = (f"SELECT vec_id, embedding, {unnest}({probes}) AS probe "
+          f"FROM b WHERE vec_id < {N_QUERIES}")
     return f"""
-WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+c AS ({cand}),
+qp AS ({qp})
 SELECT qid, nid, cos_sim FROM (
   SELECT q.vec_id AS qid, c.vec_id AS nid,
          ROUND({cos}, 4) AS cos_sim,
          row_number() OVER (PARTITION BY q.vec_id
                             ORDER BY {cos} DESC, c.vec_id) AS rn
-  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-  WHERE q.vec_id < {N_QUERIES}
+  FROM qp q JOIN c ON q.probe = c.bucket AND q.vec_id <> c.vec_id
 ) r WHERE rn <= {TOP_K}
 """
 
 
-def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: candidates restricted to the same sign-LSH
-    bucket (equi-join on the 4-bit bucket key)."""
+def ann_lsh(spark: SparkSession, sf_dir: str,
+            cfg: AnnConfig = DEFAULT_ANN) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket plus its (n_probes-1) Hamming-1 neighbors — every probe is
+    still an equi-join on the bucket key."""
     _view(spark, sf_dir)
-    return spark.sql(_ann_sql("spark"))
+    return spark.sql(_ann_sql("spark", cfg))
 
 
 ANN_LSH_ORACLE = _ann_sql("duck")
@@ -124,11 +204,14 @@ ANN_LSH_ORACLE = _ann_sql("duck")
 NEAR_DUP_COS = 0.35
 
 
-def _embedding_dedup_sql(dialect: str) -> str:
+def _embedding_dedup_sql(dialect: str, cfg: AnnConfig = DEFAULT_ANN) -> str:
     # staged: norm once per VECTOR (not per pair), cosine once per PAIR
     # (dot/(na*nb) in a named column, filtered and rounded from that) —
-    # same anti-duplication discipline as textsql.shingles_from
-    bucket = _bucket_expr(dialect, "embedding")
+    # same anti-duplication discipline as textsql.shingles_from.
+    # Single-bucket by design (n_probes does not apply): pair dedup wants
+    # each pair found exactly once; probing would find (a,b) from both
+    # sides. bucket_cap still applies as the skew backstop.
+    bucket = _bucket_expr(dialect, "embedding", cfg)
     if dialect == "spark":
         nrm = ("sqrt(aggregate(embedding, 0D, (acc, x) -> "
                "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
@@ -140,12 +223,20 @@ def _embedding_dedup_sql(dialect: str) -> str:
                "CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
         dot = ("list_sum(list_transform(list_zip(a.embedding, b.embedding), "
                "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+    if cfg.bucket_cap is None:
+        cand = "bv"
+    else:
+        cand = f"""(SELECT vec_id, embedding, nrm, bucket FROM (
+      SELECT vec_id, embedding, nrm, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS brn
+      FROM bv) cb WHERE brn <= {cfg.bucket_cap})"""
     return f"""
-WITH b AS (SELECT vec_id, embedding, {nrm} AS nrm, {bucket} AS bucket
-           FROM embeddings),
+WITH bv AS (SELECT vec_id, embedding, {nrm} AS nrm, {bucket} AS bucket
+            FROM embeddings),
 p AS (SELECT a.vec_id AS left_id, b.vec_id AS right_id,
              {dot} / (a.nrm * b.nrm) AS cos
-      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      FROM {cand} a JOIN {cand} b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT left_id, right_id, ROUND(cos, 4) AS cos_sim
 FROM p WHERE cos >= {NEAR_DUP_COS}
 """
@@ -167,11 +258,8 @@ def _centroids(k: int, dim: int) -> list[list[float]]:
     return cents
 
 
-N_CELLS = 8
-
-
-def _ivf_sql(dialect: str) -> str:
-    cents = _centroids(N_CELLS, DIM)
+def _ivf_sql(dialect: str, cfg: AnnConfig = DEFAULT_ANN) -> str:
+    cents = _centroids(cfg.n_cells, cfg.dim)
     wlits = ", ".join(X.array_lit(dialect, c) for c in cents)
     if dialect == "spark":
         dots = (f"transform(array({wlits}), w -> "
@@ -210,26 +298,30 @@ SELECT qid, nid, cos_sim FROM (
 """
 
 
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate top-k: vectors assigned to the nearest of 8
-    deterministic centroids (argmax dot), candidates restricted to the same
-    cell. At scale the cell assignment is a projection and the candidate
-    join hash-partitions on cell — the canonical IVF probe=1 plan."""
+def ann_ivf(spark: SparkSession, sf_dir: str,
+            cfg: AnnConfig = DEFAULT_ANN) -> DataFrame:
+    """IVF-style approximate top-k: vectors assigned to the nearest of
+    ``cfg.n_cells`` deterministic centroids (argmax dot), candidates
+    restricted to the same cell. At scale the cell assignment is a
+    projection and the candidate join hash-partitions on cell — the
+    canonical IVF probe=1 plan; size cells ≈ √N via AnnConfig.for_corpus."""
     _view(spark, sf_dir)
-    return spark.sql(_ivf_sql("spark"))
+    return spark.sql(_ivf_sql("spark", cfg))
 
 
 ANN_IVF_ORACLE = _ivf_sql("duck")
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
+                           cfg: AnnConfig = DEFAULT_ANN) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the fifth dedup strategy
     (exact / minhash-LSH / simhash / jaccard / embedding). Candidates are
     same-sign-LSH-bucket only, so the plan is an equi-join on the bucket
     key followed by a cosine filter: at 1000 executors the join hash-
-    partitions on bucket and the O(n²) stays within buckets."""
+    partitions on bucket and the O(n²) stays within buckets (bounded by
+    cfg.bucket_cap)."""
     _view(spark, sf_dir)
-    return spark.sql(_embedding_dedup_sql("spark"))
+    return spark.sql(_embedding_dedup_sql("spark", cfg))
 
 
 DEDUP_EMBEDDING_ORACLE = _embedding_dedup_sql("duck")

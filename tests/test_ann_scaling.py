@@ -1,0 +1,102 @@
+"""Scale-parameterization tests for the ANN/LSH paths (VERDICT r1 item 5):
+bucket cardinality must grow with the config, the per-bucket cap must
+bound candidates, non-default configs must keep Spark/DuckDB parity, and
+the corpus-sizing helpers must produce sane production shapes."""
+
+import duckdb
+import pytest
+
+from docling_api_spark.operators import similarity as S
+from docling_api_spark.operators.dedup import lsh_params_for
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/embeddings.parquet')")
+    yield con
+
+
+def test_for_corpus_sizing():
+    cfg = S.AnnConfig.for_corpus(10**12)
+    # 10^12 vectors / 4096 per bucket -> ~2.4e8 buckets -> 28 planes
+    assert cfg.n_planes == 28
+    assert cfg.n_cells == 10**6          # sqrt(N); under the 2^20 cap
+    assert cfg.bucket_cap == 65536
+    small = S.AnnConfig.for_corpus(10_000)
+    assert small.n_planes < cfg.n_planes
+    assert small.n_cells == 100
+
+
+def test_bucket_cardinality_grows_with_planes(duck):
+    counts = {}
+    for planes in (2, 4, 6):
+        cfg = S.AnnConfig(n_planes=planes)
+        expr = S._bucket_expr("duck", "embedding", cfg)
+        counts[planes] = duck.sql(
+            f"SELECT count(DISTINCT {expr}) FROM embeddings").fetchone()[0]
+    assert counts[2] <= counts[4] <= counts[6]
+    assert counts[6] > counts[2]  # strictly more buckets at higher planes
+    assert counts[2] <= 4 and counts[6] <= 64
+
+
+def test_bucket_cap_bounds_candidates(duck):
+    cfg = S.AnnConfig(n_planes=2, n_probes=1, bucket_cap=3)
+    # candidate CTE of the capped plan: no bucket may exceed the cap
+    sql = S._ann_sql("duck", cfg)
+    rows = duck.sql(
+        "WITH " + sql.split("WITH", 1)[1].split("SELECT qid", 1)[0]
+        + "SELECT bucket, count(*) AS n FROM c GROUP BY 1").fetchall()
+    assert rows and all(n <= 3 for _, n in rows)
+    # uncapped for contrast: at 2 planes the 500 vectors exceed 3/bucket
+    sql_un = S._ann_sql("duck", S.AnnConfig(n_planes=2, n_probes=1))
+    rows_un = duck.sql(
+        "WITH " + sql_un.split("WITH", 1)[1].split("SELECT qid", 1)[0]
+        + "SELECT bucket, count(*) AS n FROM c GROUP BY 1").fetchall()
+    assert max(n for _, n in rows_un) > 3
+
+
+@pytest.mark.parametrize("cfg", [
+    S.AnnConfig(n_planes=3, n_probes=3, bucket_cap=50),
+    S.AnnConfig(n_planes=5, n_probes=1, bucket_cap=None),
+])
+def test_nondefault_config_parity(spark, duck, cfg):
+    """The Spark and DuckDB SQL generators stay value-identical at
+    non-default configs (the driver gate only exercises the default)."""
+    S._view(spark, SF_DIR)
+    srows = sorted(tuple(r) for r in
+                   spark.sql(S._ann_sql("spark", cfg)).collect())
+    drows = sorted(map(tuple, duck.sql(S._ann_sql("duck", cfg)).fetchall()))
+    assert srows == drows
+    assert len(srows) > 0
+
+
+def test_multiprobe_recall_at_least_single_probe(spark):
+    """Probing Hamming-1 buckets can only widen the candidate set, so
+    multi-probe top-k similarity per query is >= single-probe."""
+    S._view(spark, SF_DIR)
+    one = spark.sql(S._ann_sql(
+        "spark", S.AnnConfig(n_planes=4, n_probes=1))).collect()
+    multi = spark.sql(S._ann_sql(
+        "spark", S.AnnConfig(n_planes=4, n_probes=4))).collect()
+    best1 = {r.qid: max(x.cos_sim for x in one if x.qid == r.qid)
+             for r in one}
+    bestm = {r.qid: max(x.cos_sim for x in multi if x.qid == r.qid)
+             for r in multi}
+    assert set(best1) <= set(bestm)
+    assert all(bestm[q] >= best1[q] for q in best1)
+
+
+def test_lsh_params_for_threshold():
+    n_sigs, n_bands = lsh_params_for(0.85)
+    r = n_sigs // n_bands
+    mid = (1.0 / n_bands) ** (1.0 / r)
+    assert n_sigs <= 256 and n_sigs == n_bands * r
+    assert abs(mid - 0.85) < 0.02
+    # lower threshold -> a lower S-curve midpoint (more permissive index)
+    lo_sigs, lo_bands = lsh_params_for(0.4)
+    lo_r = lo_sigs // lo_bands
+    assert (1.0 / lo_bands) ** (1.0 / lo_r) < mid
