@@ -77,6 +77,51 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_ORACLE = _quality_sql("duck")
 
 
+# ------------------------------------------------------------ quality filter
+
+def _quality_filter_sql(dialect: str) -> str:
+    """The retention decision a training-data pipeline actually ships
+    (C4/Gopher-style): exact-dup canonicalization + length + token-shape
+    + stopword-density gates composed into keep/drop with a reason code.
+    All-integer comparisons (no float thresholds), so both engines decide
+    identically. One shuffle total: the md5 dedup window; every other
+    gate is a map-side column expression."""
+    toks = X.tokens(dialect)
+    sw = X.array_lit(dialect, X.EN_STOPWORDS)
+    if dialect == "spark":
+        n_tok = f"size({toks})"
+        n_stop = f"size(filter(tk, t -> array_contains({sw}, t)))"
+    else:
+        n_tok = f"len({toks})"
+        n_stop = f"len(list_filter(tk, t -> list_contains({sw}, t)))"
+    return f"""
+SELECT doc_id,
+  CASE WHEN doc_id <> canonical_id THEN 'duplicate'
+       WHEN n_tok < 10 THEN 'too_short'
+       WHEN length(text) > 12 * n_tok THEN 'long_tokens'
+       WHEN n_stop * 50 < n_tok THEN 'low_stopword'
+       ELSE '' END AS drop_reason,
+  (doc_id = canonical_id AND n_tok >= 10
+   AND length(text) <= 12 * n_tok AND n_stop * 50 >= n_tok) AS keep
+FROM (
+  SELECT doc_id, text, n_tok, n_stop,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+  FROM (
+    SELECT doc_id, text, {n_tok} AS n_tok, {n_stop} AS n_stop
+    FROM (SELECT doc_id, text, {toks} AS tk FROM documents) t0
+  ) t1
+) t2
+"""
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_quality_filter_sql("spark"))
+
+
+QUALITY_FILTER_ORACLE = _quality_filter_sql("duck")
+
+
 # ---------------------------------------------------------------- lang id
 
 def _lang_id_sql(dialect: str) -> str:

@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "token_counts": text_stats.token_counts,
         "quality_scores": text_stats.quality_scores,
+        "quality_filter": text_stats.quality_filter,
         "lang_id": text_stats.lang_id,
         "fingerprints": text_stats.fingerprints,
         # similarity search
@@ -427,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_pipeline": dedup.DEDUP_NEAR_ORACLE,
         "token_counts": text_stats.TOKEN_COUNTS_ORACLE,
         "quality_scores": text_stats.QUALITY_ORACLE,
+        "quality_filter": text_stats.QUALITY_FILTER_ORACLE,
         "lang_id": text_stats.LANG_ID_ORACLE,
         "fingerprints": text_stats.FINGERPRINT_ORACLE,
         "cosine_topk": similarity.COSINE_TOPK_ORACLE,
