@@ -8,7 +8,8 @@ Default mode: runs the headline extraction job plus every registered query at
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``value`` is the wall-clock seconds of the flagship end-to-end extraction
-(scan -> salted repartition -> mapInPandas HTML/PDF->Markdown -> noop sink);
+(scan -> mapInPandas HTML/PDF->Markdown -> noop sink; zero shuffles in the
+default file-keyed partition mode — PLANS.md §1);
 ``docs_per_sec`` carries the BASELINE.json headline metric.
 
 ``--scaling`` mode: reruns the flagship job in fresh JVM subprocesses at two
