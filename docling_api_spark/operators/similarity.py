@@ -58,6 +58,7 @@ class AnnConfig:
     n_probes: int = 2       # multi-probe: own bucket + (n_probes-1) 1-bit flips
     bucket_cap: int | None = None   # max candidates per bucket (None = uncapped)
     n_cells: int = 8        # IVF cell count
+    n_ivf_probes: int = 2   # IVF nprobe: query searches its top-p cells
     dim: int = DIM
 
     @classmethod
@@ -258,9 +259,12 @@ def _centroids(k: int, dim: int) -> list[list[float]]:
     return cents
 
 
-def _ivf_sql(dialect: str, cfg: AnnConfig = DEFAULT_ANN) -> str:
-    cents = _centroids(cfg.n_cells, cfg.dim)
+def _ivf_sql(dialect: str, cfg: AnnConfig = DEFAULT_ANN,
+             centroids: list[list[float]] | None = None) -> str:
+    cents = centroids or _centroids(cfg.n_cells, cfg.dim)
+    k = len(cents)
     wlits = ", ".join(X.array_lit(dialect, c) for c in cents)
+    nprobe = max(1, min(cfg.n_ivf_probes, k))
     if dialect == "spark":
         dots = (f"transform(array({wlits}), w -> "
                 f"aggregate(zip_with(embedding, w, (x, y) -> "
@@ -271,6 +275,12 @@ def _ivf_sql(dialect: str, cfg: AnnConfig = DEFAULT_ANN) -> str:
         dot = ("aggregate(zip_with(q.embedding, c.embedding, (x, y) -> "
                "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, "
                "(acc, v) -> acc + v)")
+        # query probes: explode (cell idx, centroid dot), rank by dot —
+        # top-nprobe cells per query, tie-broken by cell index
+        probe_src = (f"SELECT vec_id, embedding, nrm, "
+                     f"posexplode(dots) AS (i0, cd) "
+                     f"FROM d WHERE vec_id < {N_QUERIES}")
+        probe_idx = "i0 + 1"
     else:
         dots = (f"list_transform([{wlits}], w -> "
                 f"list_sum(list_transform(list_zip(embedding, w), p -> "
@@ -280,20 +290,34 @@ def _ivf_sql(dialect: str, cfg: AnnConfig = DEFAULT_ANN) -> str:
                "CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
         dot = ("list_sum(list_transform(list_zip(q.embedding, c.embedding), "
                "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+        idxlit = "[" + ", ".join(str(i) for i in range(1, k + 1)) + "]"
+        # parallel unnests zip in DuckDB
+        probe_src = (f"SELECT vec_id, embedding, nrm, "
+                     f"unnest(dots) AS cd, unnest({idxlit}) AS i1 "
+                     f"FROM d WHERE vec_id < {N_QUERIES}")
+        probe_idx = "i1"
     # staged: dots once per vector -> cell id; norms once per vector;
-    # candidate join is an equi-join on cell
+    # candidate join is an equi-join on cell; queries probe their
+    # top-nprobe cells (recall knob, same join shape)
     return f"""
 WITH d AS (SELECT vec_id, embedding, {nrm} AS nrm, {dots} AS dots
            FROM embeddings),
-b AS (SELECT vec_id, embedding, nrm, {cell} AS cell FROM d)
+b AS (SELECT vec_id, embedding, nrm, {cell} AS cell FROM d),
+qp AS (
+  SELECT vec_id, embedding, nrm, probe FROM (
+    SELECT vec_id, embedding, nrm, {probe_idx} AS probe,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, {probe_idx}) AS prn
+    FROM ({probe_src}) ps
+  ) pr WHERE prn <= {nprobe}
+)
 SELECT qid, nid, cos_sim FROM (
   SELECT q.vec_id AS qid, c.vec_id AS nid,
          ROUND({dot} / (q.nrm * c.nrm), 4) AS cos_sim,
          row_number() OVER (PARTITION BY q.vec_id
                             ORDER BY {dot} / (q.nrm * c.nrm) DESC, c.vec_id)
            AS rn
-  FROM b q JOIN b c ON q.cell = c.cell AND q.vec_id <> c.vec_id
-  WHERE q.vec_id < {N_QUERIES}
+  FROM qp q JOIN b c ON q.probe = c.cell AND q.vec_id <> c.vec_id
 ) r WHERE rn <= {TOP_K}
 """
 
@@ -301,15 +325,87 @@ SELECT qid, nid, cos_sim FROM (
 def ann_ivf(spark: SparkSession, sf_dir: str,
             cfg: AnnConfig = DEFAULT_ANN) -> DataFrame:
     """IVF-style approximate top-k: vectors assigned to the nearest of
-    ``cfg.n_cells`` deterministic centroids (argmax dot), candidates
-    restricted to the same cell. At scale the cell assignment is a
-    projection and the candidate join hash-partitions on cell — the
-    canonical IVF probe=1 plan; size cells ≈ √N via AnnConfig.for_corpus."""
+    ``cfg.n_cells`` deterministic centroids (argmax dot); each query
+    searches its top-``n_ivf_probes`` cells (the IVF nprobe recall knob).
+    At scale the cell assignment is a projection and the candidate join
+    hash-partitions on cell — the canonical IVF plan; size cells ≈ √N via
+    AnnConfig.for_corpus; learned centroids come from
+    :func:`ivf_train` (k-means)."""
     _view(spark, sf_dir)
     return spark.sql(_ivf_sql("spark", cfg))
 
 
 ANN_IVF_ORACLE = _ivf_sql("duck")
+
+
+# ----------------------------------------------------- learned IVF (k-means)
+
+def ivf_train(embeddings: DataFrame, k: int = 8, iters: int = 3,
+              dim: int = DIM) -> list[list[float]]:
+    """Deterministic distributed Lloyd's k-means — the 'learned centroids'
+    an IVF index really uses (the md5 pseudo-centroids above only pin the
+    plan shape for the SQL oracle).
+
+    Spark shape per iteration (the canonical MLlib pattern):
+    - **broadcast the model, not the data**: centroids are inlined as
+      literal arrays into a JVM-side argmin projection (k·dim doubles —
+      trivially broadcastable at any corpus size);
+    - **assign** = map-side argmin of squared distance (staged: the
+      distance array is a named column computed once per row);
+    - **update** = explode dims → groupBy (cell, dim) → one shuffle of
+      k·dim·P partial sums, aggregated as DECIMAL so the result is
+      bit-identical regardless of partitioning (float addition is not
+      associative — a double `avg` here would make training
+      nondeterministic across cluster sizes);
+    - collect k·dim aggregates to the driver (the MODEL, never the data).
+
+    Init = the k lowest vec_ids' vectors (deterministic). Empty cells
+    keep their previous centroid."""
+    from pyspark.sql import functions as F
+
+    init = (embeddings.orderBy("vec_id").limit(k)
+            .select("embedding").collect())
+    cents = [[float(x) for x in r.embedding] for r in init]
+    for _ in range(iters):
+        wlits = ", ".join(
+            "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in cents)
+        d2 = (f"transform(array({wlits}), w -> "
+              f"aggregate(zip_with(embedding, w, (x, y) -> "
+              f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, "
+              f"(acc, v) -> acc + v))")
+        assigned = (embeddings
+                    .withColumn("d2", F.expr(d2))
+                    .withColumn("cell", F.expr(
+                        "array_position(d2, array_min(d2))"))
+                    .select("cell", "embedding"))
+        upd = (assigned
+               .select("cell", F.posexplode("embedding").alias("i", "x"))
+               .groupBy("cell", "i")
+               .agg(F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
+                    F.count(F.lit(1)).alias("n"))
+               .collect())
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cell.setdefault(int(r.cell) - 1, {})[int(r.i)] = \
+                float(r.s) / int(r.n)
+        cents = [
+            [by_cell[c][i] for i in range(dim)] if c in by_cell else cents[c]
+            for c in range(k)
+        ]
+    return cents
+
+
+def ann_ivf_trained(spark: SparkSession, sf_dir: str,
+                    cfg: AnnConfig = DEFAULT_ANN) -> DataFrame:
+    """IVF top-k over k-means-learned centroids: train (iterative — not
+    SQL-expressible, so this query has no DuckDB oracle and the driver
+    records the rows-only check), then run the exact same probe/join plan
+    as :func:`ann_ivf` with the learned model inlined. Deterministic end
+    to end: decimal-aggregated training + fixed init."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_train(emb, k=cfg.n_cells, iters=2, dim=cfg.dim)
+    _view(spark, sf_dir)
+    return spark.sql(_ivf_sql("spark", cfg, centroids=cents))
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,

@@ -396,6 +396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": similarity.cosine_topk,
         "ann_lsh": similarity.ann_lsh,
         "ann_ivf": similarity.ann_ivf,
+        # iterative k-means training feeds this one — not SQL-expressible,
+        # so it has NO oracle_sql() entry by design (driver: rows-only)
+        "ann_ivf_trained": similarity.ann_ivf_trained,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         # multimodal binary plumbing
         "media_metadata": multimodal.media_metadata,

@@ -90,6 +90,20 @@ def test_multiprobe_recall_at_least_single_probe(spark):
     assert all(bestm[q] >= best1[q] for q in best1)
 
 
+def test_ivf_train_deterministic_across_partitioning(spark):
+    """k-means must be bit-identical regardless of partitioning — the
+    decimal partial-sum aggregation is what makes a cluster-size change
+    not change the model (float sums are not associative)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    c1 = S.ivf_train(emb.repartition(2), k=4, iters=2)
+    c2 = S.ivf_train(emb.repartition(7), k=4, iters=2)
+    assert c1 == c2
+    # training actually moves the centroids off the init vectors
+    init = [[float(x) for x in r.embedding]
+            for r in emb.orderBy("vec_id").limit(4).collect()]
+    assert c1 != init
+
+
 def test_lsh_params_for_threshold():
     n_sigs, n_bands = lsh_params_for(0.85)
     r = n_sigs // n_bands

@@ -45,6 +45,12 @@ def _rows(cols, data):
 QUERY_NAMES = sorted(entrymod.queries().keys())
 
 
+#: queries whose computation is iterative / not SQL-expressible — the
+#: driver records a rows-only check for these; here we check determinism
+#: (two runs, identical rows) instead of a DuckDB twin
+NON_SQL_QUERIES = {"ann_ivf_trained"}
+
+
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, duck, name):
     q = entrymod.queries()[name]
@@ -53,6 +59,12 @@ def test_query_matches_oracle(spark, duck, name):
     srows = [tuple(r) for r in sdf.collect()]
 
     oracle = entrymod.oracle_sql().get(name)
+    if name in NON_SQL_QUERIES:
+        assert oracle is None
+        assert len(srows) > 0
+        again = _rows(scols, [tuple(r) for r in q(spark, SF_DIR).collect()])
+        assert _rows(scols, srows) == again, f"{name}: nondeterministic"
+        return
     assert oracle is not None, f"{name}: no oracle registered"
     res = duck.sql(oracle)
     dcols = res.columns
