@@ -23,6 +23,16 @@ PAGES_SCHEMA = T.StructType([
     T.StructField("lang", T.StringType(), True),
 ])
 
+#: driver testdata events table (streaming sources need a declared schema)
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
 IMAGE_STRUCT = T.StructType([
     T.StructField("type", T.StringType(), True),      # 'table' | 'picture' (schema.py:6)
     T.StructField("filename", T.StringType(), True),  # table-{i}.png / picture-{i}.png (service.py:55,59)
