@@ -49,8 +49,10 @@ def _session(cpus: int):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 1 KB bench pages: 1024-row Arrow batches amortize per-batch
         # transport (+40% at local[32]); on real CC data size this by
-        # expected page bytes (ExtractConfig.max_batch_rows guidance)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # expected page bytes (ExtractConfig.max_batch_rows guidance).
+        # Overridable for A/B probes via SPARK_GRAFT_ARROW_BATCH.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"))
         # local shuffle is page-cache-fast; lz4 costs more than it saves
         .config("spark.shuffle.compress", "false")
         # the bench corpus is many small parquet files; default 128 MB split

@@ -7,7 +7,8 @@ over a Parquet/Iceberg table of Common-Crawl-style pages
 ``(url string, warc_ts timestamp, html binary, text string, lang string)``
 that runs Arrow-vectorized ``mapInPandas`` extractors (no per-row Python UDFs)
 producing deterministic Markdown + images manifest + per-span offsets + error
-rows, with salted repartitioning, per-partition lineage/metrics, and
+rows, with a zero-shuffle file-keyed default plan (salted repartitioning
+as the opt-in for skewed layouts), per-partition lineage/metrics, and
 manifest-based idempotent resume.
 
 Layout:

@@ -35,8 +35,9 @@ def run_extraction_streaming(spark: SparkSession, input_path: str,
 
     Re-running with the same checkpoint processes only files added since
     the last run (idempotent incremental extraction). ``foreachBatch``
-    reuses the exact batch plan (salted repartition + mapInPandas), so
-    streaming and batch outputs are row-identical for the same input.
+    reuses the exact batch plan (``extract_df`` — zero-shuffle in the
+    default file-keyed mode), so streaming and batch outputs are
+    row-identical for the same input.
     """
     stream = (spark.readStream.schema(PAGES_SCHEMA)
               .option("maxFilesPerTrigger", 64)
