@@ -1,7 +1,7 @@
 """Deduplication operators over the ``documents`` table — the
 training-data-pipeline layer on top of the extraction engine.
 
-Five strategies, each a ``queries()`` entry with a DuckDB oracle:
+Six entries, each a ``queries()`` entry with a DuckDB oracle:
 
 - **exact**: md5 of the raw text, canonicalized to the min doc_id per group
   (one hash-shuffle; at 100 TB this is the classic hash-groupBy dedup —
@@ -14,8 +14,10 @@ Five strategies, each a ``queries()`` entry with a DuckDB oracle:
   shuffle-hash join on band key, never an O(n²) cross join;
 - **simhash**: 16-bit sign-aggregated token-hash fingerprint (explode +
   one groupBy);
-- **n-gram jaccard**: token-set jaccard between adjacent doc_ids —
-  the verification step LSH candidates would feed at scale.
+- **n-gram jaccard**: token-set jaccard between adjacent doc_ids — the
+  verification arithmetic in isolation;
+- **near-dup pipeline**: LSH candidates → exact jaccard verify →
+  threshold — the end-to-end near-duplicate path (every stage keyed).
 
 All hashing/tokenization via :mod:`..functions.textsql` so the Spark and
 DuckDB results are value-identical.

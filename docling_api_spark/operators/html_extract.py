@@ -134,7 +134,16 @@ class _TreeBuilder(HTMLParser):
 
     def handle_data(self, data):
         if data:
-            self.cur.children.append(data)
+            ch = self.cur.children
+            # coalesce adjacent text nodes: the fast scanner and stdlib
+            # flush text at different boundaries (e.g. a stray '<' is its
+            # own stdlib flush); downstream stats must not depend on
+            # segmentation (r2 soak find: a per-node whitespace collapse
+            # at the link-density threshold flipped a container drop)
+            if ch and isinstance(ch[-1], str):
+                ch[-1] += data
+            else:
+                ch.append(data)
 
 
 def parse_html_stdlib(text: str) -> Node:
@@ -167,24 +176,81 @@ _TOKEN_RX = re.compile(
 
 #: fast path for the attribute region: UNAMBIGUOUS alternation — the
 #: catch-all class excludes quote chars, so a quote can only match via a
-#: completed quoted pair; no alternative overlap ⇒ linear, never the
-#: exponential backtracking an ambiguous blob pattern has on truncated
-#: quote-heavy tags. Possessive quantifiers/atomic groups require
-#: Python >= 3.11 (declared in pyproject.toml).
+#: completed ``name="value"`` pair (html.parser pairs a quote as a value
+#: ONLY after an attribute name + '='; a bare ``="x"`` is a junk NAME
+#: whose '>' ends the tag — r2 soak find). Tags with any other quote
+#: shape fall to the stdlib-exact slow path. No alternative overlap ⇒
+#: linear, never the exponential backtracking an ambiguous blob pattern
+#: has on truncated quote-heavy tags. Possessive quantifiers/atomic
+#: groups require Python >= 3.11 (declared in pyproject.toml).
+_ATTR_PAIR = (r"[^\s<>\"'=/][ \t\r\n]*=[ \t\r\n]*"
+              r"(?:\"[^\"]*\"|'[^']*')")
 _TAG_END_RX = re.compile(
-    r"((?:[^<>\"'=]|(?>=[ \t\r\n]*\"[^\"]*\"|=[ \t\r\n]*'[^']*'|=))*+)(/?)>")
+    rf"((?:(?>{_ATTR_PAIR})|[^<>\"'=]|=)*+)(/?)>")
 
 
-def _find_tag_end(text: str, pos: int) -> tuple[int, int, bool]:
-    """Locate the end of a start tag's attribute region from ``pos``.
-    Regex fast path for the common case; the char-level state machine
-    (:func:`_scan_tag_end`) only for (a) a trailing '/' — which needs the
-    HTML5 unquoted-value rule to classify — or (b) regex failure
-    (unpaired quote, '<' in an unquoted value, EOF truncation)."""
+# the stdlib's own tolerant start-tag regexes — imported, not copied, so
+# the fast parser's hard-case classification is the reference parser's
+# classification BY CONSTRUCTION (html.parser parse_starttag /
+# check_for_whole_start_tag semantics, CPython 3.11)
+from html.parser import (attrfind_tolerant as _ATTRFIND_RX,
+                         locatestarttagend_tolerant as _LOCATE_RX,
+                         tagfind_tolerant as _TAGFIND_RX)
+
+_NAME_EQ_SLASH = frozenset("abcdefghijklmnopqrstuvwxyz=/"
+                           "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+def _stdlib_tag_end(text: str, s: int) -> tuple[str, int, bool]:
+    """Exact ``html.parser`` classification of a start tag at ``s`` (the
+    '<'). Returns (kind, endpos, selfclose):
+
+    - ``('tag', endpos, selfclose)`` — a real start/startend tag ending
+      at ``endpos``;
+    - ``('incomplete', _, _)`` — stdlib's parse_starttag returns -1; the
+      caller applies the goahead end-of-feed flush rule (to the next '>'
+      inclusive, charref-converted — the ``<a b=">`` shape lands here:
+      an unterminated quoted value is junk, NOT an open quote);
+    - ``('data', endpos, _)`` — the junk-terminated shape stdlib flushes
+      raw via ``handle_data(rawdata[i:endpos])``.
+    """
+    m = _LOCATE_RX.match(text, s)
+    j = m.end()
+    nxt = text[j:j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/":
+        if text.startswith("/>", j):
+            endpos = j + 2
+        else:
+            return ("incomplete", j, False)
+    elif nxt == "" or nxt in _NAME_EQ_SLASH:
+        return ("incomplete", j, False)
+    else:
+        endpos = j
+    k = _TAGFIND_RX.match(text, s + 1).end()
+    while k < endpos:
+        am = _ATTRFIND_RX.match(text, k)
+        if am is None:
+            break
+        k = am.end()
+    end = text[k:endpos].strip()
+    if end not in (">", "/>"):
+        return ("data", endpos, False)
+    return ("tag", endpos, end == "/>")
+
+
+def _find_tag_end(text: str, pos: int, s: int) -> tuple[str, int, bool]:
+    """Classify the start tag whose name ends at ``pos`` (tag '<' at
+    ``s``). Regex fast path for the common case — an unambiguous
+    attribute blob with paired quotes and no trailing '/' is a plain
+    start tag in both this scanner and html.parser; everything else
+    (trailing '/', unpaired quote, junk quotes, EOF truncation) goes to
+    :func:`_stdlib_tag_end` for the reference's exact decision."""
     m = _TAG_END_RX.match(text, pos)
     if m is not None and not m.group(1).endswith("/") and not m.group(2):
-        return m.end() - 1, m.end(), False
-    return _scan_tag_end(text, pos)
+        return ("tag", m.end(), False)
+    return _stdlib_tag_end(text, s)
 
 
 def _scan_tag_end(text: str, pos: int) -> tuple[int, int, bool]:
@@ -273,15 +339,32 @@ _RAWTEXT_END = {
 #: literal close tag inside them can't end the skip early. embed is void.
 _DROP_SKIPPABLE = frozenset(DROP_TAGS - {"script", "style", "embed"})
 
-#: one match per tag event inside a skipped region: closing flag, name,
-#: attr blob (same unambiguous alternation as _TAG_END_RX — linear), all
-#: in one pass; comments consumed atomically. A truncated tag matches
-#: nothing and ultimately aborts the skip via the EOF check.
+#: one ANCHORED match per construct inside a skipped region, mirroring
+#: _TOKEN_RX's full construct taxonomy: comments, CDATA, marked
+#: sections, declarations/bogus comments (`<!...>` — these consume to
+#: the first '>' and can swallow a literal close tag, so they MUST be
+#: atomic here too), processing instructions, named close tags, nameless
+#: close tags, and start tags with an unambiguous attr blob. Anything
+#: that fails to match at its '<' (truncated tag, unpaired quote, junk
+#: quotes) ABORTS the skip — the tree builder then applies the exact
+#: stdlib semantics. Anchoring is the r2 fix: the old `search`-based
+#: scanner skipped over constructs it didn't model (e.g. `<form><!</form>`
+#: — the declaration swallows `</form>`, but search found the close tag
+#: inside it and ended the region early).
 _SKIP_TOKEN_RX = re.compile(
     r"<!--.*?-->"
-    r"|<(/?)\s*([a-zA-Z][^\t\n\r\f />\x00]*)"
-    r"((?:[^<>\"'=]|(?>=[ \t\r\n]*\"[^\"]*\"|=[ \t\r\n]*'[^']*'|=))*)>",
+    r"|<!\[CDATA\[.*?\]\]>"
+    r"|<!\[(?!CDATA\[).*?\]>"
+    r"|<!(?!--|\[)[^>]*>"
+    r"|<\?[^>]*>"
+    r"|</\s*([a-zA-Z][^\t\n\r\f />\x00]*)[^>]*>"   # close: FIRST '>', as _TOKEN_RX
+    r"|</[^>]*>"                                    # nameless close: bogus, no event
+    r"|<([a-zA-Z][^\t\n\r\f />\x00]*)"
+    rf"((?:(?>{_ATTR_PAIR})|[^<>\"'=]|=)*)>",
     re.S)
+
+_ASCII_LETTERS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
 #: cheap candidate-end scan: same-tag depth only (6-ish events per region
 #: instead of one per tag), comments/rawtext atomic — used to propose the
@@ -289,8 +372,8 @@ _SKIP_TOKEN_RX = re.compile(
 _DROP_CAND_RX = {
     t: re.compile(
         rf"<!--.*?-->"
-        rf"|<(/?){t}(?=[\s/>])(?:[^<>\"'=]|(?>=[ \t\r\n]*\"[^\"]*\"|=[ \t\r\n]*'[^']*'|=))*>"
-        rf"|<(script|style)(?=[\s/>])(?:[^<>\"'=]|(?>=[ \t\r\n]*\"[^\"]*\"|=[ \t\r\n]*'[^']*'|=))*>",
+        rf"|<(/?){t}(?=[\s/>])(?:(?>{_ATTR_PAIR})|[^<>\"'=]|=)*>"
+        rf"|<(script|style)(?=[\s/>])(?:(?>{_ATTR_PAIR})|[^<>\"'=]|=)*>",
         re.I | re.S)
     for t in _DROP_SKIPPABLE
 }
@@ -344,21 +427,32 @@ def _candidate_end(text: str, pos: int, tag: str):
 def _try_skip_subtree(text: str, pos: int, tag: str):
     """Attempt to consume the whole subtree of DROP tag ``tag`` starting
     just after its open tag at ``pos``. Returns the resume position, or
-    None when skipping is unsafe (unclosed at EOF, or an end tag crosses
-    an ancestor boundary) — caller falls back to node building."""
+    None when skipping is unsafe — unclosed at EOF, an end tag crossing
+    an ancestor boundary, or ANY construct this scanner can't interpret
+    with tree-path fidelity (truncated tag, unpaired/junk quotes) — and
+    the caller falls back to node building, which applies the exact
+    stdlib semantics. Every construct is matched ANCHORED at its '<';
+    bare '<' followed by a non-construct character is data, exactly as
+    _TOKEN_RX treats it."""
     stack = [tag]
     scan = pos
-    search = _SKIP_TOKEN_RX.search
+    find = text.find
+    match = _SKIP_TOKEN_RX.match
     while stack:
-        m = search(text, scan)
+        lt = find("<", scan)
+        if lt < 0:
+            return None  # unclosed at EOF
+        m = match(text, lt)
         if m is None:
-            return None  # unclosed (or truncated tag) at EOF
+            nxt = text[lt + 1:lt + 2]
+            if nxt and nxt not in _ASCII_LETTERS and nxt not in "!?/":
+                scan = lt + 1  # stray '<' is data (tree path: no token)
+                continue
+            return None  # truncated/unmodelable construct — abort
         scan = m.end()
-        name = m.group(2)
-        if name is None:
-            continue  # comment
-        name = name.lower()
-        if m.group(1):  # closing tag
+        end_name = m.group(1)
+        if end_name is not None:  # named closing tag
+            name = end_name.lower()
             if name in stack:
                 while stack[-1] != name:
                     stack.pop()
@@ -367,27 +461,29 @@ def _try_skip_subtree(text: str, pos: int, tag: str):
                 continue
             else:
                 return None  # closes an ancestor outside the region
-        else:
-            selfclose = False
-            if m.group(3).endswith("/"):
-                # '/' ending an unquoted attribute VALUE is data, not a
-                # self-close (HTML5) — classify with the same state
-                # machine the tree-builder path uses, else a nested
-                # same-name tag like <nav a=b/> is wrongly treated as
-                # self-closing, the region ends at the wrong </nav>, and
-                # boilerplate text leaks into the extraction output
-                _, _, selfclose = _scan_tag_end(
-                    text, m.start(2) + len(name))
-            rt = _RAWTEXT_END.get(name)
-            if rt is not None:
-                if not selfclose:
-                    m3 = rt.search(text, scan)
-                    if m3 is None:
-                        return None
-                    scan = m3.end()
-                continue
-            if name not in VOID_TAGS and not selfclose:
-                stack.append(name)
+            continue
+        name = m.group(2)
+        if name is None:
+            continue  # comment/CDATA/marked/decl/PI/bogus-close: no event
+        name = name.lower()
+        selfclose = False
+        if m.group(3).endswith("/"):
+            # '/' ending an unquoted attribute VALUE is data, not a
+            # self-close — same state machine as the tree path, else a
+            # nested same-name tag like <nav a=b/> is wrongly treated
+            # as self-closing, the region ends at the wrong close tag,
+            # and boilerplate text leaks into the output
+            _, _, selfclose = _scan_tag_end(text, m.start(2) + len(name))
+        rt = _RAWTEXT_END.get(name)
+        if rt is not None:
+            if not selfclose:
+                m3 = rt.search(text, scan)
+                if m3 is None:
+                    return None
+                scan = m3.end()
+            continue
+        if name not in VOID_TAGS and not selfclose:
+            stack.append(name)
     return scan
 
 
@@ -451,15 +547,22 @@ def parse_html(text: str) -> Node:
                 data(unescape(chunk) if "&" in chunk else chunk)
             continue  # terminated comment / doctype / PI / CDATA
         tag = name.lower()
-        blob_end, tag_end, selfclose = _find_tag_end(text, pos)
-        if blob_end < 0:
-            # truncated start tag at EOF: stdlib incomplete rule
+        kind, endpos, selfclose = _find_tag_end(text, pos, s)
+        if kind == "incomplete":
+            # stdlib goahead end-of-feed rule: flush to the next '>'
+            # inclusive (else next '<', else one char), charref-converted
             pos = _incomplete_end(text, s)
             chunk = text[s:pos]
             data(unescape(chunk) if "&" in chunk else chunk)
             continue
+        if kind == "data":
+            # stdlib parse_starttag junk-terminated flush — RAW
+            pos = endpos
+            data(text[s:endpos])
+            continue
+        blob_end = endpos - (2 if selfclose else 1)
         blob = text[pos:blob_end]
-        pos = tag_end
+        pos = endpos
         if not selfclose and tag in _DROP_SKIPPABLE:
             cand = _candidate_end(text, pos, tag)
             if cand is not None and text[pos:cand] in _SKIP_CACHE:

@@ -55,6 +55,25 @@ ADVERSARIAL = [
     "<nav><aside x=1/>inner</aside>boiler</nav><p>keep</p>",
     "<nav><nav/>genuinely self-closing</nav><p>keep</p>",
     "<header><form action=/submit/>f</form>h</header><p>keep</p>",
+    # round-2 soak finds: stdlib-exact hard-tag classification + the
+    # DROP-skip scanner must consume `<!...>` declarations atomically
+    # (a bogus comment swallows a literal close tag)
+    '<p/=">',                      # junk-quote attr name IS a start tag
+    '<a b=">x',                    # unterminated quoted value: incomplete
+    '<a b="&amp;>x',               # incomplete flush is charref-converted
+    '<p a "&amp;">x',              # junk attr names absorbed, tag stands
+    "<form><!</form><",            # decl swallows </form>; '<' stays inside
+    "<form><! &amp; </form>x</form>tail",
+    "<nav><!</nav>LEAK</nav><p>keep</p>",
+    "<nav><?pi </nav>still boiler</nav><p>keep</p>",
+    "<nav>1 < 2 text</nav><p>keep</p>",   # stray '<' is data inside a region
+    # text-node segmentation must not affect stats: stdlib flushes a
+    # stray '<' as its own data node; at the link-density threshold a
+    # per-node collapse flipped the container drop (fixed by coalescing
+    # adjacent text nodes in the tree builder)
+    "<div>< 2<a>&bogus;<n>",
+    '<p ="q>r">tail',              # '=' starts a junk NAME: tag ends at first '>'
+    '<p/=">">',
 ]
 
 
@@ -108,6 +127,7 @@ _soup_atoms = st.sampled_from([
     "<P ALIGN=CENTER>", "<p class='a b'>", '<p data-x="1>2">', '="q>r"',
     "<p =x>", "<a href=>", "</>", "</ >", "<p<p>", "<nav<x>", "<p/>",
     "<nav a=b/>", "<nav/>", "<aside x=1/>", "</aside>", "<form action=/s/>",
+    '<p/=">', '<a b=">', "<!", "<! x >", "<?x", '<p a "q">', "< 2 ",
 ])
 
 

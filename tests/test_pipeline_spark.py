@@ -175,6 +175,20 @@ def test_file_mode_resume_file_keyed(spark, pages, tmp_path):
     assert a == b
 
 
+def test_scan_pushdown(spark, pages, tmp_path):
+    """Filters and projections must reach the parquet reader (PLANS.md §5)
+    — a scan that reads all columns for a 2-column projection is wrong."""
+    inp = str(tmp_path / "pages_pd")
+    pages.write.mode("overwrite").parquet(inp)
+    df = (spark.read.parquet(inp)
+          .where(F.col("lang") == "en").select("url", "lang"))
+    plan = _plan_str(df)
+    assert "PushedFilters" in plan and "EqualTo(lang,en)" in plan, plan
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "html" not in read_schema and "warc_ts" not in read_schema
+
+
 def test_metrics_lineage(spark, pages, tmp_path):
     out = str(tmp_path / "with_metrics")
     run_extraction(spark, pages, out, "runM", CFG, resume=False)
