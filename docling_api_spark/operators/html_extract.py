@@ -357,9 +357,12 @@ _SKIP_TOKEN_RX = re.compile(
     r"|<!\[(?!CDATA\[).*?\]>"
     r"|<!(?!--|\[)[^>]*>"
     r"|<\?[^>]*>"
-    r"|</\s*([a-zA-Z][^\t\n\r\f />\x00]*)[^>]*>"   # close: FIRST '>', as _TOKEN_RX
+    r"|</\s*([a-zA-Z][^\t\n\r\f />\x00]*+)[^>]*>"  # close: FIRST '>', as _TOKEN_RX
     r"|</[^>]*>"                                    # nameless close: bogus, no event
-    r"|<([a-zA-Z][^\t\n\r\f />\x00]*)"
+    # tag name is POSSESSIVE: backtracking must never donate name chars
+    # to the blob, where they could form a false name="value" pair
+    # (<nav =''> once matched as name 'na' + pair "v =''" — r2 soak find)
+    r"|<([a-zA-Z][^\t\n\r\f />\x00]*+)"
     rf"((?:(?>{_ATTR_PAIR})|[^<>\"'=]|=)*)>",
     re.S)
 

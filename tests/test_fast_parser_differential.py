@@ -74,6 +74,9 @@ ADVERSARIAL = [
     "<div>< 2<a>&bogus;<n>",
     '<p ="q>r">tail',              # '=' starts a junk NAME: tag ends at first '>'
     '<p/=">">',
+    "<nav><nav =''></nav>v",       # possessive tag name: no chars donated
+    "<nav><nav =''s=''></nav>/",   # to a false attr pair in the skip regex
+    "<nav ='a>b'>boiler</nav><p>keep</p>",
 ]
 
 
@@ -128,6 +131,11 @@ _soup_atoms = st.sampled_from([
     "<p =x>", "<a href=>", "</>", "</ >", "<p<p>", "<nav<x>", "<p/>",
     "<nav a=b/>", "<nav/>", "<aside x=1/>", "</aside>", "<form action=/s/>",
     '<p/=">', '<a b=">', "<!", "<! x >", "<?x", '<p a "q">', "< 2 ",
+    # stdlib tolerant-regex stressors (r2): junk names, multi-=, quotes
+    # in unquoted values, commas, backticks, attr-less slashes
+    '<p a=b"c">', '<p a==b>', '="x"', "<p 'j'>", '<div a=">">', "`,",
+    '<a href="/x" class="y">', "<p a = 'v'>", "<p a/ b>", "<p a=b,c>",
+    '</div a=">">', "<nav ='a>b'>", "<p =>",
 ])
 
 
@@ -135,5 +143,14 @@ _soup_atoms = st.sampled_from([
 @given(st.lists(_soup_atoms, min_size=0, max_size=40))
 def test_random_soup_identical(atoms):
     content = "".join(atoms).encode()
-    assert _extract_with(hx.parse_html, content) == \
-        _extract_with(hx.parse_html_stdlib, content)
+    fast = _extract_with(hx.parse_html, content)  # total: must never raise
+    try:
+        ref = _extract_with(hx.parse_html_stdlib, content)
+    except AssertionError:
+        # html.parser ITSELF crashes on some marked-section junk
+        # (`<![CDATA[` + stray keyword -> _markupbase AssertionError).
+        # The reference is undefined there; production wraps any parser
+        # exception into an error row (convert_one), and the fast parser
+        # must simply not crash — asserted above.
+        return
+    assert fast == ref
