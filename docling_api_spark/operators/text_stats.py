@@ -159,6 +159,55 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 LANG_ID_ORACLE = _lang_id_sql("duck")
 
 
+# ------------------------------------------------- tf-idf keyword extraction
+
+TFIDF_TOP_K = 3
+
+
+def _tfidf_sql(dialect: str) -> str:
+    """Per-document top-k terms by tf-idf — the keyword-extraction shape a
+    training-data pipeline runs for topic tagging / quality signals.
+
+    Plan at scale: explode(tokens) → two keyed aggregations (term
+    frequency per (doc, term); document frequency per term) → broadcast-
+    size idf join keyed on term → per-doc top-k window. Every stage
+    hash-partitions on its key; nothing is all-pairs. The ranking key is
+    the ROUNDED weight (6 dp) with a term tie-break, so ulp-level ln()
+    differences between engines cannot flip the order."""
+    toks = X.tokens(dialect)
+    explode = ("explode" if dialect == "spark" else "unnest")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, {explode}({toks}) AS tok FROM documents) e
+  GROUP BY doc_id, tok
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS weight
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, CAST(rnk AS INT) AS rnk, term, weight FROM (
+  SELECT doc_id, term, weight,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY weight DESC, term) AS rnk
+  FROM w
+) r WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_tfidf_sql("spark"))
+
+
+TFIDF_ORACLE = _tfidf_sql("duck")
+
+
 # ------------------------------------------------------------ fingerprints
 
 def _fingerprint_sql(dialect: str) -> str:

@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": text_stats.token_counts,
         "quality_scores": text_stats.quality_scores,
         "quality_filter": text_stats.quality_filter,
+        "tfidf_topterms": text_stats.tfidf_topterms,
         "lang_id": text_stats.lang_id,
         "fingerprints": text_stats.fingerprints,
         # similarity search
@@ -432,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": text_stats.TOKEN_COUNTS_ORACLE,
         "quality_scores": text_stats.QUALITY_ORACLE,
         "quality_filter": text_stats.QUALITY_FILTER_ORACLE,
+        "tfidf_topterms": text_stats.TFIDF_ORACLE,
         "lang_id": text_stats.LANG_ID_ORACLE,
         "fingerprints": text_stats.FINGERPRINT_ORACLE,
         "cosine_topk": similarity.COSINE_TOPK_ORACLE,

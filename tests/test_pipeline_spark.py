@@ -175,6 +175,29 @@ def test_file_mode_resume_file_keyed(spark, pages, tmp_path):
     assert a == b
 
 
+def test_salted_mode_balances_skewed_layout(spark, tmp_path):
+    """The salted opt-in's reason to exist: an input whose LAYOUT is
+    pathological (everything in one file) still spreads uniformly over
+    partition ids, because the key is a url hash, not the layout."""
+    from docling_api_spark.sources.pages import pages_from_documents
+    inp = str(tmp_path / "one_file")
+    pages_from_documents(spark, "/root/testdata/sf0.001") \
+        .repartition(1).write.mode("overwrite").parquet(inp)
+    one = spark.read.parquet(inp)
+    out = extract_df(one, ExtractConfig(num_partitions=8,
+                                        partition_mode="salted"))
+    counts = {r.partition_id: r.n for r in
+              out.groupBy("partition_id").agg(F.count("*").alias("n"))
+              .collect()}
+    assert len(counts) == 8                      # every id populated
+    mean = sum(counts.values()) / len(counts)
+    assert max(counts.values()) <= 2 * mean      # no id dominates
+    # file mode on the same input: all rows share the single file's id
+    fcounts = extract_df(one, ExtractConfig(num_partitions=8)) \
+        .select("partition_id").distinct().count()
+    assert fcounts == 1
+
+
 def test_scan_pushdown(spark, pages, tmp_path):
     """Filters and projections must reach the parquet reader (PLANS.md §5)
     — a scan that reads all columns for a 2-column projection is wrong."""
