@@ -107,6 +107,37 @@ GROUP BY 1, 2
 """
 
 
+def _json_props_sql(dialect: str) -> str:
+    """Semi-structured metadata extraction — the JSON-sidecar pattern every
+    crawl/event table carries. The extraction is a map-side projection
+    (JSON path into a typed column) followed by one keyed aggregation;
+    at scale the JSON never reaches the shuffle, only the extracted
+    scalar does."""
+    if dialect == "spark":
+        k = "CAST(get_json_object(props, '$.k') AS BIGINT)"
+    else:
+        k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    return f"""
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_with_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM (SELECT event_type, {k} AS k FROM events) e
+GROUP BY event_type
+"""
+
+
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .createOrReplaceTempView("events")
+    return spark.sql(_json_props_sql("spark"))
+
+
+JSON_PROPS_ORACLE = _json_props_sql("duck")
+
+
 #: session gap — events within 30 minutes of the previous one (same user)
 #: belong to one session
 SESSION_GAP_MINUTES = 30

@@ -247,6 +247,30 @@ FROM md WHERE doc_id % 5 = 0
 """
 
 
+def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl analytics over the pages table: host parsed from the real
+    url column (map-side regexp, pushdown-friendly), one keyed
+    aggregation. The host is the north_rule's skew unit — this is the
+    query an operator runs to find the hot hosts that justify salted
+    mode. The oracle reconstructs hosts from the corpus generation rule,
+    so the url parsing itself is value-checked."""
+    pages = pages_from_documents(spark, sf_dir)
+    host = F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    return (pages.select(host.alias("host"), "lang")
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("lang").alias("n_langs")))
+
+
+HOST_STATS_ORACLE = """
+SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY 1
+"""
+
+
 def span_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-offset plumbing check: per url, the span count and the total
     covered length must equal what the generation rule implies (covered =
@@ -373,12 +397,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_summary": span_summary,
         "span_detail": span_detail,
         "format_distribution": format_distribution,
+        "host_stats": host_stats,
         # engine mechanics as relational ops (SURVEY.md Table B)
         "dedup_window_latest": relational.latest_event_per_user,
         "resume_anti_join": relational.resume_anti_join,
         "metrics_rollup": relational.metrics_rollup,
         "windowed_event_counts": relational.windowed_event_counts,
         "sessionize_events": relational.sessionize_events,
+        "json_props_rollup": relational.json_props_rollup,
         # training-data pipeline: dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
@@ -419,11 +445,13 @@ def oracle_sql() -> dict[str, str]:
         "span_summary": SPAN_SUMMARY_ORACLE,
         "span_detail": SPAN_DETAIL_ORACLE,
         "format_distribution": FORMAT_DISTRIBUTION_ORACLE,
+        "host_stats": HOST_STATS_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,
         "metrics_rollup": relational.METRICS_ROLLUP_ORACLE,
         "windowed_event_counts": relational.WINDOWED_EVENT_COUNTS_ORACLE,
         "sessionize_events": relational.SESSIONIZE_ORACLE,
+        "json_props_rollup": relational.JSON_PROPS_ORACLE,
         "dedup_exact": dedup.DEDUP_EXACT_ORACLE,
         "minhash_signatures": dedup.MINHASH_SIG_ORACLE,
         "dedup_minhash_lsh": dedup.DEDUP_MINHASH_LSH_ORACLE,
