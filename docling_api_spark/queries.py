@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .config import ExtractConfig
+from .functions import textsql as X
 from .operators import dedup, multimodal, relational, similarity, text_stats
 from .plans.pipeline import extract_df
 from .sources.pages import pages_from_documents
@@ -31,16 +32,10 @@ def extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "fmt", "markdown", "error")
 
 
-# expected markdown reconstructed in pure SQL from the generation rule —
-# any extractor deviation (boilerplate kept, whitespace, table shape)
-# breaks the value hash
-EXTRACT_MARKDOWN_ORACLE = """
-SELECT
-  'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
-    || CAST(doc_id AS VARCHAR)
-    || CASE WHEN doc_id % 10 = 7 THEN '.md' ELSE '.html' END AS url,
-  CASE WHEN doc_id % 10 = 7 THEN 'md' ELSE 'html' END AS fmt,
-  '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || text
+#: the reconstructed-markdown SQL expression shared by the flagship
+#: oracle and the end-to-end pipeline oracle (generation rule of
+#: sources/pages.py)
+_MD_EXPR = """'# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || text
     || CASE WHEN doc_id % 10 <> 7 AND doc_id % 3 = 0
             THEN chr(10) || chr(10) || '- item one of doc '
                  || CAST(doc_id AS VARCHAR) || chr(10) || '- item two'
@@ -50,7 +45,18 @@ SELECT
                  || '| --- | --- |' || chr(10)
                  || '| id | ' || CAST(doc_id AS VARCHAR) || ' |' || chr(10)
                  || '| lang | ' || lang || ' |'
-            ELSE '' END AS markdown,
+            ELSE '' END"""
+
+# expected markdown reconstructed in pure SQL from the generation rule —
+# any extractor deviation (boilerplate kept, whitespace, table shape)
+# breaks the value hash
+EXTRACT_MARKDOWN_ORACLE = f"""
+SELECT
+  'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
+    || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 10 = 7 THEN '.md' ELSE '.html' END AS url,
+  CASE WHEN doc_id % 10 = 7 THEN 'md' ELSE 'html' END AS fmt,
+  {_MD_EXPR} AS markdown,
   CAST(NULL AS VARCHAR) AS error
 FROM documents
 """
@@ -247,6 +253,42 @@ FROM md WHERE doc_id % 5 = 0
 """
 
 
+def extract_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline in ONE oracle-gated query:
+    synthesize pages → EXTRACT markdown (mapInPandas) → token-count the
+    extracted markdown → keep/drop decision. The oracle reconstructs the
+    markdown in SQL and applies the identical token gate, so the
+    composition extraction→stats→filter — not just each stage — is
+    value-checked end to end."""
+    pages = pages_from_documents(spark, sf_dir)
+    out = extract_df(pages, _CFG).select("url", "markdown")
+    out.createOrReplaceTempView("extracted")
+    toks = X.tokens("spark", "markdown")
+    return spark.sql(f"""
+SELECT url,
+       CAST(length(markdown) AS BIGINT) AS md_len,
+       CAST(size({toks}) AS BIGINT) AS n_md_tokens,
+       size({toks}) >= 10 AS keep
+FROM extracted""")
+
+
+EXTRACT_QUALITY_ORACLE = f"""
+WITH extracted AS (
+  SELECT
+    'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
+      || CAST(doc_id AS VARCHAR)
+      || CASE WHEN doc_id % 10 = 7 THEN '.md' ELSE '.html' END AS url,
+    {_MD_EXPR} AS markdown
+  FROM documents
+)
+SELECT url,
+       CAST(length(markdown) AS BIGINT) AS md_len,
+       CAST(len({X.tokens('duck', 'markdown')}) AS BIGINT) AS n_md_tokens,
+       len({X.tokens('duck', 'markdown')}) >= 10 AS keep
+FROM extracted
+"""
+
+
 def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl analytics over the pages table: host parsed from the real
     url column (map-side regexp, pushdown-friendly), one keyed
@@ -398,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_detail": span_detail,
         "format_distribution": format_distribution,
         "host_stats": host_stats,
+        "extract_quality_pipeline": extract_quality_pipeline,
         # engine mechanics as relational ops (SURVEY.md Table B)
         "dedup_window_latest": relational.latest_event_per_user,
         "resume_anti_join": relational.resume_anti_join,
@@ -446,6 +489,7 @@ def oracle_sql() -> dict[str, str]:
         "span_detail": SPAN_DETAIL_ORACLE,
         "format_distribution": FORMAT_DISTRIBUTION_ORACLE,
         "host_stats": HOST_STATS_ORACLE,
+        "extract_quality_pipeline": EXTRACT_QUALITY_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,
         "metrics_rollup": relational.METRICS_ROLLUP_ORACLE,
