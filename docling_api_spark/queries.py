@@ -253,6 +253,36 @@ FROM md WHERE doc_id % 5 = 0
 """
 
 
+def extract_rich_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serializer shapes the flagship corpus doesn't reach — h2,
+    blockquote, fenced code, horizontal rule, ordered list, nested
+    unordered list — value-checked end to end against the generation
+    rule (sources.pages.pages_rich)."""
+    from .sources.pages import pages_rich
+    pages = pages_rich(spark, sf_dir)
+    out = extract_df(pages, _CFG)
+    return out.select("url", "markdown", "error")
+
+
+EXTRACT_RICH_ORACLE = """
+SELECT
+  'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
+    || CAST(doc_id AS VARCHAR) || '.html' AS url,
+  '## Doc ' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN length(trim(text)) > 0
+            THEN chr(10) || chr(10) || '> ' || text ELSE '' END
+    || chr(10) || chr(10) || '```' || chr(10) || 'code line '
+    || CAST(doc_id AS VARCHAR) || chr(10) || '```'
+    || chr(10) || chr(10) || '---'
+    || chr(10) || chr(10) || '1. first of ' || CAST(doc_id AS VARCHAR)
+    || chr(10) || '1. second'
+    || chr(10) || chr(10) || '- a' || chr(10) || '  - deep ' || lang
+    || chr(10) || '- b' AS markdown,
+  CAST(NULL AS VARCHAR) AS error
+FROM documents
+"""
+
+
 def extract_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data pipeline in ONE oracle-gated query:
     synthesize pages → EXTRACT markdown (mapInPandas) → token-count the
@@ -440,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_detail": span_detail,
         "format_distribution": format_distribution,
         "host_stats": host_stats,
+        "extract_rich_markdown": extract_rich_markdown,
         "extract_quality_pipeline": extract_quality_pipeline,
         # engine mechanics as relational ops (SURVEY.md Table B)
         "dedup_window_latest": relational.latest_event_per_user,
@@ -489,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
         "span_detail": SPAN_DETAIL_ORACLE,
         "format_distribution": FORMAT_DISTRIBUTION_ORACLE,
         "host_stats": HOST_STATS_ORACLE,
+        "extract_rich_markdown": EXTRACT_RICH_ORACLE,
         "extract_quality_pipeline": EXTRACT_QUALITY_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,

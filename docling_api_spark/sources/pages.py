@@ -175,6 +175,37 @@ def pages_with_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pages_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → pages exercising the REST of the markdown
+    serializer: h2 heading, blockquote, pre/code, horizontal rule,
+    ordered list, nested unordered list — each reconstructable in SQL, so
+    the driver gate value-checks the serialization shapes the main corpus
+    (h1/p/ul/table) doesn't reach. Pure column expressions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    sid = i.cast("string")
+    para = F.coalesce(F.col("text"), F.lit(""))
+    html_str = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>t</title></head><body>"
+              + _CHROME_NAV + "<main><h2>"),
+        F.lit("Doc "), sid,
+        F.lit("</h2><blockquote><p>"), para,
+        F.lit("</p></blockquote><pre><code>code line "), sid,
+        F.lit("</code></pre><hr><ol><li>first of "), sid,
+        F.lit("</li><li>second</li></ol>"
+              "<ul><li>a<ul><li>deep "), F.col("lang"),
+        F.lit("</li></ul></li><li>b</li></ul></main>"
+              + _CHROME_FOOTER + "</body></html>"))
+    return docs.select(
+        F.concat(F.lit("https://site"), (i % 97).cast("string"),
+                 F.lit(".example/doc/"), sid, F.lit(".html")).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_S) + (i % 86400)).alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        para.alias("text"),
+        F.col("lang"),
+    )
+
+
 def with_fixture_ooxml(pages: DataFrame, docx_mod: int = 2,
                        pptx_mod: int = 9, adoc_mod: int = 3) -> DataFrame:
     """Replace docs with ``doc_id % 10 == docx_mod/pptx_mod/adoc_mod`` by
