@@ -161,10 +161,20 @@ def parse_html_stdlib(text: str) -> Node:
 # char loop, NOT a regex: an ambiguous quoted-or-unquoted blob pattern
 # backtracks exponentially on truncated tags full of quotes), group 3 =
 # unterminated-construct marker (stdlib incomplete rule applies).
+#: marked sections, exactly as _markupbase.parse_marked_section: the
+#: keyword right after '<![' picks the close pattern — cdata-class
+#: keywords close at ']' ws* ']' ws* '>', if-class at ']' ws* '>';
+#: any OTHER keyword makes stdlib raise (tests skip those inputs, the
+#: engine wraps them in error rows), and an unterminated section falls
+#: to the incomplete rule via the '<!' head group.
+_MS_CDATA = (r"<!\[(?i:temp|cdata|ignore|include|rcdata)"
+             r"(?![-.a-zA-Z0-9_:]).*?\]\s*\]\s*>")
+_MS_IF = r"<!\[(?i:if|else|endif)(?![-.a-zA-Z0-9_:]).*?\]\s*>"
+
 _TOKEN_RX = re.compile(
-    r"<!--.*?-->"                 # comment
-    r"|<!\[CDATA\[.*?\]\]>"       # CDATA section
-    r"|<!\[(?!CDATA\[).*?\]>"                # other marked section (<![if ...]>)
+    r"<!--.*?--[ \t\n\r\f]*>"     # comment (stdlib close: '--' ws* '>')
+    rf"|{_MS_CDATA}"              # CDATA-class marked section
+    rf"|{_MS_IF}"                 # if-class marked section (<![if ...]>)
     r"|<!(?!--|\[)[^>]*>"         # declaration (never a comment/CDATA head)
     r"|<\?[^>]*>"                 # processing instruction
     r"|</\s*([a-zA-Z][^\t\n\r\f />\x00]*)[^>]*>"
@@ -352,9 +362,9 @@ _DROP_SKIPPABLE = frozenset(DROP_TAGS - {"script", "style", "embed"})
 #: — the declaration swallows `</form>`, but search found the close tag
 #: inside it and ended the region early).
 _SKIP_TOKEN_RX = re.compile(
-    r"<!--.*?-->"
-    r"|<!\[CDATA\[.*?\]\]>"
-    r"|<!\[(?!CDATA\[).*?\]>"
+    r"<!--.*?--[ \t\n\r\f]*>"
+    rf"|{_MS_CDATA}"
+    rf"|{_MS_IF}"
     r"|<!(?!--|\[)[^>]*>"
     r"|<\?[^>]*>"
     r"|</\s*([a-zA-Z][^\t\n\r\f />\x00]*+)[^>]*>"  # close: FIRST '>', as _TOKEN_RX
@@ -374,7 +384,7 @@ _ASCII_LETTERS = frozenset(
 #: region for the memo cache; the full stack walk validates it once.
 _DROP_CAND_RX = {
     t: re.compile(
-        rf"<!--.*?-->"
+        rf"<!--.*?--[ \t\n\r\f]*>"
         rf"|<(/?){t}(?=[\s/>])(?:(?>{_ATTR_PAIR})|[^<>\"'=]|=)*>"
         rf"|<(script|style)(?=[\s/>])(?:(?>{_ATTR_PAIR})|[^<>\"'=]|=)*>",
         re.I | re.S)

@@ -77,6 +77,19 @@ ADVERSARIAL = [
     "<nav><nav =''></nav>v",       # possessive tag name: no chars donated
     "<nav><nav =''s=''></nav>/",   # to a false attr pair in the skip regex
     "<nav ='a>b'>boiler</nav><p>keep</p>",
+    # char-fuzz finds: stdlib closes comments at '--' ws* '>' and marked
+    # sections by keyword ( ']' ws* ']' ws* '>' for cdata-class, ']' ws*
+    # '>' for if-class); an unclosable section flushes via the
+    # incomplete rule
+    "<!---- >after",
+    "<!--x--\t>y",
+    "<![CDATA[] ]>k",
+    "<![CDATA[]\n]>k",
+    "<![CDATA]>k",
+    "<![cdata x] ]>k",
+    "<![include a]]>k",
+    "<![if x] >k",
+    "<nav><![CDATA[</nav>] ]>boiler</nav><p>keep</p>",
 ]
 
 
@@ -146,11 +159,12 @@ def test_random_soup_identical(atoms):
     fast = _extract_with(hx.parse_html, content)  # total: must never raise
     try:
         ref = _extract_with(hx.parse_html_stdlib, content)
-    except AssertionError:
+    except (AssertionError, NotImplementedError):
         # html.parser ITSELF crashes on some marked-section junk
-        # (`<![CDATA[` + stray keyword -> _markupbase AssertionError).
-        # The reference is undefined there; production wraps any parser
-        # exception into an error row (convert_one), and the fast parser
-        # must simply not crash — asserted above.
+        # (unknown keyword -> _markupbase AssertionError; unnameable
+        # section -> ParserBase.error NotImplementedError). The reference
+        # is undefined there; production wraps any parser exception into
+        # an error row (convert_one), and the fast parser must simply
+        # not crash — asserted above.
         return
     assert fast == ref
