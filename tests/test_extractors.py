@@ -100,6 +100,45 @@ def test_html_extract_never_raises_on_text(text):
     extract_html(text, CFG)
 
 
+def test_pdf_reader_robust_under_mutation():
+    """Mutated/truncated PDF bytes terminate fast and fail only via the
+    typed PdfUnsupported channel (or parse cleanly) — no hangs, no stray
+    exceptions (poison-document safety at the reader level; convert_one
+    adds the catch-all above it)."""
+    import random
+    import time
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         extract_pdf)
+    from docling_api_spark.operators.pdf_write import write_pdf
+
+    base = [write_pdf([[(72.0, 720.0, 18.0, [f"Doc {i}"]),
+                        (72.0, 680.0, 11.0, ["hello world " * 10])]],
+                      compress=bool(i % 2)) for i in range(2)]
+    rng = random.Random(20260816)
+    t0 = time.perf_counter()
+    for _ in range(500):
+        raw = bytearray(rng.choice(base))
+        for _ in range(rng.randint(1, 12)):
+            op = rng.random()
+            if op < 0.4 and raw:
+                raw[rng.randrange(len(raw))] = rng.randrange(256)
+            elif op < 0.7 and raw:
+                del raw[rng.randrange(len(raw))]
+            else:
+                raw.insert(rng.randrange(len(raw) + 1), rng.randrange(256))
+        try:
+            extract_pdf(bytes(raw))
+        except PdfUnsupported:
+            pass
+    for frac in (1, len(base[0]) // 3, len(base[0]) - 10):
+        try:
+            extract_pdf(base[0][:frac])
+        except PdfUnsupported:
+            pass
+    assert time.perf_counter() - t0 < 20
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.text(max_size=512))
 def test_markdown_normalize_idempotent(text):
