@@ -142,7 +142,14 @@ def _tokenize(stream: bytes):
             j = i
             while j < n and stream[j:j + 1] in b"+-.0123456789":
                 j += 1
-            yield ("num", float(stream[i:j]))
+            try:
+                num = float(stream[i:j])
+            except ValueError:
+                # corrupt number token (bare '+', '-', '.', '1.2.3' —
+                # mutation-fuzz find): junk, skip it rather than crash
+                i = j
+                continue
+            yield ("num", num)
             i = j
         else:
             j = i
