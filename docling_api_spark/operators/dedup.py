@@ -221,6 +221,64 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_JACCARD_ORACLE = _jaccard_sql("duck")
 
 
+# ---------------------------------------------------- incremental dedup
+
+#: the "existing corpus vs new batch" split used by the incremental query
+#: (deterministic: low doc_ids are the corpus, high are the arrivals)
+INCREMENTAL_SPLIT_MOD = 5
+
+
+def _incremental_oracle() -> str:
+    """DuckDB twin of :func:`incremental_dedup` (the Spark side is
+    DataFrame-built): which NEW documents collide (share an LSH band)
+    with the EXISTING corpus — the nightly-batch shape: signatures for
+    the corpus side are precomputed once at scale; the join is new-side
+    bands against corpus-side bands on (band_idx, band_key), so the
+    shuffle is proportional to the small new batch (or a broadcast of
+    it), never corpus x corpus. One row per new doc with its earliest
+    colliding corpus doc."""
+    bands = f"""
+  SELECT doc_id, b.band_idx, b.band_key
+  FROM sig, UNNEST([
+    {', '.join(f"{{'band_idx': {b}, 'band_key': {_band_expr('duck', b)}}}"
+               for b in range(N_BANDS))}
+  ]) AS t(b)"""
+    return f"""
+WITH sig AS ({_sig_select('duck')}),
+bands AS ({bands}),
+corpus AS (SELECT * FROM bands WHERE doc_id % {INCREMENTAL_SPLIT_MOD} <> 0),
+fresh  AS (SELECT * FROM bands WHERE doc_id % {INCREMENTAL_SPLIT_MOD} = 0)
+SELECT f.doc_id AS new_id, min(c.doc_id) AS first_dup_of
+FROM fresh f JOIN corpus c
+  ON f.band_idx = c.band_idx AND f.band_key = c.band_key
+GROUP BY f.doc_id
+"""
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-corpus LSH collision check (see _incremental_sql).
+    The new side is small by construction — Catalyst broadcasts it, so
+    the big corpus side never shuffles."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.expr(_band_expr("spark", b)).alias("band_key"))
+            for b in range(N_BANDS)])).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    corpus = bands.where(F.col("doc_id") % INCREMENTAL_SPLIT_MOD != 0)
+    fresh = bands.where(F.col("doc_id") % INCREMENTAL_SPLIT_MOD == 0)
+    return (corpus.alias("c")
+            .join(F.broadcast(fresh.alias("f")),
+                  ["band_idx", "band_key"])
+            .groupBy(F.col("f.doc_id").alias("new_id"))
+            .agg(F.min("c.doc_id").alias("first_dup_of")))
+
+
+INCREMENTAL_DEDUP_ORACLE = _incremental_oracle()
+
+
 # ------------------------------------------- end-to-end near-dup pipeline
 
 #: verified near-duplicate threshold on exact token-set jaccard

@@ -486,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dedup.simhash,
         "ngram_jaccard": dedup.ngram_jaccard,
         "dedup_near_pipeline": dedup.dedup_near_pipeline,
+        "incremental_dedup": dedup.incremental_dedup,
         # text analysis
         "token_counts": text_stats.token_counts,
         "quality_scores": text_stats.quality_scores,
@@ -534,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.SIMHASH_ORACLE,
         "ngram_jaccard": dedup.NGRAM_JACCARD_ORACLE,
         "dedup_near_pipeline": dedup.DEDUP_NEAR_ORACLE,
+        "incremental_dedup": dedup.INCREMENTAL_DEDUP_ORACLE,
         "token_counts": text_stats.TOKEN_COUNTS_ORACLE,
         "quality_scores": text_stats.QUALITY_ORACLE,
         "quality_filter": text_stats.QUALITY_FILTER_ORACLE,
