@@ -172,7 +172,7 @@ _MS_CDATA = (r"<!\[(?i:temp|cdata|ignore|include|rcdata)"
 _MS_IF = r"<!\[(?i:if|else|endif)(?![-.a-zA-Z0-9_:]).*?\]\s*>"
 
 _TOKEN_RX = re.compile(
-    r"<!--.*?--[ \t\n\r\f]*>"     # comment (stdlib close: '--' ws* '>')
+    r"<!--.*?--\s*>"     # comment (stdlib close: '--' ws* '>')
     rf"|{_MS_CDATA}"              # CDATA-class marked section
     rf"|{_MS_IF}"                 # if-class marked section (<![if ...]>)
     r"|<!(?!--|\[)[^>]*>"         # declaration (never a comment/CDATA head)
@@ -193,10 +193,10 @@ _TOKEN_RX = re.compile(
 #: linear, never the exponential backtracking an ambiguous blob pattern
 #: has on truncated quote-heavy tags. Possessive quantifiers/atomic
 #: groups require Python >= 3.11 (declared in pyproject.toml).
-_ATTR_PAIR = (r"[^\s<>\"'=/][ \t\r\n]*=[ \t\r\n]*"
+_ATTR_PAIR = (r"[^\s<>\"'=/\x00][ \t\r\n]*=[ \t\r\n]*"
               r"(?:\"[^\"]*\"|'[^']*')")
 _TAG_END_RX = re.compile(
-    rf"((?:(?>{_ATTR_PAIR})|[^<>\"'=]|=)*+)(/?)>")
+    rf"((?:(?>{_ATTR_PAIR})|[^<>\"'=\x00]|=)*+)(/?)>")
 
 
 # the stdlib's own tolerant start-tag regexes — imported, not copied, so
@@ -362,7 +362,7 @@ _DROP_SKIPPABLE = frozenset(DROP_TAGS - {"script", "style", "embed"})
 #: — the declaration swallows `</form>`, but search found the close tag
 #: inside it and ended the region early).
 _SKIP_TOKEN_RX = re.compile(
-    r"<!--.*?--[ \t\n\r\f]*>"
+    r"<!--.*?--\s*>"
     rf"|{_MS_CDATA}"
     rf"|{_MS_IF}"
     r"|<!(?!--|\[)[^>]*>"
@@ -373,20 +373,24 @@ _SKIP_TOKEN_RX = re.compile(
     # to the blob, where they could form a false name="value" pair
     # (<nav =''> once matched as name 'na' + pair "v =''" — r2 soak find)
     r"|<([a-zA-Z][^\t\n\r\f />\x00]*+)"
-    rf"((?:(?>{_ATTR_PAIR})|[^<>\"'=]|=)*)>",
+    rf"((?:(?>{_ATTR_PAIR})|[^<>\"'=\x00]|=)*)>",
     re.S)
 
 _ASCII_LETTERS = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+#: tags _pick_root may choose as the extraction root — a skip region
+#: containing one must be tree-built, never consumed
+_ROOT_CANDIDATE_TAGS = frozenset({"main", "article", "body"})
 
 #: cheap candidate-end scan: same-tag depth only (6-ish events per region
 #: instead of one per tag), comments/rawtext atomic — used to propose the
 #: region for the memo cache; the full stack walk validates it once.
 _DROP_CAND_RX = {
     t: re.compile(
-        rf"<!--.*?--[ \t\n\r\f]*>"
-        rf"|<(/?){t}(?=[\s/>])(?:(?>{_ATTR_PAIR})|[^<>\"'=]|=)*>"
-        rf"|<(script|style)(?=[\s/>])(?:(?>{_ATTR_PAIR})|[^<>\"'=]|=)*>",
+        rf"<!--.*?--\s*>"
+        rf"|<(/?){t}(?=[\s/>])(?:(?>{_ATTR_PAIR})|[^<>\"'=\x00]|=)*>"
+        rf"|<(script|style)(?=[\s/>])(?:(?>{_ATTR_PAIR})|[^<>\"'=\x00]|=)*>",
         re.I | re.S)
     for t in _DROP_SKIPPABLE
 }
@@ -479,6 +483,11 @@ def _try_skip_subtree(text: str, pos: int, tag: str):
         if name is None:
             continue  # comment/CDATA/marked/decl/PI/bogus-close: no event
         name = name.lower()
+        if name in _ROOT_CANDIDATE_TAGS:
+            # a main/article/body INSIDE the boilerplate region could
+            # become the extraction root (_pick_root searches the whole
+            # tolerant tree) — the region must be built, not skipped
+            return None
         selfclose = False
         if m.group(3).endswith("/"):
             # '/' ending an unquoted attribute VALUE is data, not a

@@ -90,6 +90,19 @@ ADVERSARIAL = [
     "<![include a]]>k",
     "<![if x] >k",
     "<nav><![CDATA[</nav>] ]>boiler</nav><p>keep</p>",
+    # a root-candidate tag INSIDE a DROP region must abort the skip:
+    # _pick_root can choose it as the extraction root
+    "<nav><body>Z</nav>",
+    "<nav><main>content</main></nav><p>after</p>",
+    "<header><article>a</article></header>tail",
+    "<nav><body/></nav>x",
+    # NUL immediately after a tag name fails stdlib's attr-name
+    # lookbehind: the whole construct is junk-flushed, not a tag
+    "<t\x00>",
+    "<nav\x00>z</nav>",
+    "<p \x00>k",         # ...but NUL after whitespace IS an attr name
+    # comment close is unicode-\s tolerant (stdlib _commentclose)
+    "<!---- >after",
 ]
 
 
@@ -149,6 +162,7 @@ _soup_atoms = st.sampled_from([
     '<p a=b"c">', '<p a==b>', '="x"', "<p 'j'>", '<div a=">">', "`,",
     '<a href="/x" class="y">', "<p a = 'v'>", "<p a/ b>", "<p a=b,c>",
     '</div a=">">', "<nav ='a>b'>", "<p =>",
+    "\x00", "\u2028", "<body>", "<main>", "</body>", "<!----",
 ])
 
 
