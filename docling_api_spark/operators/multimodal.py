@@ -275,6 +275,60 @@ def resize_images_df(blobs: DataFrame, out_w: int = 256, out_h: int = 256,
     return blobs.mapInPandas(make_resize_fn(out_w, out_h, fake), RESIZED_DDL)
 
 
+AUDIO_CHUNKS_DDL = ("doc_id bigint, chunk_idx int, n_samples int, "
+                    "rms bigint, peak int")
+
+#: fake 'decoder' treats the blob as 16-bit little-endian PCM
+_AUDIO_CHUNK_SAMPLES = 1024
+
+
+def make_audio_chunk_fn(fake: bool = False):
+    """Audio chunking plumbing: one input row fans out to one row per
+    fixed-size chunk with per-chunk energy stats (RMS as an exact integer
+    sum-of-squares to stay engine-comparable, plus the peak amplitude) —
+    the mapInPandas shape a real libsndfile/ffmpeg-backed feature
+    extractor produces. The decode step is STUBBED like image/video
+    (no audio libs in this container): fake mode reinterprets the raw
+    bytes as PCM so the distributed plumbing is fully testable."""
+    def chunk(batches):
+        for pdf in batches:
+            ids, idxs, ns, rms, peak = [], [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+                if b is None or len(b) < 2:
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "audio decode requires libsndfile/ffmpeg — not "
+                        "available in this environment; use fake=True "
+                        "for plumbing tests")
+                raw = bytes(b)
+                samples = [int.from_bytes(raw[i:i + 2], "little",
+                                          signed=True)
+                           for i in range(0, len(raw) - 1, 2)]
+                for ci in range(0, len(samples), _AUDIO_CHUNK_SAMPLES):
+                    seg = samples[ci:ci + _AUDIO_CHUNK_SAMPLES]
+                    ids.append(doc_id)
+                    idxs.append(ci // _AUDIO_CHUNK_SAMPLES)
+                    ns.append(len(seg))
+                    rms.append(sum(x * x for x in seg))
+                    peak.append(max(abs(x) for x in seg))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "chunk_idx": pd.Series(idxs, dtype="int32"),
+                "n_samples": pd.Series(ns, dtype="int32"),
+                "rms": pd.Series(rms, dtype="int64"),
+                "peak": pd.Series(peak, dtype="int32"),
+            })
+
+    return chunk
+
+
+def audio_chunks_df(blobs: DataFrame, fake: bool = False) -> DataFrame:
+    """blobs(doc_id, blob) → per-chunk energy rows (fan-out mapInPandas,
+    same shape as :func:`sample_frames_df`)."""
+    return blobs.mapInPandas(make_audio_chunk_fn(fake), AUDIO_CHUNKS_DDL)
+
+
 FRAMES_DDL = ("doc_id bigint, frame_idx int, frame_md5 string")
 
 #: fixed fake frame length so frame counts are a pure function of bytes

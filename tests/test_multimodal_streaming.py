@@ -10,7 +10,8 @@ from pyspark.sql import functions as F
 
 from docling_api_spark.config import ExtractConfig
 from docling_api_spark.operators.multimodal import (
-    _FAKE_FRAME_BYTES, resize_images_df, sample_frames_df)
+    _AUDIO_CHUNK_SAMPLES, _FAKE_FRAME_BYTES, audio_chunks_df,
+    resize_images_df, sample_frames_df)
 from docling_api_spark.plans.pipeline import extract_df
 from docling_api_spark.sources.pages import pages_from_documents
 from docling_api_spark.streaming.availablenow import run_extraction_streaming
@@ -52,6 +53,34 @@ def test_frame_sample_fanout_deterministic(spark, blobs):
         for r in src.itertuples()}
     got = dict(zip(out.doc_id.astype(int), out.frame_md5))
     assert got == expected
+
+
+def test_audio_chunks_fanout_and_stats(spark):
+    """Audio chunking plumbing: fan-out rows per fixed-size chunk with
+    exact integer energy stats, computed identically driver-side."""
+    import struct
+    samples = [((i * 37) % 2001) - 1000 for i in range(2500)]
+    blob = b"".join(struct.pack("<h", s) for s in samples)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [3], "blob": [blob]}))
+    out = audio_chunks_df(df, fake=True).toPandas().sort_values("chunk_idx")
+    assert list(out.chunk_idx) == [0, 1, 2]
+    assert list(out.n_samples) == [_AUDIO_CHUNK_SAMPLES,
+                                   _AUDIO_CHUNK_SAMPLES,
+                                   2500 - 2 * _AUDIO_CHUNK_SAMPLES]
+    for idx, row in enumerate(out.itertuples()):
+        seg = samples[idx * _AUDIO_CHUNK_SAMPLES:
+                      (idx + 1) * _AUDIO_CHUNK_SAMPLES]
+        assert row.rms == sum(x * x for x in seg)
+        assert row.peak == max(abs(x) for x in seg)
+
+
+def test_audio_real_decoder_is_explicit_stub(spark):
+    """The non-fake path fails loudly (NotImplementedError surfaces as a
+    task failure) — no silent fake capability."""
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1],
+                                             "blob": [b"\x01\x02" * 8]}))
+    with pytest.raises(Exception):
+        audio_chunks_df(df, fake=False).collect()
 
 
 def test_frame_sample_every_k(spark):
