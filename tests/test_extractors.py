@@ -100,6 +100,24 @@ def test_html_extract_never_raises_on_text(text):
     extract_html(text, CFG)
 
 
+def test_pdf_multipage_two_column_reading_order():
+    """Pages concatenate in order; within a page, blocks sort into
+    column-major reading order (full left column before the right one) —
+    the north_star's layout-block segmentation + reading-order sort."""
+    from docling_api_spark.operators.pdf_extract import extract_pdf
+    from docling_api_spark.operators.pdf_write import write_pdf
+
+    pdf = write_pdf([
+        [(72.0, 720.0, 18.0, ["Page One Title"]),
+         (72.0, 680.0, 11.0, ["p1 body"])],
+        [(72.0, 720.0, 12.0, ["left col"]),
+         (320.0, 720.0, 12.0, ["right col"]),
+         (72.0, 680.0, 11.0, ["left lower"])],
+    ], compress=True)
+    assert extract_pdf(pdf) == ("## Page One Title\n\np1 body\n\n"
+                                "left col\n\nleft lower\n\nright col")
+
+
 def test_pdf_reader_robust_under_mutation():
     """Mutated/truncated PDF bytes terminate fast and fail only via the
     typed PdfUnsupported channel (or parse cleanly) — no hangs, no stray
