@@ -210,6 +210,11 @@ from html.parser import (attrfind_tolerant as _ATTRFIND_RX,
 _NAME_EQ_SLASH = frozenset("abcdefghijklmnopqrstuvwxyz=/"
                            "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
+#: html.parser's STRICT end-tag pattern (endtagfind): tried before the
+#: tolerant name, so unicode whitespace between the name and '>' is
+#: ignorable rather than part of the name
+_ENDTAG_STRICT_RX = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+
 
 def _stdlib_tag_end(text: str, s: int) -> tuple[str, int, bool]:
     """Exact ``html.parser`` classification of a start tag at ``s`` (the
@@ -469,7 +474,8 @@ def _try_skip_subtree(text: str, pos: int, tag: str):
         scan = m.end()
         end_name = m.group(1)
         if end_name is not None:  # named closing tag
-            name = end_name.lower()
+            sm = _ENDTAG_STRICT_RX.match(text, lt)
+            name = (sm.group(1) if sm else end_name).lower()
             if name in stack:
                 while stack[-1] != name:
                     stack.pop()
@@ -557,7 +563,12 @@ def parse_html(text: str) -> Node:
         pos = m.end()
         end_name = m.group(1)
         if end_name is not None:
-            endtag(end_name.lower())
+            # stdlib resolves close-tag names with the STRICT pattern
+            # first (trailing unicode whitespace is ignorable there:
+            # </td > closes 'td'), falling back to the tolerant
+            # name our token regex captured
+            sm = _ENDTAG_STRICT_RX.match(text, s)
+            endtag((sm.group(1) if sm else end_name).lower())
             continue
         name = m.group(2)
         if name is None:

@@ -101,6 +101,10 @@ ADVERSARIAL = [
     "<t\x00>",
     "<nav\x00>z</nav>",
     "<p \x00>k",         # ...but NUL after whitespace IS an attr name
+    # close-tag names resolve via the STRICT stdlib pattern first:
+    # trailing unicode whitespace is ignorable, not part of the name
+    "<td><a>c </td\u2028>&",
+    "<nav>b</nav\u2028><p>keep</p>",
     # comment close is unicode-\s tolerant (stdlib _commentclose)
     "<!---- >after",
 ]
@@ -162,7 +166,7 @@ _soup_atoms = st.sampled_from([
     '<p a=b"c">', '<p a==b>', '="x"', "<p 'j'>", '<div a=">">', "`,",
     '<a href="/x" class="y">', "<p a = 'v'>", "<p a/ b>", "<p a=b,c>",
     '</div a=">">', "<nav ='a>b'>", "<p =>",
-    "\x00", "\u2028", "<body>", "<main>", "</body>", "<!----",
+    "\x00", "\u2028", "</td\u2028>", "<body>", "<main>", "</body>", "<!----",
 ])
 
 
