@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="parquet")
     p.add_argument("--no-resume", action="store_true",
                    help="recompute everything, ignore the manifest")
+    p.add_argument("--status", action="store_true",
+                   help="poll only: print SUCCESS/IN_PROGRESS/PENDING for "
+                        "--run-id and exit (expected partition count is "
+                        "derived from the input, so file-mode runs with "
+                        "fewer files than --partitions report correctly)")
     p.add_argument("--extract-tables-as-images", action="store_true")
     p.add_argument("--image-resolution-scale", type=int, default=4)
     return p
@@ -90,6 +95,14 @@ def main(argv: list[str] | None = None) -> None:
         image_resolution_scale=args.image_resolution_scale)
     pages = read_pages(spark, args.input, storage=args.format,
                        table=args.input if args.format == "iceberg" else None)
+    if args.status:
+        from docling_api_spark.plans.manifest import job_status
+        status = job_status(spark, args.output + "_manifest", args.run_id,
+                            pages, cfg)
+        print(f"run_id={args.run_id} status={status}")
+        if not preexisting:
+            spark.stop()
+        return
     res = run_extraction(spark, pages, args.output, args.run_id, cfg,
                          resume=not args.no_resume)
     print(f"run_id={res.run_id} docs={res.docs} "

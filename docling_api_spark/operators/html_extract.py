@@ -167,9 +167,12 @@ def parse_html_stdlib(text: str) -> Node:
 #: any OTHER keyword makes stdlib raise (tests skip those inputs, the
 #: engine wraps them in error rows), and an unterminated section falls
 #: to the incomplete rule via the '<!' head group.
+#: keyword boundary = _markupbase._declname_match chars exactly
+#: ([a-zA-Z][-_.a-zA-Z0-9]*) — NO colon: stdlib reads '<![if:x]>' as an
+#: if-class section named 'if' with ':x' inside it (r3 advice fix)
 _MS_CDATA = (r"<!\[(?i:temp|cdata|ignore|include|rcdata)"
-             r"(?![-.a-zA-Z0-9_:]).*?\]\s*\]\s*>")
-_MS_IF = r"<!\[(?i:if|else|endif)(?![-.a-zA-Z0-9_:]).*?\]\s*>"
+             r"(?![-.a-zA-Z0-9_]).*?\]\s*\]\s*>")
+_MS_IF = r"<!\[(?i:if|else|endif)(?![-.a-zA-Z0-9_]).*?\]\s*>"
 
 _TOKEN_RX = re.compile(
     r"<!--.*?--\s*>"     # comment (stdlib close: '--' ws* '>')

@@ -62,11 +62,34 @@ def manifest_status(spark: SparkSession, manifest_path: str,
 
     ``num_partitions`` is the expected id count: the config's P in salted
     mode (every id 0..P-1 occurs for non-trivial inputs); in file mode
-    the input may map to fewer ids, so pass the input's distinct
-    partition_id count (``add_partition_id(input, P, 'file')`` → distinct)
-    when polling a file-keyed run."""
+    the input may map to fewer ids (fewer files than the configured
+    width) — use :func:`job_status`, which derives the expected count
+    from the input, for mode-correct polling."""
     done = read_done_partitions(spark, manifest_path, run_id)
     n = 0 if done is None else done.count()
     if n >= num_partitions:
         return "SUCCESS"
     return "IN_PROGRESS" if n > 0 else "PENDING"
+
+
+def expected_partition_count(pages: DataFrame, cfg) -> int:
+    """The number of partition ids a run over ``pages`` will produce —
+    the denominator a status poll must use. In file mode the ids are
+    file-name hashes, so an input with fewer files than
+    ``cfg.num_partitions`` yields fewer ids than the configured width
+    (polling against P would sit at IN_PROGRESS forever — r3 advice fix);
+    the count is a column-pruned distinct over the derived key, never a
+    scan of the page bytes."""
+    from .pipeline import add_partition_id  # local: pipeline imports us
+    return (add_partition_id(pages, cfg.num_partitions, cfg.partition_mode)
+            .select("partition_id").distinct().count())
+
+
+def job_status(spark: SparkSession, manifest_path: str, run_id: str,
+               pages: DataFrame, cfg) -> str:
+    """Mode-correct job-status poll: SUCCESS when every partition id the
+    input actually maps to (file OR salted mode) is in the manifest —
+    the A17/A18 status machine with the expected set computed from the
+    input instead of trusted from the config."""
+    return manifest_status(spark, manifest_path, run_id,
+                           expected_partition_count(pages, cfg))

@@ -89,6 +89,12 @@ ADVERSARIAL = [
     "<![cdata x] ]>k",
     "<![include a]]>k",
     "<![if x] >k",
+    # r3 advice fix: ':' is NOT a declname char ([a-zA-Z][-_.a-zA-Z0-9]*)
+    # — stdlib reads '<![if:x]>' as an if-class section named 'if'
+    "a<![if:x]>hidden]>b",
+    "a<![cdata:q]>mid]]>b",
+    "<nav><![if:</nav>]>boiler</nav><p>keep</p>",
+    "<![endif:]>t",
     "<nav><![CDATA[</nav>] ]>boiler</nav><p>keep</p>",
     # a root-candidate tag INSIDE a DROP region must abort the skip:
     # _pick_root can choose it as the extraction root
@@ -167,6 +173,7 @@ _soup_atoms = st.sampled_from([
     '<a href="/x" class="y">', "<p a = 'v'>", "<p a/ b>", "<p a=b,c>",
     '</div a=">">', "<nav ='a>b'>", "<p =>",
     "\x00", "\u2028", "</td\u2028>", "<body>", "<main>", "</body>", "<!----",
+    "<![if:x]>", "<![cdata:", "]>", ":",
 ])
 
 

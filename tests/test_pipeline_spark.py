@@ -259,3 +259,23 @@ def test_job_cli_main(spark, tmp_path):
     # is a handful of parquet files, so fewer than the width of 8)
     n_ids = got.select("partition_id").distinct().count()
     assert spark.read.parquet(out + "_manifest").count() == n_ids
+
+    # file-mode-aware status (r3 advice fix): fewer files than the width
+    # of 8 means fewer ids than 8 — the raw width-based poll would sit at
+    # IN_PROGRESS forever on this completed run; job_status derives the
+    # expected count from the input and reports SUCCESS
+    inp_pages = spark.read.parquet(inp)
+    cfg = ExtractConfig(num_partitions=8)
+    assert 0 < n_ids < 8
+    assert mf.expected_partition_count(inp_pages, cfg) == n_ids
+    assert mf.manifest_status(spark, out + "_manifest", "t-cli", 8) \
+        == "IN_PROGRESS"
+    assert mf.job_status(spark, out + "_manifest", "t-cli",
+                         inp_pages, cfg) == "SUCCESS"
+    # the CLI poll surface prints the same verdict
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        job.main(["--input", inp, "--output", out,
+                  "--run-id", "t-cli", "--partitions", "8", "--status"])
+    assert "status=SUCCESS" in buf.getvalue()

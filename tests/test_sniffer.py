@@ -48,6 +48,21 @@ def test_html_content_heuristic():
     assert detect_html_xhtml(b"just some text") is None
 
 
+def test_html_heuristic_ascii_ignore_decode():
+    # reference decodes ascii-ignore FIRST (utils.py:61): non-ASCII bytes
+    # vanish, so a UTF-8 BOM / any non-ASCII prefix before <html> still
+    # sniffs as html (r3 advice fix; the r2 byte-level match regressed this)
+    assert detect_html_xhtml(b"\xef\xbb\xbf<html><body>x") == "text/html"
+    assert detect_html_xhtml(b"\xc3\xa9\xc2\xa0<head>") == "text/html"
+    assert detect_format(b"\xef\xbb\xbf<html>hi", "https://a/page") == "html"
+    # the dropped bytes do NOT create a match that wasn't there
+    assert detect_html_xhtml(b"\xffplain text") is None
+    # BOM before an xml decl: xhtml probe still fires
+    assert detect_html_xhtml(
+        b'\xef\xbb\xbf<?xml version="1.0"?><html xmlns="x/xhtml">'
+    ) == "application/xhtml+xml"
+
+
 def test_html_heuristic_is_anchored():
     # reference uses re.match on the comment-stripped, lstripped content
     # (utils.py:71): an html tag MID-prefix is plain text, not html
@@ -66,6 +81,10 @@ def test_extension_map_is_reference_subset():
     assert format_from_extension("https://a/file.docx") is None
     assert format_from_extension("https://a/file.pptx") is None
     assert format_from_extension("https://a/file.png") is None
+    # FormatToExtensions[MD] is ['md'] only (utils.py:29): '.markdown' is
+    # NOT accepted by the reference (r3 advice fix)
+    assert format_from_extension("https://a/file.markdown") is None
+    assert detect_format(b"plain words", "https://a/file.markdown") is None
     assert detect_format(b"not a pdf at all", "https://a/file.pdf") is None
     # real PDF bytes still detected regardless of extension (magic)
     pdf = write_pdf([[(72, 720, 12, ["x"])]])

@@ -37,7 +37,7 @@ CHAR_ALPHA = [
     '-->', '<![CDATA[', ']]>', 'if', '\x00', 'é', ' ', 'Z',
     '<meta charset=utf-8>', '<body>', '</body>', '<main>', '</main>',
     '<article>', '<body/>', '<table>', '<tr>', '<td>', '</table>',
-    '<pre>', '</pre>', '&#x26;', '&lt;',
+    '<pre>', '</pre>', '&#x26;', '&lt;', ':', '<![if:', '<![cdata:',
 ]
 
 
