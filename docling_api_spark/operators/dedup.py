@@ -25,6 +25,8 @@ DuckDB results are value-identical.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions import textsql as X
@@ -56,34 +58,6 @@ FROM documents
 
 # ------------------------------------------------------- minhash signatures
 
-N_SIGS = 8
-
-
-def _sig_select(dialect: str) -> str:
-    # staged tk -> sh -> hs subqueries: each expensive array is a named
-    # column computed once per row (see textsql.shingles_from)
-    cols = [f"{X.minhash_affine(dialect, 'hs', s)} AS sig_{s}"
-            for s in range(N_SIGS)]
-    return (f"SELECT doc_id, {', '.join(cols)} FROM "
-            f"(SELECT doc_id, {X.shingle_hashes(dialect)} AS hs FROM "
-            f"(SELECT doc_id, {X.shingles_from(dialect)} AS sh FROM "
-            f"(SELECT doc_id, {X.tokens(dialect)} AS tk "
-            f"FROM documents) a) b) c")
-
-
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _docs(spark, sf_dir).createOrReplaceTempView("documents")
-    return spark.sql(_sig_select("spark"))
-
-
-MINHASH_SIG_ORACLE = _sig_select("duck")
-
-
-# -------------------------------------------------- minhash LSH dedup pairs
-
-N_BANDS = 4  # bands of 2 rows each over the 8 signatures
-
-
 def lsh_params_for(threshold: float, max_sigs: int = 256) -> tuple[int, int]:
     """Size (n_sigs, n_bands) for a target jaccard threshold: with b bands
     of r rows the LSH S-curve midpoint is ~(1/b)^(1/r); pick the (b, r)
@@ -105,29 +79,108 @@ def lsh_params_for(threshold: float, max_sigs: int = 256) -> tuple[int, int]:
     return best
 
 
-def _band_expr(dialect: str, b: int) -> str:
-    a, c = 2 * b, 2 * b + 1
+@dataclass(frozen=True)
+class LshConfig:
+    """Scale knobs for the MinHash-LSH family — every signature/band/
+    pipeline entry point takes one (r3: previously ``lsh_params_for`` was
+    advisory-only and the shapes were module constants). Defaults match
+    the calibrated testdata shape (8 sigs, 4 bands of 2 rows); production
+    sizes come from :meth:`for_threshold`."""
+
+    n_sigs: int = 8
+    n_bands: int = 4
+
+    def __post_init__(self):
+        if self.n_bands < 1 or self.n_sigs % self.n_bands:
+            raise ValueError("n_sigs must split evenly into n_bands bands")
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.n_sigs // self.n_bands
+
+    @classmethod
+    def for_threshold(cls, threshold: float,
+                      max_sigs: int = 256) -> "LshConfig":
+        """Config whose S-curve midpoint is closest to ``threshold``
+        (see :func:`lsh_params_for`)."""
+        sigs, bands = lsh_params_for(threshold, max_sigs)
+        return cls(n_sigs=sigs, n_bands=bands)
+
+
+DEFAULT_LSH = LshConfig()
+#: kept as module-level aliases (oracle strings below bake the defaults)
+N_SIGS = DEFAULT_LSH.n_sigs
+N_BANDS = DEFAULT_LSH.n_bands
+
+
+def _sig_select(dialect: str, cfg: LshConfig = DEFAULT_LSH) -> str:
+    # staged tk -> sh -> hs subqueries: each expensive array is a named
+    # column computed once per row (see textsql.shingles_from)
+    cols = [f"{X.minhash_affine(dialect, 'hs', s)} AS sig_{s}"
+            for s in range(cfg.n_sigs)]
+    return (f"SELECT doc_id, {', '.join(cols)} FROM "
+            f"(SELECT doc_id, {X.shingle_hashes(dialect)} AS hs FROM "
+            f"(SELECT doc_id, {X.shingles_from(dialect)} AS sh FROM "
+            f"(SELECT doc_id, {X.tokens(dialect)} AS tk "
+            f"FROM documents) a) b) c")
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str,
+                       cfg: LshConfig = DEFAULT_LSH) -> DataFrame:
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_sig_select("spark", cfg))
+
+
+MINHASH_SIG_ORACLE = _sig_select("duck")
+
+
+# -------------------------------------------------- minhash LSH dedup pairs
+
+def _band_expr(dialect: str, b: int, cfg: LshConfig = DEFAULT_LSH) -> str:
+    """Band key = ':'-joined signature row values; band b covers sig rows
+    [b*r, (b+1)*r). With the default (r=2) this is byte-identical to the
+    r2 fixed shape."""
+    idx = range(b * cfg.rows_per_band, (b + 1) * cfg.rows_per_band)
     if dialect == "spark":
-        return (f"concat(CAST(sig_{a} AS STRING), ':', "
-                f"CAST(sig_{c} AS STRING))")
-    return f"(CAST(sig_{a} AS VARCHAR) || ':' || CAST(sig_{c} AS VARCHAR))"
+        parts = ", ':', ".join(f"CAST(sig_{i} AS STRING)" for i in idx)
+        return f"concat({parts})"
+    parts = " || ':' || ".join(f"CAST(sig_{i} AS VARCHAR)" for i in idx)
+    return f"({parts})"
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
-
-    Plan shape: projection → explode(4 band keys) → self equi-join on
-    (band_idx, band_key) → distinct pairs. The join key is a hash band, so
-    Catalyst runs a shuffle-hash/sort-merge join on it — linear in the
-    number of colliding docs, never all-pairs."""
-    sig = minhash_signatures(spark, sf_dir)
-    bands = sig.select(
+def _bands_df(spark: SparkSession, sf_dir: str,
+              cfg: LshConfig = DEFAULT_LSH) -> DataFrame:
+    """(doc_id, band_idx, band_key) exploded — the shared projection under
+    the LSH self-join, the incremental join, and the near-dup pipeline."""
+    sig = minhash_signatures(spark, sf_dir, cfg)
+    return sig.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_idx"),
-                     F.expr(_band_expr("spark", b)).alias("band_key"))
-            for b in range(N_BANDS)])).alias("band"),
+                     F.expr(_band_expr("spark", b, cfg)).alias("band_key"))
+            for b in range(cfg.n_bands)])).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
+
+
+def _bands_cte(cfg: LshConfig = DEFAULT_LSH) -> str:
+    """DuckDB twin of :func:`_bands_df` (body of the ``bands`` CTE)."""
+    return f"""
+  SELECT doc_id, b.band_idx, b.band_key
+  FROM sig, UNNEST([
+    {', '.join(f"{{'band_idx': {b}, 'band_key': {_band_expr('duck', b, cfg)}}}"
+               for b in range(cfg.n_bands))}
+  ]) AS t(b)"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
+                      cfg: LshConfig = DEFAULT_LSH) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
+
+    Plan shape: projection → explode(n_bands band keys) → self equi-join
+    on (band_idx, band_key) → distinct pairs. The join key is a hash band,
+    so Catalyst runs a shuffle-hash/sort-merge join on it — linear in the
+    number of colliding docs, never all-pairs."""
+    bands = _bands_df(spark, sf_dir, cfg)
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (left.join(right, ["band_idx", "band_key"])
@@ -138,20 +191,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
-DEDUP_MINHASH_LSH_ORACLE = f"""
-WITH sig AS ({_sig_select('duck')}),
-bands AS (
-  SELECT doc_id, b.band_idx, b.band_key
-  FROM sig, UNNEST([
-    {', '.join(f"{{'band_idx': {b}, 'band_key': {_band_expr('duck', b)}}}"
-               for b in range(N_BANDS))}
-  ]) AS t(b)
-)
+def lsh_candidates_oracle(cfg: LshConfig = DEFAULT_LSH) -> str:
+    return f"""
+WITH sig AS ({_sig_select('duck', cfg)}),
+bands AS ({_bands_cte(cfg)})
 SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
 FROM bands l JOIN bands r
   ON l.band_idx = r.band_idx AND l.band_key = r.band_key
 WHERE l.doc_id < r.doc_id
 """
+
+
+DEDUP_MINHASH_LSH_ORACLE = lsh_candidates_oracle()
 
 
 # ----------------------------------------------------------------- simhash
@@ -228,7 +279,15 @@ NGRAM_JACCARD_ORACLE = _jaccard_sql("duck")
 INCREMENTAL_SPLIT_MOD = 5
 
 
-def _incremental_oracle() -> str:
+#: broadcast the new batch only while it is actually broadcastable: a
+#: production incremental batch is a day of crawl — possibly terabytes —
+#: and a forced broadcast hint bypasses AQE's size check (executor OOM
+#: instead of a graceful shuffled join — r2 verdict's named scale-killer).
+#: 100k docs ≈ n_bands × 100k × ~60 B of band keys ≈ tens of MB.
+INCREMENTAL_BROADCAST_MAX_DOCS = 100_000
+
+
+def _incremental_oracle(cfg: LshConfig = DEFAULT_LSH) -> str:
     """DuckDB twin of :func:`incremental_dedup` (the Spark side is
     DataFrame-built): which NEW documents collide (share an LSH band)
     with the EXISTING corpus — the nightly-batch shape: signatures for
@@ -237,15 +296,9 @@ def _incremental_oracle() -> str:
     shuffle is proportional to the small new batch (or a broadcast of
     it), never corpus x corpus. One row per new doc with its earliest
     colliding corpus doc."""
-    bands = f"""
-  SELECT doc_id, b.band_idx, b.band_key
-  FROM sig, UNNEST([
-    {', '.join(f"{{'band_idx': {b}, 'band_key': {_band_expr('duck', b)}}}"
-               for b in range(N_BANDS))}
-  ]) AS t(b)"""
     return f"""
-WITH sig AS ({_sig_select('duck')}),
-bands AS ({bands}),
+WITH sig AS ({_sig_select('duck', cfg)}),
+bands AS ({_bands_cte(cfg)}),
 corpus AS (SELECT * FROM bands WHERE doc_id % {INCREMENTAL_SPLIT_MOD} <> 0),
 fresh  AS (SELECT * FROM bands WHERE doc_id % {INCREMENTAL_SPLIT_MOD} = 0)
 SELECT f.doc_id AS new_id, min(c.doc_id) AS first_dup_of
@@ -255,23 +308,30 @@ GROUP BY f.doc_id
 """
 
 
-def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """New-batch-vs-corpus LSH collision check (see _incremental_sql).
-    The new side is small by construction — Catalyst broadcasts it, so
-    the big corpus side never shuffles."""
-    sig = minhash_signatures(spark, sf_dir)
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band_idx"),
-                     F.expr(_band_expr("spark", b)).alias("band_key"))
-            for b in range(N_BANDS)])).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_key")
+def incremental_dedup(
+        spark: SparkSession, sf_dir: str, cfg: LshConfig = DEFAULT_LSH,
+        max_broadcast_docs: int = INCREMENTAL_BROADCAST_MAX_DOCS,
+) -> DataFrame:
+    """New-batch-vs-corpus LSH collision check (see _incremental_oracle).
+
+    The broadcast of the new side is SIZE-GATED (r3 fix): the new batch's
+    doc count — a cheap column-pruned count of the new side only, never
+    the corpus — decides between ``F.broadcast(fresh)`` (corpus side
+    stays completely shuffle-free) and no hint (a large nightly batch
+    degrades to an AQE-planned shuffled hash/sort-merge join on the band
+    key instead of OOMing the executors). Either way the join is a keyed
+    equi-join — never corpus × corpus."""
+    docs = _docs(spark, sf_dir)
+    n_fresh = (docs.where(F.col("doc_id") % INCREMENTAL_SPLIT_MOD == 0)
+               .select("doc_id").count())
+    bands = _bands_df(spark, sf_dir, cfg)
     corpus = bands.where(F.col("doc_id") % INCREMENTAL_SPLIT_MOD != 0)
-    fresh = bands.where(F.col("doc_id") % INCREMENTAL_SPLIT_MOD == 0)
+    fresh = bands.where(F.col("doc_id") % INCREMENTAL_SPLIT_MOD == 0) \
+                 .alias("f")
+    if n_fresh <= max_broadcast_docs:
+        fresh = F.broadcast(fresh)
     return (corpus.alias("c")
-            .join(F.broadcast(fresh.alias("f")),
-                  ["band_idx", "band_key"])
+            .join(fresh, ["band_idx", "band_key"])
             .groupBy(F.col("f.doc_id").alias("new_id"))
             .agg(F.min("c.doc_id").alias("first_dup_of")))
 
@@ -285,7 +345,8 @@ INCREMENTAL_DEDUP_ORACLE = _incremental_oracle()
 NEAR_DUP_THRESHOLD = 0.8
 
 
-def dedup_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_near_pipeline(spark: SparkSession, sf_dir: str,
+                        cfg: LshConfig = DEFAULT_LSH) -> DataFrame:
     """The full near-dup pipeline: MinHash-LSH candidates → exact token-set
     jaccard verification → threshold → confirmed duplicate pairs.
 
@@ -293,8 +354,9 @@ def dedup_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, then two hash joins on doc_id to attach the (deduplicated)
     token arrays, then a map-side jaccard + filter. Candidate cardinality,
     not corpus cardinality, drives the verify cost — the reason LSH feeds
-    this stage instead of the O(n²) all-pairs jaccard."""
-    cand = dedup_minhash_lsh(spark, sf_dir)
+    this stage instead of the O(n²) all-pairs jaccard. Recall/precision
+    scale with ``cfg`` (:meth:`LshConfig.for_threshold`)."""
+    cand = dedup_minhash_lsh(spark, sf_dir, cfg)
     t = spark.sql(
         f"SELECT doc_id, array_distinct({X.tokens('spark')}) AS t "
         f"FROM documents")
@@ -311,15 +373,10 @@ def dedup_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("left_id", "right_id", "jaccard"))
 
 
-DEDUP_NEAR_ORACLE = f"""
-WITH sig AS ({_sig_select('duck')}),
-bands AS (
-  SELECT doc_id, b.band_idx, b.band_key
-  FROM sig, UNNEST([
-    {', '.join(f"{{'band_idx': {b}, 'band_key': {_band_expr('duck', b)}}}"
-               for b in range(N_BANDS))}
-  ]) AS t(b)
-),
+def near_pipeline_oracle(cfg: LshConfig = DEFAULT_LSH) -> str:
+    return f"""
+WITH sig AS ({_sig_select('duck', cfg)}),
+bands AS ({_bands_cte(cfg)}),
 cand AS (
   SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
   FROM bands l JOIN bands r
@@ -340,3 +397,6 @@ SELECT left_id, right_id,
 FROM j
 WHERE ROUND(inter / CAST(la + lb - inter AS DOUBLE), 4) >= {NEAR_DUP_THRESHOLD}
 """
+
+
+DEDUP_NEAR_ORACLE = near_pipeline_oracle()

@@ -1,0 +1,114 @@
+"""Scale-parameterization tests for the MinHash-LSH family (VERDICT r2
+items 1 and 5): the LshConfig plumbing must keep Spark/DuckDB parity at
+non-default shapes, and the incremental-dedup broadcast must be size-gated
+(forced broadcast of an unbounded new batch was r2's named scale-killer)."""
+
+import contextlib
+import io
+
+import duckdb
+import pytest
+
+from docling_api_spark.operators import dedup as D
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    yield con
+
+
+def _plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_lsh_config_validation_and_sizing():
+    assert D.DEFAULT_LSH == D.LshConfig(n_sigs=8, n_bands=4)
+    assert D.DEFAULT_LSH.rows_per_band == 2
+    with pytest.raises(ValueError):
+        D.LshConfig(n_sigs=8, n_bands=3)  # uneven split
+    cfg = D.LshConfig.for_threshold(0.85)
+    mid = (1.0 / cfg.n_bands) ** (1.0 / cfg.rows_per_band)
+    assert abs(mid - 0.85) < 0.02
+    assert cfg.n_sigs <= 256
+
+
+def test_band_expr_default_matches_r2_shape():
+    # band b covers sig rows [b*r, (b+1)*r) — with r=2 the generated keys
+    # are byte-identical to the r2 fixed (2b, 2b+1) shape, so the driver
+    # oracle hashes are unchanged
+    assert D._band_expr("spark", 1) == \
+        "concat(CAST(sig_2 AS STRING), ':', CAST(sig_3 AS STRING))"
+    assert D._band_expr("duck", 0) == \
+        "(CAST(sig_0 AS VARCHAR) || ':' || CAST(sig_1 AS VARCHAR))"
+    wide = D.LshConfig(n_sigs=6, n_bands=2)
+    assert D._band_expr("spark", 1, wide) == (
+        "concat(CAST(sig_3 AS STRING), ':', CAST(sig_4 AS STRING), ':', "
+        "CAST(sig_5 AS STRING))")
+
+
+@pytest.mark.parametrize("cfg", [
+    D.LshConfig(n_sigs=12, n_bands=4),   # 3 rows/band: stricter bands
+    D.LshConfig(n_sigs=6, n_bands=6),    # 1 row/band: permissive bands
+])
+def test_nondefault_lsh_config_parity(spark, duck, cfg):
+    """Spark and DuckDB candidate sets stay value-identical at non-default
+    (n_sigs, n_bands) — the driver gate only exercises the default."""
+    srows = sorted(tuple(r) for r in
+                   D.dedup_minhash_lsh(spark, SF_DIR, cfg).collect())
+    drows = sorted(map(tuple, duck.sql(
+        D.lsh_candidates_oracle(cfg)).fetchall()))
+    assert srows == drows
+    assert len(srows) > 0
+
+
+def test_more_bands_more_candidates(spark):
+    """1-row bands collide far more than the default 2-row bands — the
+    S-curve knob actually moves recall."""
+    strict = D.dedup_minhash_lsh(
+        spark, SF_DIR, D.LshConfig(n_sigs=8, n_bands=4)).count()
+    loose = D.dedup_minhash_lsh(
+        spark, SF_DIR, D.LshConfig(n_sigs=6, n_bands=6)).count()
+    assert loose > strict
+
+
+def test_incremental_broadcast_is_size_gated(spark, duck):
+    """r2 verdict item 1: a small new batch broadcasts (corpus side never
+    shuffles); a batch over the gate must NOT carry a broadcast hint —
+    the planner's size statistics govern. Pinned by disabling
+    autoBroadcastJoinThreshold (simulating 'stats say the batch is too
+    big'): the hinted path still forces a broadcast (the r2 hazard —
+    hints bypass the size check), the gated path degrades to a shuffled
+    join instead of an OOM."""
+    small = D.incremental_dedup(spark, SF_DIR)
+    plan_small = _plan_str(small)
+    assert "BroadcastHashJoin" in plan_small, plan_small
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # under the gate, the hint forces a broadcast regardless of stats
+        hinted = D.incremental_dedup(spark, SF_DIR)
+        assert "BroadcastHashJoin" in _plan_str(hinted)
+        # over the gate: no hint, so the planner's size decision stands
+        big = D.incremental_dedup(spark, SF_DIR, max_broadcast_docs=0)
+        plan_big = _plan_str(big)
+        assert "BroadcastHashJoin" not in plan_big, plan_big
+        assert ("SortMergeJoin" in plan_big) or \
+            ("ShuffledHashJoin" in plan_big)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # both regimes compute the same rows, and both match the oracle
+    srows = sorted(tuple(r) for r in small.collect())
+    brows = sorted(tuple(r) for r in big.collect())
+    orows = sorted(map(tuple, duck.sql(D._incremental_oracle()).fetchall()))
+    assert srows == brows == orows
+    assert len(srows) > 0
