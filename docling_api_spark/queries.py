@@ -498,8 +498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": similarity.cosine_topk,
         "ann_lsh": similarity.ann_lsh,
         "ann_ivf": similarity.ann_ivf,
-        # iterative k-means training feeds this one — not SQL-expressible,
-        # so it has NO oracle_sql() entry by design (driver: rows-only)
+        # iterative k-means feeds this one; training is deterministic, so
+        # the oracle replicates it engine-free and inlines the learned
+        # centroid literals (r3: value-gated, was rows-only)
         "ann_ivf_trained": similarity.ann_ivf_trained,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         # multimodal binary plumbing
@@ -545,6 +546,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": similarity.COSINE_TOPK_ORACLE,
         "ann_lsh": similarity.ANN_LSH_ORACLE,
         "ann_ivf": similarity.ANN_IVF_ORACLE,
+        "ann_ivf_trained": similarity.ann_ivf_trained_oracle(),
         "dedup_embedding_cosine": similarity.DEDUP_EMBEDDING_ORACLE,
         "media_metadata": multimodal.MEDIA_METADATA_ORACLE,
         "image_features": multimodal.IMAGE_FEATURES_ORACLE,

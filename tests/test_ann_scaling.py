@@ -74,6 +74,24 @@ def test_nondefault_config_parity(spark, duck, cfg):
     assert len(srows) > 0
 
 
+def test_default_bucket_cap_finite_and_output_neutral(duck):
+    """r2 verdict item 3: the skew backstop must be ON by default, and the
+    chosen cap must not change any result at test scale (every oracle row
+    byte-identical to the uncapped plan)."""
+    assert S.DEFAULT_ANN.bucket_cap is not None
+    expr = S._bucket_expr("duck", "embedding", S.DEFAULT_ANN)
+    max_bucket = duck.sql(
+        f"SELECT max(n) FROM (SELECT {expr} AS b, count(*) AS n "
+        f"FROM embeddings GROUP BY 1)").fetchone()[0]
+    assert max_bucket < S.DEFAULT_ANN.bucket_cap
+    uncapped = S.AnnConfig(bucket_cap=None)
+    for gen in (S._ann_sql, S._embedding_dedup_sql):
+        capped_rows = duck.sql(gen("duck", S.DEFAULT_ANN)).fetchall()
+        uncapped_rows = duck.sql(gen("duck", uncapped)).fetchall()
+        assert sorted(map(tuple, capped_rows)) == \
+            sorted(map(tuple, uncapped_rows))
+
+
 def test_multiprobe_recall_at_least_single_probe(spark):
     """Probing Hamming-1 buckets can only widen the candidate set, so
     multi-probe top-k similarity per query is >= single-probe."""
@@ -102,6 +120,26 @@ def test_ivf_train_deterministic_across_partitioning(spark):
     init = [[float(x) for x in r.embedding]
             for r in emb.orderBy("vec_id").limit(4).collect()]
     assert c1 != init
+
+
+def test_ivf_train_replica_bit_identical(spark):
+    """The engine-free k-means replica (oracle-build path) must reproduce
+    the Spark-trained model bit-for-bit — the property that lets the
+    driver value-gate ann_ivf_trained (r2 verdict item 2)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert S.ivf_train(emb, k=8, iters=2) == \
+        S.ivf_train_replica(SF_DIR, k=8, iters=2)
+
+
+def test_ann_ivf_trained_oracle_parity(spark, duck):
+    """Spark query (trains in Spark) vs DuckDB oracle (trains in the
+    replica, centroids inlined as literals): value-identical."""
+    srows = sorted(tuple(r) for r in
+                   S.ann_ivf_trained(spark, SF_DIR).collect())
+    drows = sorted(map(tuple,
+                       duck.sql(S.ann_ivf_trained_oracle(SF_DIR)).fetchall()))
+    assert srows == drows
+    assert len(srows) > 0
 
 
 def test_lsh_params_for_threshold():
