@@ -400,3 +400,73 @@ WHERE ROUND(inter / CAST(la + lb - inter AS DOUBLE), 4) >= {NEAR_DUP_THRESHOLD}
 
 
 DEDUP_NEAR_ORACLE = near_pipeline_oracle()
+
+
+# ----------------------------------- near-dup connected components (canon)
+
+def neardup_canonical(spark: SparkSession, sf_dir: str,
+                      cfg: LshConfig = DEFAULT_LSH,
+                      max_iters: int = 50) -> DataFrame:
+    """Connected-component canonical id over the VERIFIED near-dup pairs:
+    every doc in a component maps to the component's min doc_id — the
+    keep-one-representative decision a retention pipeline needs (pairs
+    alone don't say which doc survives a chain a~b~c).
+
+    Spark shape: iterated min-label propagation (the standard distributed
+    CC pattern) — per round one equi-join on the edge endpoint + one
+    keyed min-agg, looped until a scalar fixpoint check (#changed labels
+    == 0, an aggregate — never a data collect). Rounds = component
+    diameter; near-dup components are clique/star-like (every member
+    shares a band with the others), so 2-3 rounds in practice. Lineage is
+    truncated per round (localCheckpoint) so plans don't grow. Only docs
+    in ≥1 verified pair carry a row; composition sites coalesce everyone
+    else to self."""
+    pairs = dedup_near_pipeline(spark, sf_dir, cfg) \
+        .select("left_id", "right_id")
+    e1 = pairs.select(F.col("left_id").alias("src"),
+                      F.col("right_id").alias("dst"))
+    e2 = pairs.select(F.col("right_id").alias("src"),
+                      F.col("left_id").alias("dst"))
+    edges = e1.union(e2).localCheckpoint()
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id")).localCheckpoint())
+    for _ in range(max_iters):
+        nbr = (edges.join(labels, edges["dst"] == labels["doc_id"])
+               .groupBy("src").agg(F.min("label").alias("nbr_label")))
+        new = (labels.alias("l")
+               .join(nbr.alias("n"), F.col("l.doc_id") == F.col("n.src"),
+                     "left")
+               .select(F.col("l.doc_id").alias("doc_id"),
+                       F.least(F.col("l.label"),
+                               F.coalesce(F.col("n.nbr_label"),
+                                          F.col("l.label"))).alias("label"))
+               .localCheckpoint())
+        changed = (new.alias("a").join(labels.alias("b"), "doc_id")
+                   .where(F.col("a.label") != F.col("b.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("nd_canonical"))
+
+
+def neardup_canonical_oracle(cfg: LshConfig = DEFAULT_LSH) -> str:
+    """DuckDB twin of :func:`neardup_canonical`: transitive closure by
+    recursive CTE — the same unique component-min fixpoint the Spark
+    min-propagation loop converges to."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT left_id, right_id FROM ({near_pipeline_oracle(cfg)}) np
+),
+edges AS (
+  SELECT left_id AS src, right_id AS dst FROM pairs
+  UNION ALL
+  SELECT right_id, left_id FROM pairs
+),
+walk(src, lbl) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.lbl
+)
+SELECT src AS doc_id, least(src, min(lbl)) AS nd_canonical
+FROM walk GROUP BY src
+"""

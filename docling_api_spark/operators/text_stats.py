@@ -122,6 +122,75 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_FILTER_ORACLE = _quality_filter_sql("duck")
 
 
+# ------------------------------------------- quality filter incl. near-dups
+
+def _qf_neardup_sql(dialect: str, nd_rel: str) -> str:
+    """quality_filter's gates + the LSH-verified near-dup drop (r2 verdict
+    item 4): a doc whose connected-component canonical (over the verified
+    pair set, :func:`..dedup.neardup_canonical`) is another doc gets
+    reason ``near_duplicate``. Exact duplicates outrank near (identical
+    text is both); component canonicals survive to the shape gates."""
+    toks = X.tokens(dialect)
+    sw = X.array_lit(dialect, X.EN_STOPWORDS)
+    if dialect == "spark":
+        n_tok = f"size({toks})"
+        n_stop = f"size(filter(tk, t -> array_contains({sw}, t)))"
+    else:
+        n_tok = f"len({toks})"
+        n_stop = f"len(list_filter(tk, t -> list_contains({sw}, t)))"
+    return f"""
+SELECT t2.doc_id,
+  coalesce(nd.nd_canonical, t2.doc_id) AS nd_canonical,
+  CASE WHEN t2.doc_id <> canonical_id THEN 'duplicate'
+       WHEN t2.doc_id <> coalesce(nd.nd_canonical, t2.doc_id)
+            THEN 'near_duplicate'
+       WHEN n_tok < 10 THEN 'too_short'
+       WHEN length(text) > 12 * n_tok THEN 'long_tokens'
+       WHEN n_stop * 50 < n_tok THEN 'low_stopword'
+       ELSE '' END AS drop_reason,
+  (t2.doc_id = canonical_id
+   AND t2.doc_id = coalesce(nd.nd_canonical, t2.doc_id)
+   AND n_tok >= 10
+   AND length(text) <= 12 * n_tok AND n_stop * 50 >= n_tok) AS keep
+FROM (
+  SELECT doc_id, text, n_tok, n_stop,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+  FROM (
+    SELECT doc_id, text, {n_tok} AS n_tok, {n_stop} AS n_stop
+    FROM (SELECT doc_id, text, {toks} AS tk FROM documents) t0
+  ) t1
+) t2
+LEFT JOIN {nd_rel} nd ON nd.doc_id = t2.doc_id
+"""
+
+
+def quality_filter_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention decision with near-duplicate removal composed in —
+    the full shape a production pipeline ships (exact dedup + LSH-verified
+    near-dup components + length/shape/stopword gates, one reason code).
+
+    Plan at scale: the gates stay map-side column expressions; the exact
+    canonical is one md5-keyed window; the near-dup leg joins the (tiny —
+    only docs in verified pairs) component table, which Catalyst
+    broadcast-joins; component labels come from the keyed min-propagation
+    loop in ``dedup.neardup_canonical``."""
+    from . import dedup as DD
+
+    _view(spark, sf_dir)
+    DD.neardup_canonical(spark, sf_dir) \
+        .createOrReplaceTempView("neardup_canon")
+    return spark.sql(_qf_neardup_sql("spark", "neardup_canon"))
+
+
+def quality_filter_neardup_oracle() -> str:
+    from . import dedup as DD
+
+    return _qf_neardup_sql("duck", f"({DD.neardup_canonical_oracle()})")
+
+
+QUALITY_FILTER_NEARDUP_ORACLE = quality_filter_neardup_oracle()
+
+
 # ---------------------------------------------------------------- lang id
 
 def _lang_id_sql(dialect: str) -> str:

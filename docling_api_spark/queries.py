@@ -491,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": text_stats.token_counts,
         "quality_scores": text_stats.quality_scores,
         "quality_filter": text_stats.quality_filter,
+        "quality_filter_neardup": text_stats.quality_filter_neardup,
         "tfidf_topterms": text_stats.tfidf_topterms,
         "lang_id": text_stats.lang_id,
         "fingerprints": text_stats.fingerprints,
@@ -540,6 +541,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": text_stats.TOKEN_COUNTS_ORACLE,
         "quality_scores": text_stats.QUALITY_ORACLE,
         "quality_filter": text_stats.QUALITY_FILTER_ORACLE,
+        "quality_filter_neardup": text_stats.QUALITY_FILTER_NEARDUP_ORACLE,
         "tfidf_topterms": text_stats.TFIDF_ORACLE,
         "lang_id": text_stats.LANG_ID_ORACLE,
         "fingerprints": text_stats.FINGERPRINT_ORACLE,

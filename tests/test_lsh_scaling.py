@@ -79,6 +79,45 @@ def test_more_bands_more_candidates(spark):
     assert loose > strict
 
 
+def test_neardup_canonical_components(spark, duck):
+    """The min-propagation loop converges to the component min: both ends
+    of every verified pair share one canonical, the canonical is a member
+    and the min, and the DuckDB recursive-CTE twin is identical."""
+    canon = {r.doc_id: r.nd_canonical
+             for r in D.neardup_canonical(spark, SF_DIR).collect()}
+    pairs = [(r.left_id, r.right_id)
+             for r in D.dedup_near_pipeline(spark, SF_DIR).collect()]
+    assert pairs and canon
+    for a, b in pairs:
+        assert canon[a] == canon[b]
+    assert all(c <= d for d, c in canon.items())
+    assert set(canon.values()) <= set(canon.keys())
+    drows = dict(duck.sql(D.neardup_canonical_oracle()).fetchall())
+    assert canon == drows
+
+
+def test_quality_filter_neardup_composition(spark):
+    """near_duplicate drops appear, exact-duplicate outranks near, and
+    component canonicals are never dropped as near_duplicate."""
+    from docling_api_spark.operators import text_stats as T
+    out = {r.doc_id: r
+           for r in T.quality_filter_neardup(spark, SF_DIR).collect()}
+    assert any(r.drop_reason == "near_duplicate" for r in out.values())
+    base = {r.doc_id: r for r in T.quality_filter(spark, SF_DIR).collect()}
+    assert set(out) == set(base)
+    for d, r in base.items():
+        if r.drop_reason == "duplicate":
+            assert out[d].drop_reason == "duplicate"
+        # adding a gate can only shrink the keep set
+        if out[d].keep:
+            assert r.keep
+    for d, r in out.items():
+        if r.drop_reason == "near_duplicate":
+            assert r.nd_canonical != d
+        if r.nd_canonical == d:
+            assert r.drop_reason != "near_duplicate"
+
+
 def test_incremental_broadcast_is_size_gated(spark, duck):
     """r2 verdict item 1: a small new batch broadcasts (corpus side never
     shuffles); a batch over the gate must NOT carry a broadcast hint —
