@@ -339,6 +339,79 @@ def incremental_dedup(
 INCREMENTAL_DEDUP_ORACLE = _incremental_oracle()
 
 
+# --------------------------------------------------------- passage dedup
+
+#: tokens per passage chunk (C4 dedups on three-sentence spans; the
+#: synthetic corpus has no sentence boundaries, so fixed token windows
+#: stand in — the plan shape is identical)
+PASSAGE_TOKENS = 10
+
+
+def _passage_dedup_sql(dialect: str) -> str:
+    """Passage-level exact dedup, the C4-style sub-document strategy: a
+    repeated passage is dropped from every doc but its first occurrence
+    (global order = (doc_id, position)), and the doc is reassembled from
+    the surviving passages.
+
+    Plan at scale: tokenize + chunk map-side → explode (rows ∝ corpus
+    passages) → ONE window keyed on the passage hash (the only
+    corpus-wide shuffle, hash-partitioned) → one groupBy(doc_id) to
+    reassemble. Nothing is all-pairs; memory per key is one passage."""
+    toks = X.tokens(dialect)
+    k = PASSAGE_TOKENS
+    if dialect == "spark":
+        # floor() explicitly: Spark CAST(double AS INT) truncates but
+        # DuckDB ROUNDS — both must agree on the chunk count
+        chunks = (f"CASE WHEN size(tk) = 0 THEN array() "
+                  f"ELSE transform(sequence(0, CAST(floor((size(tk) - 1) "
+                  f"/ {k}) AS INT)), c -> named_struct("
+                  f"'pos', c, "
+                  f"'chunk', array_join(slice(tk, c * {k} + 1, {k}), ' ')))"
+                  f" END")
+        explode_rel = (f"SELECT doc_id, ch.pos AS pos, ch.chunk AS chunk "
+                       f"FROM (SELECT doc_id, explode({chunks}) AS ch "
+                       f"FROM tk) e")
+        reassemble = ("array_join(transform(array_sort(collect_list("
+                      "CASE WHEN rn = 1 THEN struct(pos, chunk) END)), "
+                      "s -> s.chunk), ' ')")
+        n_kept = "count(CASE WHEN rn = 1 THEN 1 END)"
+    else:
+        chunks = (f"CASE WHEN len(tk) = 0 THEN [] "
+                  f"ELSE list_transform(range(0, CAST(floor((len(tk) - 1) "
+                  f"/ {k}) AS INT) + 1), c -> {{'pos': c, "
+                  f"'chunk': array_to_string("
+                  f"tk[c * {k} + 1 : c * {k} + {k}], ' ')}}) END")
+        explode_rel = (f"SELECT doc_id, b.pos AS pos, b.chunk AS chunk "
+                       f"FROM (SELECT doc_id, {chunks} AS cl FROM tk) e, "
+                       f"UNNEST(cl) AS t(b)")
+        reassemble = ("coalesce(string_agg(chunk, ' ' ORDER BY pos) "
+                      "FILTER (WHERE rn = 1), '')")
+        n_kept = "count(*) FILTER (WHERE rn = 1)"
+    return f"""
+WITH tk AS (SELECT doc_id, {toks} AS tk FROM documents),
+ch AS ({explode_rel}),
+r AS (
+  SELECT doc_id, pos, chunk,
+         row_number() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id, pos) AS rn
+  FROM ch
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(count(*) - {n_kept} AS BIGINT) AS n_dropped,
+       {reassemble} AS cleaned_text
+FROM r GROUP BY doc_id
+"""
+
+
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_passage_dedup_sql("spark"))
+
+
+PASSAGE_DEDUP_ORACLE = _passage_dedup_sql("duck")
+
+
 # ------------------------------------------- end-to-end near-dup pipeline
 
 #: verified near-duplicate threshold on exact token-set jaccard

@@ -14,7 +14,8 @@ grammar produced by :mod:`.pdf_write` —
 - layout: items carry ``(page, x, y, font_size)``; reading order =
   ``(page, column, -y, x)`` with a two-column split at x = width/2;
   blocks segmented by y-gap > 1.5 × leading;
-- headings by font size: ≥20 → ``#``, ≥16 → ``##``, else paragraph.
+- headings by Tf font size (the size-driven hierarchy reference-class
+  PDFs carry): ≥20 → ``#``, ≥16 → ``##``, ≥13 → ``###``, else paragraph.
 
 Everything outside this grammar (encryption, other filters, CMaps,
 embedded fonts needing ToUnicode, image-only pages) raises
@@ -330,6 +331,8 @@ def extract_pdf(content: bytes) -> str:
             out.append("# " + text)
         elif size >= 16:
             out.append("## " + text)
+        elif size >= 13:
+            out.append("### " + text)
         else:
             out.append(text)
     return "\n\n".join(out)

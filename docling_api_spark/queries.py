@@ -91,7 +91,9 @@ SELECT
   'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
     || CAST(doc_id AS VARCHAR) || '.pdf' AS url,
   'pdf' AS fmt,
-  '## Doc ' || CAST(doc_id AS VARCHAR)
+  '# Doc ' || CAST(doc_id AS VARCHAR)
+    || chr(10) || chr(10) || '## Section ' || CAST(doc_id % 7 AS VARCHAR)
+    || chr(10) || chr(10) || '### Part ' || CAST(doc_id % 3 AS VARCHAR)
     || CASE WHEN length(trim(text)) > 0
             THEN chr(10) || chr(10) || text ELSE '' END AS markdown,
   CAST(NULL AS VARCHAR) AS error
@@ -487,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": dedup.ngram_jaccard,
         "dedup_near_pipeline": dedup.dedup_near_pipeline,
         "incremental_dedup": dedup.incremental_dedup,
+        "passage_dedup": dedup.passage_dedup,
         # text analysis
         "token_counts": text_stats.token_counts,
         "quality_scores": text_stats.quality_scores,
@@ -538,6 +541,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": dedup.NGRAM_JACCARD_ORACLE,
         "dedup_near_pipeline": dedup.DEDUP_NEAR_ORACLE,
         "incremental_dedup": dedup.INCREMENTAL_DEDUP_ORACLE,
+        "passage_dedup": dedup.PASSAGE_DEDUP_ORACLE,
         "token_counts": text_stats.TOKEN_COUNTS_ORACLE,
         "quality_scores": text_stats.QUALITY_ORACLE,
         "quality_filter": text_stats.QUALITY_FILTER_ORACLE,

@@ -224,6 +224,21 @@ def pdf_text_multipage(i: int) -> Fixture:
     return Fixture("pdf_text_multipage", content, "pdf", "pdf", golden)
 
 
+def pdf_heading_levels(i: int) -> Fixture:
+    """Tf size-driven heading hierarchy (r3 widening): one fixture walks
+    all three levels — 24 → h1, 18 → h2, 14 → h3, 11 → paragraph."""
+    pages = [[
+        (72, 730, 24, [f"Spec {i}"]),
+        (72, 690, 18, ["Overview"]),
+        (72, 655, 14, ["Details"]),
+        (72, 620, 11, ["Body line one.", "Body line two."]),
+    ]]
+    content = write_pdf(pages, compress=(i % 2 == 0))
+    golden = (f"# Spec {i}\n\n## Overview\n\n### Details\n\n"
+              "Body line one. Body line two.")
+    return Fixture("pdf_heading_levels", content, "pdf", "pdf", golden)
+
+
 def pdf_two_column(i: int) -> Fixture:
     pages = [[
         (72, 720, 24, [f"Paper {i}"]),
@@ -332,6 +347,7 @@ FIXTURE_CLASSES = [
     html_boilerplate, html_entities_whitespace, xhtml_decl,
     html_no_doctype_fragment, md_passthrough, asciidoc_basic,
     pdf_text_simple, pdf_text_multipage, pdf_two_column,
+    pdf_heading_levels,
     docx_basic, pptx_basic, image_png_stub, unsupported_bin, broken_html,
 ]
 

@@ -353,9 +353,14 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                         cur = w if not cur else f"{cur} {w}"
                 if cur:
                     lines.append(cur)
-                blocks = [(72.0, 720.0, 18.0, [f"Doc {i}"])]
+                # Tf size-driven heading hierarchy (r3): 24→h1, 18→h2,
+                # 14→h3, body 11 — the driver oracle reconstructs all
+                # three levels from the generation rule
+                blocks = [(72.0, 730.0, 24.0, [f"Doc {i}"]),
+                          (72.0, 690.0, 18.0, [f"Section {i % 7}"]),
+                          (72.0, 655.0, 14.0, [f"Part {i % 3}"])]
                 if lines:
-                    blocks.append((72.0, 680.0, 11.0, lines))
+                    blocks.append((72.0, 620.0, 11.0, lines))
                 htmls[j] = write_pdf([blocks], compress=i % 2 == 0)
                 urls[j] = url[: -len(".html")] + ".pdf"
             out = pdf.copy()

@@ -118,6 +118,39 @@ def test_quality_filter_neardup_composition(spark):
             assert r.drop_reason != "near_duplicate"
 
 
+def test_passage_dedup_semantics(spark):
+    """Independent pure-Python replica of the rule (tokenize → 10-token
+    chunks → global first-occurrence by (doc_id, pos) → reassemble): the
+    Spark output must match it doc-for-doc, and exact-duplicate docs must
+    lose ALL their passages."""
+    import re
+    k = D.PASSAGE_TOKENS
+    out = {r.doc_id: r for r in D.passage_dedup(spark, SF_DIR).collect()}
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()}
+    seen: set = set()
+    n_dup_docs = 0
+    for d in sorted(docs):
+        toks = [t for t in
+                re.sub(r"[^a-z0-9 ]", " ", (docs[d] or "").lower()).split()
+                if t]
+        chunks = [" ".join(toks[i:i + k]) for i in range(0, len(toks), k)]
+        kept = []
+        for ch in chunks:
+            if ch in seen:
+                continue
+            seen.add(ch)
+            kept.append(ch)
+        r = out[d]
+        assert r.n_passages == len(chunks), d
+        assert r.n_dropped == len(chunks) - len(kept), d
+        assert r.cleaned_text == " ".join(kept), d
+        if chunks and not kept:
+            n_dup_docs += 1
+    assert n_dup_docs > 0          # exact dups fully deduplicated
+    assert any(r.n_dropped for r in out.values())
+
+
 def test_incremental_broadcast_is_size_gated(spark, duck):
     """r2 verdict item 1: a small new batch broadcasts (corpus side never
     shuffles); a batch over the gate must NOT carry a broadcast hint —
