@@ -47,11 +47,25 @@ def _parse_objects(data: bytes) -> dict[int, bytes]:
     return objs
 
 
+_STREAM_START_RX = re.compile(rb"stream\r?\n")
+_LENGTH_RX = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+
+
 def _stream_of(obj: bytes) -> bytes | None:
-    m = _STREAM_RX.search(obj)
-    if m is None:
-        return None
-    raw = m.group(1)
+    """Stream payload of an object. Sliced by /Length when the dict
+    carries a direct one (the spec's rule — an r3 sweep find: binary
+    Flate data ending in 0x0D loses that byte to the ``\\r?\\n
+    endstream`` regex, truncating 1-in-~256 compressed streams);
+    delimiter-regex fallback only for indirect /Length refs."""
+    lm = _LENGTH_RX.search(obj)
+    sm = _STREAM_START_RX.search(obj)
+    if lm and sm:
+        raw = obj[sm.end():sm.end() + int(lm.group(1))]
+    else:
+        m = _STREAM_RX.search(obj)
+        if m is None:
+            return None
+        raw = m.group(1)
     if b"/FlateDecode" in obj:
         try:
             return zlib.decompress(raw)

@@ -345,6 +345,46 @@ GROUP BY 1
 """
 
 
+#: per-host document quota for host_quota_sample (corpus balancing)
+HOST_QUOTA = 3
+
+
+def host_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quota sampling — the corpus-balancing step that stops one
+    hot host from dominating a training mix: keep at most HOST_QUOTA docs
+    per host, deterministically (lowest doc_ids win).
+
+    Plan at scale: one window keyed on host (hash-partitioned; the same
+    key as the salted skew unit), integer ranking, map-side filterable.
+    The oracle reconstructs host + rank from the corpus generation rule,
+    so the url parsing and the quota decision are both value-checked."""
+    pages = pages_from_documents(spark, sf_dir)
+    from pyspark.sql import Window as W
+    host = F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    w = W.partitionBy("host").orderBy("url")
+    return (pages.select("url", host.alias("host"))
+            .withColumn("host_rank",
+                        F.row_number().over(w).cast("int"))
+            .withColumn("kept", F.col("host_rank") <= HOST_QUOTA))
+
+
+HOST_QUOTA_ORACLE = f"""
+WITH u AS (
+  SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host,
+    'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
+      || CAST(doc_id AS VARCHAR)
+      || CASE WHEN doc_id % 10 = 7 THEN '.md' ELSE '.html' END AS url
+  FROM documents
+)
+SELECT url, host,
+       CAST(row_number() OVER (PARTITION BY host ORDER BY url) AS INT)
+         AS host_rank,
+       row_number() OVER (PARTITION BY host ORDER BY url) <= {HOST_QUOTA}
+         AS kept
+FROM u
+"""
+
+
 def span_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-offset plumbing check: per url, the span count and the total
     covered length must equal what the generation rule implies (covered =
@@ -472,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_detail": span_detail,
         "format_distribution": format_distribution,
         "host_stats": host_stats,
+        "host_quota_sample": host_quota_sample,
         "extract_rich_markdown": extract_rich_markdown,
         "extract_quality_pipeline": extract_quality_pipeline,
         # engine mechanics as relational ops (SURVEY.md Table B)
@@ -526,6 +567,7 @@ def oracle_sql() -> dict[str, str]:
         "span_detail": SPAN_DETAIL_ORACLE,
         "format_distribution": FORMAT_DISTRIBUTION_ORACLE,
         "host_stats": HOST_STATS_ORACLE,
+        "host_quota_sample": HOST_QUOTA_ORACLE,
         "extract_rich_markdown": EXTRACT_RICH_ORACLE,
         "extract_quality_pipeline": EXTRACT_QUALITY_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,

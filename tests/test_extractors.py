@@ -118,6 +118,28 @@ def test_pdf_multipage_two_column_reading_order():
                                 "left col\n\nleft lower\n\nright col")
 
 
+def test_pdf_flate_stream_ending_in_cr_byte():
+    """r3 sweep find: ~1/256 Flate streams end in 0x0D and the old
+    delimiter regex ate that byte as the \\r of '\\r?\\nendstream',
+    truncating the stream. The reader must slice by /Length instead."""
+    import zlib
+
+    from docling_api_spark.operators.pdf_extract import extract_pdf
+    from docling_api_spark.operators.pdf_write import (content_stream,
+                                                       write_pdf)
+
+    hit = 0
+    for i in range(800):  # i=199 etc. end in 0x0D with this content shape
+        body = f"tail probe body {i} w{i * i % 9973}"
+        blocks = [(72.0, 720.0, 18.0, [f"Probe {i}"]),
+                  (72.0, 690.0, 11.0, [body])]
+        if zlib.compress(content_stream(blocks), 6).endswith(b"\r"):
+            hit += 1
+        pdf = write_pdf([blocks], compress=True)
+        assert extract_pdf(pdf) == f"## Probe {i}\n\n{body}", i
+    assert hit > 0  # the hazardous byte pattern was actually exercised
+
+
 def test_pdf_reader_robust_under_mutation():
     """Mutated/truncated PDF bytes terminate fast and fail only via the
     typed PdfUnsupported channel (or parse cleanly) — no hangs, no stray
