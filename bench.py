@@ -114,14 +114,20 @@ def flagship(spark, sf_dir: str, cpus: int, repeat: int) -> dict:
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     """Steady-state per-query seconds: one untimed warm run (JIT for the
-    interpreted HOF expressions, page cache), then the timed run."""
+    interpreted HOF expressions, page cache), then best-of-2 timed runs —
+    r3: a single-shot per query recorded transient host-noise spikes of
+    up to 20x (metrics_rollup 0.35 -> 6.9 s, re-measured 0.51); the min
+    of two runs is what the co-tenant host can actually reproduce."""
     import __spark_entry__ as entry
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
         _consume(fn(spark, sf_dir))
-        t0 = time.perf_counter()
-        _consume(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _consume(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
     return timings
 
 

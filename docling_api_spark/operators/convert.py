@@ -30,7 +30,7 @@ import pandas as pd
 from ..config import ExtractConfig
 from ..functions.sniffer import detect_format
 from .html_extract import extract_html
-from .md_adoc import asciidoc_to_markdown, normalize_markdown
+from .md_adoc import asciidoc_to_markdown, block_spans, normalize_markdown
 from .ooxml import extract_docx, extract_pptx
 from .pdf_extract import PdfUnsupported, extract_pdf
 
@@ -91,9 +91,10 @@ def convert_one(content, url: str, cfg: ExtractConfig) -> dict:
         if out["images"] is None:
             out["images"] = []
         if out["spans"] is None and cfg.emit_spans:
-            # whole-document span for non-HTML formats
-            out["spans"] = [{"start": 0, "end": len(out["markdown"]),
-                             "kind": "document", "ref": fmt}]
+            # per-block spans for non-HTML formats (r3; the HTML path
+            # tracks spans during serialization) — same C7 offset
+            # contract for every format
+            out["spans"] = block_spans(out["markdown"])
     return out
 
 

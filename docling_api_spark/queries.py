@@ -388,7 +388,9 @@ FROM u
 def span_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-offset plumbing check: per url, the span count and the total
     covered length must equal what the generation rule implies (covered =
-    len(markdown) - 2*(n_spans-1), blocks joined by blank lines)."""
+    len(markdown) - 2*(n_spans-1), blocks joined by blank lines). r3: the
+    md path emits per-block spans like html (heading + paragraph), not
+    one whole-document span."""
     pages = pages_from_documents(spark, sf_dir)
     out = extract_df(pages, _CFG)
     return out.select(
@@ -403,7 +405,7 @@ def span_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_SUMMARY_ORACLE = """
 WITH base AS (
   SELECT doc_id, lang, text,
-    CASE WHEN doc_id % 10 = 7 THEN 1
+    CASE WHEN doc_id % 10 = 7 THEN 2
          ELSE 2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
                 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
     END AS n_spans,
@@ -494,8 +496,64 @@ SELECT url,
 FROM o WHERE NOT is_md AND tb IS NOT NULL
 UNION ALL
 SELECT url, CAST(0 AS INT), CAST(0 AS BIGINT),
-       CAST(length(h) + 2 + length(text) AS BIGINT), 'document', 'md'
+       CAST(hend AS BIGINT), 'heading', 'Doc ' || CAST(doc_id AS VARCHAR)
 FROM o WHERE is_md
+UNION ALL
+SELECT url, CAST(1 AS INT), CAST(hend + 2 AS BIGINT),
+       CAST(pend AS BIGINT), 'paragraph', ''
+FROM o WHERE is_md
+"""
+
+
+def span_pdf_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-span VALUE check for the PDF path (r3): the Tf-size heading
+    hierarchy and the body paragraph each carry exact offsets into the
+    extracted markdown, reconstructed in SQL from the generation rule —
+    C7 coverage beyond the HTML/MD corpus."""
+    from .sources.pages import with_fixture_pdfs
+    pages = with_fixture_pdfs(pages_from_documents(spark, sf_dir))
+    out = extract_df(pages.where(F.col("url").endswith(".pdf")), _CFG)
+    ex = out.select("url", F.posexplode("spans").alias("seq", "s"))
+    return ex.select(
+        "url", F.col("seq").cast("int").alias("seq"),
+        F.col("s.start").cast("long").alias("span_start"),
+        F.col("s.end").cast("long").alias("span_end"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.ref").alias("ref"))
+
+
+SPAN_PDF_DETAIL_ORACLE = """
+WITH o AS (
+  SELECT doc_id, text,
+    'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
+      || CAST(doc_id AS VARCHAR) || '.pdf' AS url,
+    'Doc ' || CAST(doc_id AS VARCHAR) AS r1,
+    'Section ' || CAST(doc_id % 7 AS VARCHAR) AS r2,
+    'Part ' || CAST(doc_id % 3 AS VARCHAR) AS r3
+  FROM documents WHERE doc_id % 10 = 4
+),
+e AS (
+  SELECT *,
+    2 + length(r1) AS e1,
+    2 + length(r1) + 2 + 3 + length(r2) AS e2,
+    2 + length(r1) + 2 + 3 + length(r2) + 2 + 4 + length(r3) AS e3
+  FROM o
+)
+SELECT url, CAST(0 AS INT) AS seq, CAST(0 AS BIGINT) AS span_start,
+       CAST(e1 AS BIGINT) AS span_end, 'heading' AS kind, r1 AS ref
+FROM e
+UNION ALL
+SELECT url, CAST(1 AS INT), CAST(e1 + 2 AS BIGINT), CAST(e2 AS BIGINT),
+       'heading', r2
+FROM e
+UNION ALL
+SELECT url, CAST(2 AS INT), CAST(e2 + 2 AS BIGINT), CAST(e3 AS BIGINT),
+       'heading', r3
+FROM e
+UNION ALL
+SELECT url, CAST(3 AS INT), CAST(e3 + 2 AS BIGINT),
+       CAST(e3 + 2 + length(text) AS BIGINT), 'paragraph', ''
+FROM e WHERE length(trim(text)) > 0
 """
 
 
@@ -510,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_images": extract_images,
         "span_summary": span_summary,
         "span_detail": span_detail,
+        "span_pdf_detail": span_pdf_detail,
         "format_distribution": format_distribution,
         "host_stats": host_stats,
         "host_quota_sample": host_quota_sample,
@@ -565,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_images": EXTRACT_IMAGES_ORACLE,
         "span_summary": SPAN_SUMMARY_ORACLE,
         "span_detail": SPAN_DETAIL_ORACLE,
+        "span_pdf_detail": SPAN_PDF_DETAIL_ORACLE,
         "format_distribution": FORMAT_DISTRIBUTION_ORACLE,
         "host_stats": HOST_STATS_ORACLE,
         "host_quota_sample": HOST_QUOTA_ORACLE,
