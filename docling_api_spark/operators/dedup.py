@@ -1,23 +1,31 @@
 """Deduplication operators over the ``documents`` table — the
 training-data-pipeline layer on top of the extraction engine.
 
-Six entries, each a ``queries()`` entry with a DuckDB oracle:
+Each public entry is a ``queries()`` entry with a DuckDB oracle:
 
 - **exact**: md5 of the raw text, canonicalized to the min doc_id per group
   (one hash-shuffle; at 100 TB this is the classic hash-groupBy dedup —
   AQE coalesces the post-shuffle partitions);
-- **minhash signatures**: one 32-bit md5 per 3-word shingle, then 8
-  affine-rehashed minimums — staged projections, no shuffle at all, scales
-  linearly with input (each stage's array is computed once per row);
-- **minhash LSH candidate pairs**: 4 bands × 2 rows; band keys exploded and
-  equi-self-joined — the *equi*-join is the point: at scale this is a
-  shuffle-hash join on band key, never an O(n²) cross join;
+- **minhash signatures**: one 32-bit md5 per 3-word shingle, then
+  ``LshConfig.n_sigs`` affine-rehashed minimums — staged projections, no
+  shuffle at all, scales linearly with input (each stage's array is
+  computed once per row);
+- **minhash LSH candidate pairs**: ``n_bands`` bands of
+  ``rows_per_band`` rows; band keys exploded and equi-self-joined — the
+  *equi*-join is the point: at scale this is a shuffle-hash join on band
+  key, never an O(n²) cross join;
 - **simhash**: 16-bit sign-aggregated token-hash fingerprint (explode +
   one groupBy);
 - **n-gram jaccard**: token-set jaccard between adjacent doc_ids — the
   verification arithmetic in isolation;
+- **passage dedup** (r3): C4-style sub-document dedup — fixed token
+  chunks, global first-occurrence rule, one hash-keyed window;
 - **near-dup pipeline**: LSH candidates → exact jaccard verify →
-  threshold — the end-to-end near-duplicate path (every stage keyed).
+  threshold — the end-to-end near-duplicate path (every stage keyed);
+- **near-dup components** (r3): min-canonical connected components over
+  the verified pairs (iterated min-propagation / recursive-CTE twin);
+- **incremental dedup**: new batch vs corpus with a SIZE-GATED broadcast
+  (r3) — over the gate it degrades to an AQE shuffled join.
 
 All hashing/tokenization via :mod:`..functions.textsql` so the Spark and
 DuckDB results are value-identical.

@@ -151,6 +151,19 @@ def test_passage_dedup_semantics(spark):
     assert any(r.n_dropped for r in out.values())
 
 
+def test_passage_dedup_plan_two_keyed_shuffles(spark):
+    """The scale contract: tokenize/chunk/explode are map-side; the only
+    exchanges are the passage-hash window and the doc_id reassembly —
+    exactly two keyed shuffles, nothing all-pairs."""
+    import re
+    df = D.passage_dedup(spark, SF_DIR)
+    plan = _plan_str(df)
+    # formatted explain lists each node in the tree AND a details block;
+    # count distinct exchange node ids
+    ids = set(re.findall(r"\((\d+)\) Exchange", plan))
+    assert len(ids) == 2, plan
+
+
 def test_incremental_broadcast_is_size_gated(spark, duck):
     """r2 verdict item 1: a small new batch broadcasts (corpus side never
     shuffles); a batch over the gate must NOT carry a broadcast hint —
