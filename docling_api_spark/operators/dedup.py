@@ -514,17 +514,19 @@ def neardup_canonical(spark: SparkSession, sf_dir: str,
     for _ in range(max_iters):
         nbr = (edges.join(labels, edges["dst"] == labels["doc_id"])
                .groupBy("src").agg(F.min("label").alias("nbr_label")))
+        # the changed flag rides the same projection — no old-vs-new join
         new = (labels.alias("l")
                .join(nbr.alias("n"), F.col("l.doc_id") == F.col("n.src"),
                      "left")
                .select(F.col("l.doc_id").alias("doc_id"),
                        F.least(F.col("l.label"),
                                F.coalesce(F.col("n.nbr_label"),
-                                          F.col("l.label"))).alias("label"))
+                                          F.col("l.label"))).alias("label"),
+                       (F.col("n.nbr_label") < F.col("l.label"))
+                       .alias("chg"))
                .localCheckpoint())
-        changed = (new.alias("a").join(labels.alias("b"), "doc_id")
-                   .where(F.col("a.label") != F.col("b.label")).count())
-        labels = new
+        changed = new.where(F.col("chg")).count()
+        labels = new.drop("chg")
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("nd_canonical"))
