@@ -505,6 +505,103 @@ FROM o WHERE is_md
 """
 
 
+#: markdown inline-link pattern — [anchor](href)
+_LINK_RX = r"\[([^\]]*)\]\(([^)]*)\)"
+
+#: the reconstructed markdown of a pages_linked page (generation rule of
+#: sources/pages.py:pages_linked), shared by the three link oracles
+_LINKED_MD = """'# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+    || CASE WHEN length(trim(text)) > 0 THEN text || ' ' ELSE '' END
+    || 'Read [site link ' || CAST(doc_id AS VARCHAR) || '](https://site'
+    || CAST((doc_id + 1) % 97 AS VARCHAR) || '.example/doc/'
+    || CAST(doc_id + 13 AS VARCHAR) || '.html) and [about '
+    || CAST(doc_id % 5 AS VARCHAR) || '](/about/'
+    || CAST(doc_id % 5 AS VARCHAR) || ').'"""
+
+
+def extract_linked_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline-link serialization, value-checked end to end (r3 — links
+    were golden-only before): ``[text](href)`` inside a paragraph, one
+    absolute + one relative link per doc."""
+    from .sources.pages import pages_linked
+    pages = pages_linked(spark, sf_dir)
+    out = extract_df(pages, _CFG)
+    return out.select("url", "markdown", "error")
+
+
+EXTRACT_LINKED_ORACLE = f"""
+SELECT
+  'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
+    || CAST(doc_id AS VARCHAR) || '.html' AS url,
+  {_LINKED_MD} AS markdown,
+  CAST(NULL AS VARCHAR) AS error
+FROM documents
+"""
+
+
+def outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction — the link-graph feed every web-scale pipeline
+    materializes: extract markdown, then parse (anchor, href) pairs
+    map-side with regexp_extract_all; one row per link in document
+    order. Zero shuffles end to end."""
+    from .sources.pages import pages_linked
+    pages = pages_linked(spark, sf_dir)
+    out = extract_df(pages, _CFG).select("url", "markdown")
+    anchors = F.regexp_extract_all("markdown", F.lit(_LINK_RX), 1)
+    hrefs = F.regexp_extract_all("markdown", F.lit(_LINK_RX), 2)
+    ex = out.select(
+        "url",
+        F.posexplode(F.arrays_zip(anchors.alias("anchor"),
+                                  hrefs.alias("href"))).alias("seq", "l"))
+    return ex.select("url", F.col("seq").cast("int").alias("seq"),
+                     F.col("l.anchor").alias("anchor"),
+                     F.col("l.href").alias("href"))
+
+
+OUTLINKS_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+    'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
+      || CAST(doc_id AS VARCHAR) || '.html' AS url
+  FROM documents
+)
+SELECT url, CAST(0 AS INT) AS seq,
+       'site link ' || CAST(doc_id AS VARCHAR) AS anchor,
+       'https://site' || CAST((doc_id + 1) % 97 AS VARCHAR)
+         || '.example/doc/' || CAST(doc_id + 13 AS VARCHAR) || '.html'
+         AS href
+FROM b
+UNION ALL
+SELECT url, CAST(1 AS INT),
+       'about ' || CAST(doc_id % 5 AS VARCHAR),
+       '/about/' || CAST(doc_id % 5 AS VARCHAR)
+FROM b
+"""
+
+
+def host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph (src_host → dst_host edge weights) over the
+    extracted outlinks — the classic webgraph rollup. Absolute links
+    only; one keyed aggregation on the (src, dst) pair."""
+    links = outlinks(spark, sf_dir)
+    src = F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    dst = F.regexp_extract("href", r"^https?://([^/]+)/", 1)
+    return (links.select(src.alias("src_host"), dst.alias("dst_host"))
+            .where(F.col("dst_host") != "")
+            .groupBy("src_host", "dst_host")
+            .agg(F.count(F.lit(1)).alias("n_links")))
+
+
+HOST_LINK_GRAPH_ORACLE = """
+SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS src_host,
+       'site' || CAST((doc_id + 1) % 97 AS VARCHAR) || '.example'
+         AS dst_host,
+       count(*) AS n_links
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 def span_pdf_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-span VALUE check for the PDF path (r3): the Tf-size heading
     hierarchy and the body paragraph each carry exact offsets into the
@@ -573,6 +670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": host_stats,
         "host_quota_sample": host_quota_sample,
         "extract_rich_markdown": extract_rich_markdown,
+        "extract_linked_markdown": extract_linked_markdown,
+        "outlinks": outlinks,
+        "host_link_graph": host_link_graph,
         "extract_quality_pipeline": extract_quality_pipeline,
         # engine mechanics as relational ops (SURVEY.md Table B)
         "dedup_window_latest": relational.latest_event_per_user,
@@ -629,6 +729,9 @@ def oracle_sql() -> dict[str, str]:
         "host_stats": HOST_STATS_ORACLE,
         "host_quota_sample": HOST_QUOTA_ORACLE,
         "extract_rich_markdown": EXTRACT_RICH_ORACLE,
+        "extract_linked_markdown": EXTRACT_LINKED_ORACLE,
+        "outlinks": OUTLINKS_ORACLE,
+        "host_link_graph": HOST_LINK_GRAPH_ORACLE,
         "extract_quality_pipeline": EXTRACT_QUALITY_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,

@@ -206,6 +206,42 @@ def pages_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pages_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → pages whose main content carries in-paragraph
+    links: one absolute cross-host link (site (i+1)%97 — a real link
+    GRAPH over the host space) and one relative link. Oracle-gates the
+    ``[text](href)`` serialization (A11) and feeds the outlink/link-graph
+    queries. Pure column expressions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    sid = i.cast("string")
+    para = F.coalesce(F.col("text"), F.lit(""))
+    dst_host = F.concat(F.lit("site"), ((i + 1) % 97).cast("string"),
+                        F.lit(".example"))
+    abs_href = F.concat(F.lit("https://"), dst_host, F.lit("/doc/"),
+                        (i + 13).cast("string"), F.lit(".html"))
+    rel_href = F.concat(F.lit("/about/"), (i % 5).cast("string"))
+    html_str = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>t</title></head><body>"
+              + _CHROME_NAV + "<main><h1>"),
+        F.lit("Doc "), sid,
+        F.lit("</h1><p>"), para,
+        F.when(F.length(F.trim(para)) > 0, F.lit(" ")).otherwise(F.lit("")),
+        F.lit("Read <a href=\""), abs_href,
+        F.lit("\">site link "), sid,
+        F.lit("</a> and <a href=\""), rel_href,
+        F.lit("\">about "), (i % 5).cast("string"),
+        F.lit("</a>.</p></main>" + _CHROME_FOOTER + "</body></html>"))
+    return docs.select(
+        F.concat(F.lit("https://site"), (i % 97).cast("string"),
+                 F.lit(".example/doc/"), sid, F.lit(".html")).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_S) + (i % 86400)).alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        para.alias("text"),
+        F.col("lang"),
+    )
+
+
 def with_fixture_ooxml(pages: DataFrame, docx_mod: int = 2,
                        pptx_mod: int = 9, adoc_mod: int = 3) -> DataFrame:
     """Replace docs with ``doc_id % 10 == docx_mod/pptx_mod/adoc_mod`` by
