@@ -48,7 +48,10 @@ def _parse_objects(data: bytes) -> dict[int, bytes]:
 
 
 _STREAM_START_RX = re.compile(rb"stream\r?\n")
-_LENGTH_RX = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+#: direct /Length only. (?![0-9]) pins the number end so backtracking
+#: cannot shrink '128' to '12' to dodge the indirect-ref lookahead
+#: (r3 review find); any generation number counts as indirect.
+_LENGTH_RX = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 
 
 def _stream_of(obj: bytes) -> bytes | None:

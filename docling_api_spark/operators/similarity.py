@@ -464,6 +464,9 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str,
     return spark.sql(_ivf_sql("spark", cfg, centroids=cents))
 
 
+_TRAINED_ORACLE_CACHE: dict = {}
+
+
 def ann_ivf_trained_oracle(sf_dir: str | None = None,
                            cfg: AnnConfig = DEFAULT_ANN) -> str:
     """DuckDB twin of :func:`ann_ivf_trained`: replicate the k-means in
@@ -471,13 +474,19 @@ def ann_ivf_trained_oracle(sf_dir: str | None = None,
     literals into the shared IVF plan (exactly how ``ann_ivf`` inlines
     the md5 pseudo-centroids). The dir defaults to the driver's
     correctness scale (sf0.01); the sweep harness overrides via
-    SWEEP_SF_DIR."""
+    SWEEP_SF_DIR. Memoized per (dir, cfg) — oracle_sql() is called
+    repeatedly and retraining each time would cost seconds of duckdb
+    I/O + Decimal arithmetic (r3 review find)."""
     import os
 
     sf_dir = sf_dir or os.environ.get("SWEEP_SF_DIR",
                                       "/root/testdata/sf0.01")
-    cents = ivf_train_replica(sf_dir, k=cfg.n_cells, iters=2, dim=cfg.dim)
-    return _ivf_sql("duck", cfg, centroids=cents)
+    key = (sf_dir, cfg)
+    if key not in _TRAINED_ORACLE_CACHE:
+        cents = ivf_train_replica(sf_dir, k=cfg.n_cells, iters=2,
+                                  dim=cfg.dim)
+        _TRAINED_ORACLE_CACHE[key] = _ivf_sql("duck", cfg, centroids=cents)
+    return _TRAINED_ORACLE_CACHE[key]
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,

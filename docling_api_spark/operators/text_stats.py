@@ -79,13 +79,19 @@ QUALITY_ORACLE = _quality_sql("duck")
 
 # ------------------------------------------------------------ quality filter
 
-def _quality_filter_sql(dialect: str) -> str:
+def _quality_filter_sql(dialect: str, nd_rel: str | None = None) -> str:
     """The retention decision a training-data pipeline actually ships
     (C4/Gopher-style): exact-dup canonicalization + length + token-shape
     + stopword-density gates composed into keep/drop with a reason code.
     All-integer comparisons (no float thresholds), so both engines decide
     identically. One shuffle total: the md5 dedup window; every other
-    gate is a map-side column expression."""
+    gate is a map-side column expression.
+
+    ``nd_rel`` (the near-dup variant): a relation ``(doc_id,
+    nd_canonical)`` of LSH-verified component canonicals left-joined in —
+    reason code ``near_duplicate`` slots between the exact-dup and shape
+    gates. ONE generator produces both variants so the thresholds and
+    reason ordering cannot drift apart (r3 review find)."""
     toks = X.tokens(dialect)
     sw = X.array_lit(dialect, X.EN_STOPWORDS)
     if dialect == "spark":
@@ -94,14 +100,24 @@ def _quality_filter_sql(dialect: str) -> str:
     else:
         n_tok = f"len({toks})"
         n_stop = f"len(list_filter(tk, t -> list_contains({sw}, t)))"
+    if nd_rel is None:
+        nd_col = near_case = near_keep = join = ""
+    else:
+        canon = "coalesce(nd.nd_canonical, t2.doc_id)"
+        nd_col = f"{canon} AS nd_canonical,\n  "
+        near_case = (f"WHEN t2.doc_id <> {canon}\n"
+                     f"            THEN 'near_duplicate'\n       ")
+        near_keep = f"\n   AND t2.doc_id = {canon}"
+        join = f"\nLEFT JOIN {nd_rel} nd ON nd.doc_id = t2.doc_id"
     return f"""
-SELECT doc_id,
-  CASE WHEN doc_id <> canonical_id THEN 'duplicate'
-       WHEN n_tok < 10 THEN 'too_short'
+SELECT t2.doc_id,
+  {nd_col}CASE WHEN t2.doc_id <> canonical_id THEN 'duplicate'
+       {near_case}WHEN n_tok < 10 THEN 'too_short'
        WHEN length(text) > 12 * n_tok THEN 'long_tokens'
        WHEN n_stop * 50 < n_tok THEN 'low_stopword'
        ELSE '' END AS drop_reason,
-  (doc_id = canonical_id AND n_tok >= 10
+  (t2.doc_id = canonical_id{near_keep}
+   AND n_tok >= 10
    AND length(text) <= 12 * n_tok AND n_stop * 50 >= n_tok) AS keep
 FROM (
   SELECT doc_id, text, n_tok, n_stop,
@@ -110,7 +126,7 @@ FROM (
     SELECT doc_id, text, {n_tok} AS n_tok, {n_stop} AS n_stop
     FROM (SELECT doc_id, text, {toks} AS tk FROM documents) t0
   ) t1
-) t2
+) t2{join}
 """
 
 
@@ -123,46 +139,6 @@ QUALITY_FILTER_ORACLE = _quality_filter_sql("duck")
 
 
 # ------------------------------------------- quality filter incl. near-dups
-
-def _qf_neardup_sql(dialect: str, nd_rel: str) -> str:
-    """quality_filter's gates + the LSH-verified near-dup drop (r2 verdict
-    item 4): a doc whose connected-component canonical (over the verified
-    pair set, :func:`..dedup.neardup_canonical`) is another doc gets
-    reason ``near_duplicate``. Exact duplicates outrank near (identical
-    text is both); component canonicals survive to the shape gates."""
-    toks = X.tokens(dialect)
-    sw = X.array_lit(dialect, X.EN_STOPWORDS)
-    if dialect == "spark":
-        n_tok = f"size({toks})"
-        n_stop = f"size(filter(tk, t -> array_contains({sw}, t)))"
-    else:
-        n_tok = f"len({toks})"
-        n_stop = f"len(list_filter(tk, t -> list_contains({sw}, t)))"
-    return f"""
-SELECT t2.doc_id,
-  coalesce(nd.nd_canonical, t2.doc_id) AS nd_canonical,
-  CASE WHEN t2.doc_id <> canonical_id THEN 'duplicate'
-       WHEN t2.doc_id <> coalesce(nd.nd_canonical, t2.doc_id)
-            THEN 'near_duplicate'
-       WHEN n_tok < 10 THEN 'too_short'
-       WHEN length(text) > 12 * n_tok THEN 'long_tokens'
-       WHEN n_stop * 50 < n_tok THEN 'low_stopword'
-       ELSE '' END AS drop_reason,
-  (t2.doc_id = canonical_id
-   AND t2.doc_id = coalesce(nd.nd_canonical, t2.doc_id)
-   AND n_tok >= 10
-   AND length(text) <= 12 * n_tok AND n_stop * 50 >= n_tok) AS keep
-FROM (
-  SELECT doc_id, text, n_tok, n_stop,
-         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
-  FROM (
-    SELECT doc_id, text, {n_tok} AS n_tok, {n_stop} AS n_stop
-    FROM (SELECT doc_id, text, {toks} AS tk FROM documents) t0
-  ) t1
-) t2
-LEFT JOIN {nd_rel} nd ON nd.doc_id = t2.doc_id
-"""
-
 
 def quality_filter_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The retention decision with near-duplicate removal composed in —
@@ -179,13 +155,14 @@ def quality_filter_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir)
     DD.neardup_canonical(spark, sf_dir) \
         .createOrReplaceTempView("neardup_canon")
-    return spark.sql(_qf_neardup_sql("spark", "neardup_canon"))
+    return spark.sql(_quality_filter_sql("spark", nd_rel="neardup_canon"))
 
 
 def quality_filter_neardup_oracle() -> str:
     from . import dedup as DD
 
-    return _qf_neardup_sql("duck", f"({DD.neardup_canonical_oracle()})")
+    return _quality_filter_sql(
+        "duck", nd_rel=f"({DD.neardup_canonical_oracle()})")
 
 
 QUALITY_FILTER_NEARDUP_ORACLE = quality_filter_neardup_oracle()

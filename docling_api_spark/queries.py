@@ -34,7 +34,10 @@ def extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: the reconstructed-markdown SQL expression shared by the flagship
 #: oracle and the end-to-end pipeline oracle (generation rule of
-#: sources/pages.py)
+#: sources/pages.py). Corpus invariant this relies on: documents.text is
+#: never blank (true of all driver testdata) — a blank-text md doc would
+#: normalize to '# Doc i' while this expression keeps the trailing
+#: blank-paragraph separator (and the span oracles assume 2 md spans).
 _MD_EXPR = """'# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || text
     || CASE WHEN doc_id % 10 <> 7 AND doc_id % 3 = 0
             THEN chr(10) || chr(10) || '- item one of doc '
@@ -352,7 +355,9 @@ HOST_QUOTA = 3
 def host_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host quota sampling — the corpus-balancing step that stops one
     hot host from dominating a training mix: keep at most HOST_QUOTA docs
-    per host, deterministically (lowest doc_ids win).
+    per host, deterministically (lexicographically-lowest urls win — a
+    pure string rank, not doc_id order: '.../doc/195.html' sorts before
+    '.../doc/98.html').
 
     Plan at scale: one window keyed on host (hash-partitioned; the same
     key as the salted skew unit), integer ranking, map-side filterable.
@@ -715,7 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "extract_markdown": EXTRACT_MARKDOWN_ORACLE,
         "extract_pdf_markdown": EXTRACT_PDF_ORACLE,
         "extract_docx_markdown": EXTRACT_DOCX_ORACLE,
@@ -757,12 +762,21 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": similarity.COSINE_TOPK_ORACLE,
         "ann_lsh": similarity.ANN_LSH_ORACLE,
         "ann_ivf": similarity.ANN_IVF_ORACLE,
-        "ann_ivf_trained": similarity.ann_ivf_trained_oracle(),
         "dedup_embedding_cosine": similarity.DEDUP_EMBEDDING_ORACLE,
         "media_metadata": multimodal.MEDIA_METADATA_ORACLE,
         "image_features": multimodal.IMAGE_FEATURES_ORACLE,
         "image_metadata": multimodal.IMAGE_METADATA_ORACLE,
     }
+    # the learned-IVF oracle trains an engine-free k-means replica over
+    # the embeddings parquet (memoized). If that data is unreachable in
+    # this checkout, omit ONLY this entry (the driver then records the
+    # weaker rows-only check) instead of failing all oracles (r3 review
+    # find: a dict-literal exception would take the other 45 down).
+    try:
+        out["ann_ivf_trained"] = similarity.ann_ivf_trained_oracle()
+    except Exception:
+        pass
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:

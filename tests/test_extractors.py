@@ -140,6 +140,21 @@ def test_pdf_flate_stream_ending_in_cr_byte():
     assert hit > 0  # the hazardous byte pattern was actually exercised
 
 
+def test_pdf_indirect_length_falls_back_to_delimiter():
+    """r3 review find: an indirect '/Length 128 0 R' must NOT match a
+    digit prefix via backtracking (slicing 12 bytes); it takes the
+    delimiter-regex fallback. Direct /Length slices exactly."""
+    from docling_api_spark.operators.pdf_extract import _stream_of
+
+    payload = b"BT (x) Tj ET"
+    assert _stream_of(b"<< /Length 128 0 R >>\nstream\n" + payload
+                      + b"\nendstream") == payload
+    assert _stream_of(b"<< /Length 128 3 R >>\nstream\n" + payload
+                      + b"\nendstream") == payload
+    assert _stream_of(b"<< /Length 12 >>\nstream\n" + payload
+                      + b"\nendstream") == payload
+
+
 def test_pdf_reader_robust_under_mutation():
     """Mutated/truncated PDF bytes terminate fast and fail only via the
     typed PdfUnsupported channel (or parse cleanly) — no hangs, no stray
