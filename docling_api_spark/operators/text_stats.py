@@ -168,6 +168,64 @@ def quality_filter_neardup_oracle() -> str:
 QUALITY_FILTER_NEARDUP_ORACLE = quality_filter_neardup_oracle()
 
 
+# ------------------------------------------------------- model-score gate
+
+#: fixed "quality model" weights (a trained classifier would learn these;
+#: the plumbing — feature build, linear score, sigmoid gate — is the real
+#: shape a FineWeb-style model-filtering stage runs)
+_QM_BIAS = -1.0
+_QM_W_STOP = 3.0      # stopword density: natural prose ↑
+_QM_W_SAT = 2.0       # length saturation n/(n+100): longer docs ↑
+_QM_W_PUNCT = -4.0    # punctuation density: boilerplate/spam ↓
+
+
+def _quality_model_sql(dialect: str) -> str:
+    """Model-scoring retention gate: a fixed-weight linear model over the
+    quality features squashed through the RATIONAL sigmoid
+    ``0.5*(1+z/(1+|z|))`` — deliberately no exp/ln (JVM and libm
+    transcendentals differ at ulp level; +,*,/,abs are IEEE-exact in both
+    engines, so the score is bit-stable). The linear term is rounded to
+    6 dp before squashing; keep = z >= 0. Everything is one map-side
+    projection — at 100 TB this gate costs a scan."""
+    toks = X.tokens(dialect)
+    sw = X.array_lit(dialect, X.EN_STOPWORDS)
+    if dialect == "spark":
+        n_tok = f"size({toks})"
+        n_stop = f"size(filter(tk, t -> array_contains({sw}, t)))"
+        n_punct = "length(text) - length(regexp_replace(text, '[.,!?;:]', ''))"
+    else:
+        n_tok = f"len({toks})"
+        n_stop = f"len(list_filter(tk, t -> list_contains({sw}, t)))"
+        n_punct = ("length(text) - "
+                   "length(regexp_replace(text, '[.,!?;:]', '', 'g'))")
+    z = (f"ROUND({_QM_BIAS} "
+         f"+ {_QM_W_STOP} * (n_stop / CAST(greatest(n_tok, 1) AS DOUBLE)) "
+         f"+ {_QM_W_SAT} * (n_tok / (n_tok + CAST(100.0 AS DOUBLE))) "
+         f"+ {_QM_W_PUNCT} * (n_punct / "
+         f"CAST(greatest(length(text), 1) AS DOUBLE)), 6)")
+    return f"""
+SELECT doc_id,
+  ROUND(0.5 * (1 + z / (1 + abs(z))), 6) AS model_score,
+  z >= 0 AS keep
+FROM (
+  SELECT doc_id, text, {z} AS z
+  FROM (
+    SELECT doc_id, text, {n_tok} AS n_tok, {n_stop} AS n_stop,
+           {n_punct} AS n_punct
+    FROM (SELECT doc_id, text, {toks} AS tk FROM documents) t0
+  ) t1
+) t2
+"""
+
+
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_quality_model_sql("spark"))
+
+
+QUALITY_MODEL_ORACLE = _quality_model_sql("duck")
+
+
 # ---------------------------------------------------------------- lang id
 
 def _lang_id_sql(dialect: str) -> str:

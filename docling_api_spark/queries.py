@@ -607,6 +607,86 @@ GROUP BY 1, 2
 """
 
 
+#: PageRank knobs (host-level; 2 unrolled iterations in the oracle)
+PAGERANK_ITERS = 2
+PAGERANK_DAMPING = 0.85
+
+
+def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank over the EXTRACTED link graph — the classic
+    crawl-prioritization signal, composed end to end: extraction →
+    outlink parse → edge weights → iterated rank.
+
+    Determinism across engines and partitionings: per-edge contributions
+    are rounded to 12 dp and summed as DECIMAL(28,12) (float addition is
+    not associative — a plain double sum would differ between engines
+    and cluster sizes); everything else is +,*,/ in double with identical
+    fold order. Spark shape per iteration: one keyed join on src_host +
+    one keyed agg on dst_host — the standard distributed PageRank step
+    (the rank table is hosts-sized, edges hash-partition on src)."""
+    e = host_link_graph(spark, sf_dir)
+    deg = e.groupBy("src_host").agg(F.sum("n_links").alias("outdeg"))
+    hosts = (e.select(F.col("src_host").alias("host"))
+             .union(e.select(F.col("dst_host").alias("host")))
+             .distinct())
+    n = hosts.count()  # scalar (number of hosts), never row data
+    pr = hosts.withColumn("pr", F.lit(1.0 / float(n)))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (e.join(deg, "src_host")
+                   .join(pr.withColumnRenamed("host", "src_host"),
+                         "src_host")
+                   .select(F.col("dst_host").alias("host"),
+                           F.round(F.col("pr") * F.col("n_links")
+                                   / F.col("outdeg"), 12).alias("c")))
+        agg = (contrib.groupBy("host")
+               .agg(F.sum(F.col("c").cast("decimal(28,12)")).alias("s")))
+        pr = (hosts.join(agg, "host", "left")
+              .select("host",
+                      (F.lit(0.15 / float(n)) + F.lit(PAGERANK_DAMPING)
+                       * F.coalesce(F.col("s").cast("double"),
+                                    F.lit(0.0))).alias("pr")))
+    return pr.select("host", F.round("pr", 6).alias("pagerank"))
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB twin: the same arithmetic unrolled over the generation-rule
+    link graph (each doc links site(i%97) → site((i+1)%97))."""
+    edges = """
+e AS (
+  SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS src_host,
+         'site' || CAST((doc_id + 1) % 97 AS VARCHAR) || '.example'
+           AS dst_host,
+         count(*) AS n_links
+  FROM documents GROUP BY 1, 2),
+deg AS (SELECT src_host, sum(n_links) AS outdeg FROM e GROUP BY src_host),
+h AS (SELECT DISTINCT host FROM (
+  SELECT src_host AS host FROM e UNION SELECT dst_host FROM e) u),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nh FROM h),
+p0 AS (SELECT host, CAST(1.0 AS DOUBLE) / nh AS pr FROM h CROSS JOIN n)"""
+    steps = []
+    prev = "p0"
+    for k in range(1, PAGERANK_ITERS + 1):
+        steps.append(f"""
+c{k} AS (
+  SELECT e.dst_host AS host,
+         SUM(CAST(ROUND(p.pr * e.n_links / deg.outdeg, 12)
+                  AS DECIMAL(28,12))) AS s
+  FROM e JOIN deg ON deg.src_host = e.src_host
+         JOIN {prev} p ON p.host = e.src_host
+  GROUP BY e.dst_host),
+p{k} AS (
+  SELECT h.host,
+         CAST(0.15 AS DOUBLE) / n.nh + {PAGERANK_DAMPING}
+           * CAST(coalesce(c{k}.s, 0) AS DOUBLE) AS pr
+  FROM h LEFT JOIN c{k} ON c{k}.host = h.host CROSS JOIN n)""")
+        prev = f"p{k}"
+    return (f"WITH {edges},{','.join(steps)}\n"
+            f"SELECT host, ROUND(pr, 6) AS pagerank FROM {prev}")
+
+
+HOST_PAGERANK_ORACLE = _pagerank_oracle()
+
+
 def span_pdf_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-span VALUE check for the PDF path (r3): the Tf-size heading
     hierarchy and the body paragraph each carry exact offsets into the
@@ -678,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_linked_markdown": extract_linked_markdown,
         "outlinks": outlinks,
         "host_link_graph": host_link_graph,
+        "host_pagerank": host_pagerank,
         "extract_quality_pipeline": extract_quality_pipeline,
         # engine mechanics as relational ops (SURVEY.md Table B)
         "dedup_window_latest": relational.latest_event_per_user,
@@ -700,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": text_stats.quality_scores,
         "quality_filter": text_stats.quality_filter,
         "quality_filter_neardup": text_stats.quality_filter_neardup,
+        "quality_model_score": text_stats.quality_model_score,
         "tfidf_topterms": text_stats.tfidf_topterms,
         "lang_id": text_stats.lang_id,
         "fingerprints": text_stats.fingerprints,
@@ -737,6 +819,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_linked_markdown": EXTRACT_LINKED_ORACLE,
         "outlinks": OUTLINKS_ORACLE,
         "host_link_graph": HOST_LINK_GRAPH_ORACLE,
+        "host_pagerank": HOST_PAGERANK_ORACLE,
         "extract_quality_pipeline": EXTRACT_QUALITY_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,
@@ -756,6 +839,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": text_stats.QUALITY_ORACLE,
         "quality_filter": text_stats.QUALITY_FILTER_ORACLE,
         "quality_filter_neardup": text_stats.QUALITY_FILTER_NEARDUP_ORACLE,
+        "quality_model_score": text_stats.QUALITY_MODEL_ORACLE,
         "tfidf_topterms": text_stats.TFIDF_ORACLE,
         "lang_id": text_stats.LANG_ID_ORACLE,
         "fingerprints": text_stats.FINGERPRINT_ORACLE,
