@@ -624,7 +624,10 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold order. Spark shape per iteration: one keyed join on src_host +
     one keyed agg on dst_host — the standard distributed PageRank step
     (the rank table is hosts-sized, edges hash-partition on src)."""
-    e = host_link_graph(spark, sf_dir)
+    # materialize the (hosts²-bounded, tiny) edge table once: the host
+    # count and every iteration reuse it instead of re-running the
+    # extraction lineage per action
+    e = host_link_graph(spark, sf_dir).localCheckpoint()
     deg = e.groupBy("src_host").agg(F.sum("n_links").alias("outdeg"))
     hosts = (e.select(F.col("src_host").alias("host"))
              .union(e.select(F.col("dst_host").alias("host")))
