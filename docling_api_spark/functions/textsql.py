@@ -83,6 +83,24 @@ def minhash_affine(dialect: str, hs: str, seed: int) -> str:
             f"h -> (({a} * h + {b}) % {MINHASH_P})))")
 
 
+def ngrams(dialect: str, tk: str = "tk", k: int = 2) -> str:
+    """Word k-grams (space-joined) from a *token-array column* ``tk`` for
+    any ``k >= 2`` — the general form of :func:`shingles_from` (which stays
+    pinned at k=3 for the minhash family's frozen oracle). Same staging
+    rule applies: pass a column reference, never an inline expression.
+    Spark arrays are 0-based, DuckDB lists 1-based."""
+    assert k >= 2
+    if dialect == "spark":
+        parts = " , ' ', ".join(f"{tk}[i+{j}]" for j in range(k))
+        return (f"CASE WHEN size({tk}) >= {k} THEN "
+                f"transform(sequence(0, size({tk}) - {k}), "
+                f"i -> concat({parts})) ELSE array() END")
+    parts = " || ' ' || ".join(f"{tk}[i+{j}]" for j in range(k))
+    return (f"CASE WHEN len({tk}) >= {k} THEN "
+            f"list_transform(generate_series(1, len({tk}) - {k - 1}), "
+            f"i -> ({parts})) ELSE [] END")
+
+
 def hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 random-hyperplane weights for sign-LSH, derived
     from md5 — same literal vectors are inlined into BOTH engines' SQL."""

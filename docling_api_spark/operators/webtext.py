@@ -1,0 +1,402 @@
+"""Web-corpus curation operators — the filtering/bookkeeping stages a
+Common-Crawl-scale training-data pipeline runs AFTER extraction and
+BEFORE tokenization:
+
+- :func:`repetition_scores` — Gopher-style repetition signals (Rae et
+  al. 2021 §A1.1: duplicate-token fraction, top-2-gram character
+  fraction, duplicated-n-gram character fraction).
+- :func:`url_canonical_dedup` — URL canonicalization (lowercase
+  scheme/host, default-port strip, tracking-param removal, param sort,
+  fragment strip, trailing-slash strip) + exact dedup on the canonical
+  form — the first dedup a crawl pipeline runs, before any content hash.
+- :func:`contamination_flags` — n-gram-overlap decontamination against a
+  held-out benchmark set (the eval-set leak check every training corpus
+  needs; 3-grams here, the same plan carries the 13-grams production
+  uses).
+- :func:`dataset_split` — deterministic hash-bucket train/val/test
+  assignment (split membership must be a pure function of the document
+  key, never of partitioning or arrival order).
+- :func:`lm_scores` — corpus-trained bigram language-model scoring with
+  add-one smoothing (the CCNet/KenLM-style fluency filter shape).
+
+Each operator is a single two-dialect SQL generator (Spark / DuckDB), so
+the driver's oracle and the engine cannot drift apart. No Python in any
+hot path — everything is JVM column expressions + keyed aggregations.
+
+Reference parity note: the reference service (document_converter/
+route.py, worker/tasks.py) has no corpus-curation layer at all — these
+operators are the task brief's training-data additions, built Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import textsql as X
+
+
+def _view(spark: SparkSession, sf_dir: str) -> None:
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+
+
+# ------------------------------------------------- repetition signals
+
+def _repetition_sql(dialect: str) -> str:
+    """Gopher-style repetition signals, one row per document:
+
+    - ``dup_token_frac``  — fraction of tokens that are repeats of an
+      earlier token (map-side: 1 - distinct/total, zero shuffle).
+    - ``top_2gram_frac``  — characters covered by the single most
+      frequent 2-gram / characters in all 2-grams.
+    - ``dup_3gram_frac``  — characters in 3-grams occurring more than
+      once / characters in all 3-grams.
+
+    Plan at scale: the token fraction never leaves the scan; each n-gram
+    signal is explode → count per (doc_id, gram) → one per-doc
+    aggregation — every stage hash-partitions on a key that contains
+    doc_id, so there is no global hot key no matter how skewed the
+    corpus (the busiest reducer sees one document's grams). Long
+    documents stay linear: explode+count is O(tokens), never the
+    O(tokens^2) a per-row array self-scan would cost. Ratios are
+    integer/integer rounded at 4 dp; NULL when a document is too short
+    to have any n-gram (no 0/0 invention)."""
+    toks = X.tokens(dialect)
+    g2 = X.ngrams(dialect, "tk", 2)
+    g3 = X.ngrams(dialect, "tk", 3)
+    if dialect == "spark":
+        n_tok, n_uniq = "size(tk)", "size(array_distinct(tk))"
+        explode = "explode"
+    else:
+        n_tok, n_uniq = "len(tk)", "len(list_distinct(tk))"
+        explode = "unnest"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+c2 AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, {explode}({g2}) AS gram FROM t) e
+  GROUP BY doc_id, gram
+),
+a2 AS (
+  SELECT doc_id,
+         max(c * length(gram)) AS top_chars,
+         sum(c * length(gram)) AS tot_chars
+  FROM c2 GROUP BY doc_id
+),
+c3 AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, {explode}({g3}) AS gram FROM t) e
+  GROUP BY doc_id, gram
+),
+a3 AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS dup_chars,
+         sum(c * length(gram)) AS tot_chars
+  FROM c3 GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST({n_tok} AS BIGINT) AS n_tokens,
+  ROUND(({n_tok} - {n_uniq})
+        / CAST(nullif({n_tok}, 0) AS DOUBLE), 4) AS dup_token_frac,
+  ROUND(a2.top_chars / CAST(a2.tot_chars AS DOUBLE), 4) AS top_2gram_frac,
+  ROUND(a3.dup_chars / CAST(a3.tot_chars AS DOUBLE), 4) AS dup_3gram_frac
+FROM t
+LEFT JOIN a2 ON a2.doc_id = t.doc_id
+LEFT JOIN a3 ON a3.doc_id = t.doc_id
+"""
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_repetition_sql("spark"))
+
+
+REPETITION_ORACLE = _repetition_sql("duck")
+
+
+# --------------------------------------------- URL canonical + dedup
+
+#: tracking parameters stripped by canonicalization (the usual suspects);
+#: everything else is content-significant and kept (sorted)
+_TRACKING_RX = "^(utm_[a-z]+|fbclid|gclid|msclkid)="
+
+
+def _messy_url_sql(dialect: str) -> str:
+    """Deterministic messy-URL synthesis from doc_id — the crawl-frontier
+    shape where ONE page (``page_id = doc_id - doc_id % 3``) is reached
+    via up to three syntactically different URLs: scheme/host case noise,
+    an explicit default port, a trailing slash, tracking params, a
+    content param in unsorted position, a fragment. The content param is
+    PAGE-keyed, so the ``%3 ∈ {0,1}`` variants canonicalize identically
+    (real dedup pairs), while the ``%3 = 2`` variant carries no query at
+    all (its own canonical — exercises empty-query handling). Pure
+    string concat, identical text in both engines."""
+    del dialect  # same SQL text in both engines
+    return (
+        "CASE WHEN doc_id % 4 = 1 THEN 'HTTPS://Site' ELSE 'https://site' END"
+        " || CAST((doc_id - doc_id % 3) % 97 AS STRING)"
+        " || CASE WHEN doc_id % 4 = 1 THEN '.Example' ELSE '.example' END"
+        " || CASE WHEN doc_id % 5 = 2 THEN ':443' ELSE '' END"
+        " || '/doc/' || CAST(doc_id - doc_id % 3 AS STRING)"
+        " || CASE WHEN doc_id % 6 = 3 THEN '/' ELSE '' END"
+        " || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id='"
+        "             || CAST((doc_id - doc_id % 3) % 7 AS STRING)"
+        "         WHEN doc_id % 3 = 1 THEN '?id='"
+        "             || CAST((doc_id - doc_id % 3) % 7 AS STRING)"
+        "             || '&utm_campaign=x'"
+        "         ELSE '' END"
+        " || CASE WHEN doc_id % 9 = 5 THEN '#sec2' ELSE '' END"
+    )
+
+
+def _url_canon_sql(dialect: str) -> str:
+    """Canonicalize, then dedup on the canonical form.
+
+    Canonical form = lower(scheme)://lower(host) [port stripped when it
+    is the scheme default] + path [trailing slash stripped] +
+    '?'+sort(non-tracking params) [omitted when empty]. Fragments never
+    reach the canonical form. ``is_canonical`` keeps the smallest doc_id
+    per canonical URL (first capture wins — swap the window key for
+    max(warc_ts) to prefer freshest).
+
+    Plan at scale: canonicalization is one map-side projection (regex +
+    array ops, whole-stage codegen); the dedup decision is ONE window
+    keyed on canonical_url — the same single-shuffle shape as
+    dedup_exact, and url-keyed, so host-level skew does not concentrate
+    (every URL is its own group)."""
+    url = _messy_url_sql(dialect)
+    if dialect == "spark":
+        # Spark regexp_replace replaces ALL matches; group refs are $1
+        strip_frag = "regexp_replace(u, '#.*$', '')"
+        params = ("filter(split(q, '&'), "
+                  f"p -> p != '' AND NOT p RLIKE '{_TRACKING_RX}')")
+        canon_q = ("array_join(array_sort(kept), '&')")
+        lower_hostport = ("lower(coalesce(regexp_extract(nf, "
+                          "'^[a-zA-Z]+://([^/?]*)', 1), ''))")
+    else:
+        # DuckDB regexp_replace needs the 'g' flag for replace-all;
+        # single-match replaces below are anchored so no flag needed
+        strip_frag = "regexp_replace(u, '#.*$', '')"
+        params = ("list_filter(string_split(q, '&'), "
+                  f"p -> p != '' AND NOT regexp_matches(p, '{_TRACKING_RX}'))")
+        # duck array_to_string([]) is NULL where Spark array_join is ''
+        canon_q = "coalesce(array_to_string(list_sort(kept), '&'), '')"
+        lower_hostport = ("lower(coalesce(regexp_extract(nf, "
+                          "'^[a-zA-Z]+://([^/?]*)', 1), ''))")
+    # DuckDB regexp_extract yields NULL on no-match where Spark yields ''
+    # — coalesce so both dialects see '' (r3: the '?'-less URL class)
+    scheme = "lower(coalesce(regexp_extract(nf, '^([a-zA-Z]+)://', 1), ''))"
+    path = ("coalesce(regexp_extract(nf, '^[a-zA-Z]+://[^/?]*([^?]*)', 1),"
+            " '')")
+    query = "coalesce(regexp_extract(nf, '[?](.*)$', 1), '')"
+    return f"""
+WITH raw AS (SELECT doc_id, {url} AS u FROM documents),
+parts AS (
+  SELECT doc_id, u, {scheme} AS sch, {lower_hostport} AS hostport,
+         {path} AS pth, {query} AS q
+  FROM (SELECT doc_id, u, {strip_frag} AS nf FROM raw) s
+),
+canon AS (
+  SELECT doc_id, u,
+    sch || '://'
+    || CASE WHEN sch = 'https' THEN regexp_replace(hostport, ':443$', '')
+            WHEN sch = 'http'  THEN regexp_replace(hostport, ':80$', '')
+            ELSE hostport END
+    || CASE WHEN pth = '' OR pth = '/' THEN '/'
+            ELSE regexp_replace(pth, '/$', '') END
+    || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
+  FROM (
+    SELECT doc_id, u, sch, hostport, pth, {canon_q} AS cq
+    FROM (SELECT doc_id, u, sch, hostport, pth, {params} AS kept
+          FROM parts) k
+  ) j
+)
+SELECT doc_id, u AS url, canonical_url,
+  doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS is_canonical
+FROM canon
+"""
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_url_canon_sql("spark"))
+
+
+URL_CANON_ORACLE = _url_canon_sql("duck")
+
+
+# ------------------------------------------------ decontamination
+
+#: benchmark membership rule — docs whose id hits this modulus stand in
+#: for the held-out eval set (deterministic, scale-proportional)
+_BENCH_MOD = 101
+
+
+def _contamination_sql(dialect: str) -> str:
+    """Flag corpus documents sharing word n-grams with a benchmark set.
+
+    3-word shingles here (the corpus' synthetic vocabulary is small, so
+    3-grams collide at a measurable, assertable rate); production
+    decontamination swaps the same shingle expression for 13-grams —
+    the plan is k-independent.
+
+    Plan at scale: the benchmark n-gram set is DISTINCT'd and broadcast
+    (an eval suite is millions of grams at most — broadcastable by
+    construction, and the hint makes it explicit); the corpus side
+    streams map-side through the semi-join, then one aggregation keyed
+    by doc_id. The corpus is never shuffled on gram — only benchmark
+    grams move."""
+    toks = X.tokens(dialect)
+    sh = X.shingles_from(dialect, "tk")
+    explode = "explode" if dialect == "spark" else "unnest"
+    hint = "/*+ BROADCAST(bench) */ " if dialect == "spark" else ""
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, gram
+  FROM (SELECT doc_id, {explode}({sh}) AS gram FROM t) e
+),
+bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % {_BENCH_MOD} = 0
+),
+agg AS (
+  -- ONE pass over the corpus grams: the broadcast left join marks hits,
+  -- the keyed agg counts totals and hits together (a separate hits/tot
+  -- pair would scan and aggregate the corpus side twice)
+  SELECT {hint}g.doc_id, count(*) AS n_grams,
+         count(bench.gram) AS n_hits
+  FROM g LEFT JOIN bench ON g.gram = bench.gram
+  WHERE g.doc_id % {_BENCH_MOD} <> 0
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+  CAST(coalesce(agg.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(agg.n_hits, 0) AS BIGINT) AS n_contaminated,
+  ROUND(coalesce(agg.n_hits, 0)
+        / CAST(nullif(agg.n_grams, 0) AS DOUBLE), 4) AS contaminated_frac,
+  coalesce(agg.n_hits, 0) > 0 AS is_contaminated
+FROM t
+LEFT JOIN agg ON agg.doc_id = t.doc_id
+WHERE t.doc_id % {_BENCH_MOD} <> 0
+"""
+
+
+def contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_contamination_sql("spark"))
+
+
+CONTAMINATION_ORACLE = _contamination_sql("duck")
+
+
+# ------------------------------------------------ deterministic split
+
+#: bucket → split boundaries (out of 100): 90/5/5
+_SPLIT_TRAIN, _SPLIT_VAL = 90, 95
+#: version salt: changing it re-rolls every assignment on purpose —
+#: split membership must never drift silently between pipeline runs
+_SPLIT_SALT = "split:v1:"
+
+
+def _split_sql(dialect: str) -> str:
+    """Train/validation/test assignment as a pure function of the
+    document key: bucket = md5('split:v1:' || doc_id) % 100. Entirely
+    map-side (zero shuffle, zero state) — the property that matters at
+    10^12 documents is that membership survives repartitioning,
+    backfills, and incremental appends without a registry table."""
+    h = X.md5_int(dialect, f"'{_SPLIT_SALT}' || CAST(doc_id AS STRING)")
+    return f"""
+SELECT doc_id,
+  CAST(bucket AS INT) AS bucket,
+  CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+       WHEN bucket < {_SPLIT_VAL} THEN 'validation'
+       ELSE 'test' END AS split
+FROM (SELECT doc_id, {h} % 100 AS bucket FROM documents) b
+"""
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_split_sql("spark"))
+
+
+SPLIT_ORACLE = _split_sql("duck")
+
+
+# ------------------------------------------------ bigram LM scoring
+
+def _lm_sql(dialect: str) -> str:
+    """Corpus-trained bigram LM score per document (CCNet-style fluency
+    signal): for each bigram (w1,w2), logprob = ln((C(w1,w2) + 1) /
+    (C(w1) + V)) with add-one smoothing over vocabulary size V;
+    avg_logprob = mean over the document's bigrams.
+
+    Cross-engine determinism: each per-bigram ln() is quantized to
+    integer MICRO-units (round at 6 dp, then an exact integral-double →
+    BIGINT cast — the one double rounding, on a transcendental where a
+    tie is astronomically unlikely, the same contract tfidf_topterms
+    relies on). From there everything is integer arithmetic: BIGINT sum
+    (exact, associative — partition-order invariant), and the mean is an
+    explicit integer round-half-away division ``(2*|s| + n) div (2*n)``
+    re-signed — because ROUND(s/n, 6) genuinely ties in practice (found
+    by the sf0.1 sweep: doc with s/n = -3.4140895 exactly; Spark's
+    BigDecimal HALF_UP and DuckDB's scaled-double round disagreed on
+    it). ``q/1e6`` then maps to the identical nearest double in both
+    engines.
+
+    Plan at scale: two keyed count aggregations build the model (bigram
+    counts keyed on gram, unigram counts keyed on token — partial
+    aggregation map-side combines both); scoring is two equi-joins keyed
+    on gram/w1 (model side and corpus side co-partition on the join key)
+    plus one per-doc aggregation. V is a 1-row scalar cross join. No
+    broadcast assumption on the model: at web scale the bigram table is
+    itself huge, and the keyed sort-merge join is the right plan — AQE
+    will downgrade to broadcast when a small corpus makes it cheap."""
+    toks = X.tokens(dialect)
+    g2 = X.ngrams(dialect, "tk", 2)
+    w1 = "split_part(gram, ' ', 1)"
+    if dialect == "spark":
+        explode = "explode"
+        intdiv = ("(2 * abs(agg.s) + agg.n_bigrams) "
+                  "DIV (2 * agg.n_bigrams)")
+    else:
+        explode = "unnest"
+        intdiv = ("(2 * abs(agg.s) + agg.n_bigrams) "
+                  "// (2 * agg.n_bigrams)")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+toksx AS (SELECT doc_id, {explode}(tk) AS tok FROM t),
+uni AS (SELECT tok, count(*) AS c1 FROM toksx GROUP BY tok),
+v AS (SELECT count(*) AS vocab FROM uni),
+bg AS (
+  SELECT doc_id, gram, {w1} AS w1
+  FROM (SELECT doc_id, {explode}({g2}) AS gram FROM t) e
+),
+bgc AS (SELECT gram, count(*) AS c2 FROM bg GROUP BY gram),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(ROUND(ln((bgc.c2 + 1.0) / (uni.c1 + v.vocab))
+                    * 1000000.0, 0) AS BIGINT) AS lp_micros
+  FROM bg
+  JOIN bgc ON bg.gram = bgc.gram
+  JOIN uni ON bg.w1 = uni.tok
+  CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams, sum(lp_micros) AS s
+  FROM scored GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  (CASE WHEN agg.s < 0 THEN -1.0 ELSE 1.0 END)
+    * CAST({intdiv} AS DOUBLE) / 1000000.0 AS avg_logprob
+FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id
+"""
+
+
+def lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_lm_sql("spark"))
+
+
+LM_ORACLE = _lm_sql("duck")

@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .config import ExtractConfig
 from .functions import textsql as X
-from .operators import dedup, multimodal, relational, similarity, text_stats
+from .operators import (dedup, multimodal, relational, similarity,
+                        text_stats, webtext)
 from .plans.pipeline import extract_df
 from .sources.pages import pages_from_documents
 
@@ -801,6 +802,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": multimodal.media_metadata,
         "image_features": multimodal.image_features,
         "image_metadata": multimodal.image_metadata,
+        # web-corpus curation (Gopher/CCNet-style filtering stages)
+        "repetition_scores": webtext.repetition_scores,
+        "url_canonical_dedup": webtext.url_canonical_dedup,
+        "contamination_flags": webtext.contamination_flags,
+        "dataset_split": webtext.dataset_split,
+        "lm_scores": webtext.lm_scores,
     }
 
 
@@ -853,6 +860,11 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": multimodal.MEDIA_METADATA_ORACLE,
         "image_features": multimodal.IMAGE_FEATURES_ORACLE,
         "image_metadata": multimodal.IMAGE_METADATA_ORACLE,
+        "repetition_scores": webtext.REPETITION_ORACLE,
+        "url_canonical_dedup": webtext.URL_CANON_ORACLE,
+        "contamination_flags": webtext.CONTAMINATION_ORACLE,
+        "dataset_split": webtext.SPLIT_ORACLE,
+        "lm_scores": webtext.LM_ORACLE,
     }
     # the learned-IVF oracle trains an engine-free k-means replica over
     # the embeddings parquet (memoized). If that data is unreachable in

@@ -1,0 +1,192 @@
+"""Semantic tests for the web-corpus curation operators (webtext.py) —
+the oracle-parity test proves Spark==DuckDB; these prove both equal the
+INTENDED semantics (a shared dialect bug would pass parity silently)."""
+
+import duckdb
+import pytest
+
+from docling_api_spark.operators import webtext
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')")
+    yield con
+
+
+def _docs_view(con, rows):
+    """Replace the documents view with literal (doc_id, text) rows."""
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    con.execute("CREATE OR REPLACE VIEW documents AS "
+                f"SELECT * FROM (VALUES {vals}) v(doc_id, text)")
+
+
+# ------------------------------------------------------- repetition
+
+def test_repetition_known_document():
+    con = duckdb.connect()
+    # 6 tokens: 'a b a b a c' → distinct 3 → dup_token_frac 0.5
+    # 2-grams: [a b, b a, a b, b a, a c] → counts {a b:2, b a:2, a c:2? no:
+    #   grams are 'a b','b a','a b','b a','a c' → a b:2, b a:2, a c:1
+    #   top chars = 2*3=6, tot = 5*3=15 → 0.4
+    #   dup (c>1): (2+2)*3=12 → not exposed for 2-grams
+    # 3-grams: 'a b a','b a b','a b a','b a c' → a b a:2 dup chars 2*5=10,
+    #   tot 4*5=20 → dup_3gram_frac 0.5
+    _docs_view(con, [(1, "a b a b a c")])
+    row = con.sql(webtext._repetition_sql("duck")).fetchall()[0]
+    doc_id, n_tokens, dup_tok, top2, dup3 = row
+    assert (doc_id, n_tokens) == (1, 6)
+    assert dup_tok == 0.5
+    assert top2 == round(6 / 15, 4)
+    assert dup3 == 0.5
+
+
+def test_repetition_short_doc_null_grams():
+    con = duckdb.connect()
+    _docs_view(con, [(1, "solo")])
+    row = con.sql(webtext._repetition_sql("duck")).fetchall()[0]
+    assert row == (1, 1, 0.0, None, None)
+
+
+# ------------------------------------------------- url canonicalization
+
+def _canon_map(duck):
+    rows = duck.sql(webtext._url_canon_sql("duck")).fetchall()
+    return {r[0]: (r[1], r[2], r[3]) for r in rows}
+
+
+def test_url_canonical_form(duck):
+    m = _canon_map(duck)
+    for doc_id, (url, canon, _) in m.items():
+        # canonical is lowercase scheme+host, no default port, no
+        # fragment, no tracking params, no trailing slash
+        assert canon.startswith("https://site"), canon
+        assert ":443" not in canon
+        assert "#" not in canon
+        assert "utm_" not in canon and "fbclid" not in canon
+        assert not canon.endswith("/")
+        page = doc_id - doc_id % 3
+        assert f"/doc/{page}" in canon
+
+
+def test_url_variants_collapse_and_min_wins(duck):
+    m = _canon_map(duck)
+    # %3=0 and %3=1 variants of one page share a canonical; smallest
+    # doc_id is the keeper
+    by_canon = {}
+    for doc_id, (_, canon, is_canon) in m.items():
+        by_canon.setdefault(canon, []).append((doc_id, is_canon))
+    groups = [g for g in by_canon.values() if len(g) > 1]
+    assert groups, "expected real dedup groups"
+    for g in groups:
+        keeper = min(d for d, _ in g)
+        for d, is_canon in g:
+            assert is_canon == (d == keeper)
+    # the no-query variant (%3=2) never joins a group
+    for doc_id, (_, canon, _) in m.items():
+        if doc_id % 3 == 2:
+            assert len(by_canon[canon]) == 1
+
+
+def test_url_param_sort_and_tracking_strip(duck):
+    m = _canon_map(duck)
+    doc = next(d for d in m if d % 3 == 1)
+    url, canon, _ = m[doc]
+    assert "utm_campaign" in url
+    assert canon.endswith(f"?id={(doc - doc % 3) % 7}")
+    frag_doc = next(d for d in m if d % 9 == 5)
+    assert "#sec2" in m[frag_doc][0] and "#" not in m[frag_doc][1]
+
+
+# ---------------------------------------------------- contamination
+
+def test_contamination_semantics():
+    con = duckdb.connect()
+    # doc 0 (% 101 == 0) is the benchmark; doc 1 shares the 3-gram
+    # 'x y z'; doc 2 shares none
+    _docs_view(con, [(0, "x y z q"), (1, "p x y z"), (2, "a b c d")])
+    rows = {r[0]: r for r in
+            con.sql(webtext._contamination_sql("duck")).fetchall()}
+    assert 0 not in rows            # benchmark docs excluded from output
+    assert rows[1][2] == 1 and rows[1][4] is True
+    assert rows[2][2] == 0 and rows[2][4] is False
+    assert rows[1][1] == 2          # 'p x y', 'x y z'
+
+
+# ---------------------------------------------------------- split
+
+def test_split_proportions_and_determinism(duck):
+    rows = duck.sql(webtext._split_sql("duck")).fetchall()
+    counts = {}
+    for _, bucket, split in rows:
+        assert 0 <= bucket < 100
+        counts[split] = counts.get(split, 0) + 1
+    n = sum(counts.values())
+    # 90/5/5 within generous tolerance at n=500
+    assert counts["train"] / n > 0.8
+    assert 0 < counts["validation"] / n < 0.12
+    assert 0 < counts["test"] / n < 0.12
+    # pure function of doc_id: a second evaluation is identical
+    assert rows == duck.sql(webtext._split_sql("duck")).fetchall()
+
+
+# -------------------------------------------------------- lm scores
+
+def test_lm_scores_known_corpus():
+    import math
+    con = duckdb.connect()
+    # corpus: doc1 'a b a b', doc2 'a b'. vocab = {a, b} → V=2
+    # unigrams: a:3, b:3.  bigrams: 'a b':3? doc1 has [a b, b a, a b],
+    # doc2 [a b] → C('a b')=3, C('b a')=1
+    _docs_view(con, [(1, "a b a b"), (2, "a b")])
+    rows = {r[0]: r for r in con.sql(webtext._lm_sql("duck")).fetchall()}
+    lp_ab = round(math.log((3 + 1) / (3 + 2)) * 1e6)   # integer micros
+    lp_ba = round(math.log((1 + 1) / (3 + 2)) * 1e6)
+
+    def avg(s, n):
+        q = (2 * abs(s) + n) // (2 * n)   # round-half-away int division
+        return (-1.0 if s < 0 else 1.0) * q / 1e6
+
+    assert rows[1][1] == 3
+    assert rows[1][2] == avg(2 * lp_ab + lp_ba, 3)
+    assert rows[2][1] == 1
+    assert rows[2][2] == avg(lp_ab, 1)
+
+
+def test_lm_scores_single_token_doc_null():
+    con = duckdb.connect()
+    _docs_view(con, [(1, "alone"), (2, "a b")])
+    rows = {r[0]: r for r in con.sql(webtext._lm_sql("duck")).fetchall()}
+    assert rows[1][1] == 0 and rows[1][2] is None
+
+
+# ------------------------------------------------------- plan pins
+
+def test_dataset_split_plan_zero_shuffle(spark):
+    plan = webtext.dataset_split(spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_contamination_plan_broadcasts_bench(spark):
+    plan = webtext.contamination_flags(spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the benchmark gram set must be the broadcast side; the corpus gram
+    # relation must never shuffle on gram for the semi-join itself
+    assert "BroadcastExchange" in plan
+    # exactly the two keyed aggs: (doc_id, gram) distinct + per-doc count
+    # (plus the bench distinct) — no extra corpus-wide exchanges from a
+    # duplicated tot/hits chain
+    n_gram_exchanges = plan.count("Exchange hashpartitioning(doc_id")
+    assert n_gram_exchanges <= 2, plan[:2000]
+
+
+def test_url_canonical_plan_single_window_exchange(spark):
+    plan = webtext.url_canonical_dedup(spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
