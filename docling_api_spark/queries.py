@@ -743,6 +743,76 @@ FROM e WHERE length(trim(text)) > 0
 """
 
 
+def head_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction + the robots retention decision: title,
+    robots directives (both attribute orders), canonical link, and the
+    keep verdict (not noindex AND canonical-self-or-absent) a crawl
+    pipeline applies before a page enters the corpus. The reference has
+    no crawl layer (its input is an upload, route.py:30) — this is the
+    Common-Crawl-shape counterpart of its format gate.
+
+    Plan at scale: one map-side projection over the page scan (decode +
+    regexp_extract, whole-stage codegen) — zero shuffles, zero Python.
+    The fast-parser DOM is NOT involved by design: head content is
+    chrome the extractor drops (DROP_TAGS), and the metadata fields are
+    regular (attribute-quoted metas), so a regex scan is the honest
+    linear-cost plan."""
+    from .sources.pages import pages_with_meta
+    pages = pages_with_meta(spark, sf_dir)
+    t = F.decode(F.col("html"), "UTF-8")
+    r1 = F.regexp_extract(t, '<meta name="robots" content="([^"]*)"', 1)
+    r2 = F.regexp_extract(t, '<meta content="([^"]*)" name="robots"', 1)
+    robots = F.when(r1 != "", r1).otherwise(r2)
+    canonical = F.regexp_extract(
+        t, '<link rel="canonical" href="([^"]*)"', 1)
+    out = pages.select(
+        "url",
+        F.regexp_extract(t, "<title>([^<]*)</title>", 1).alias("title"),
+        robots.alias("robots"),
+        canonical.alias("canonical_href"),
+    )
+    noindex = F.col("robots").contains("noindex")
+    nofollow = F.col("robots").contains("nofollow")
+    self_ok = (F.col("canonical_href") == "") | \
+        (F.col("canonical_href") == F.col("url"))
+    return out.select(
+        "url", "title", "robots", "canonical_href",
+        noindex.alias("noindex"), nofollow.alias("nofollow"),
+        self_ok.alias("is_canonical_self"),
+        (~noindex & self_ok).alias("keep"),
+    )
+
+
+HEAD_META_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+    'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
+      || CAST(doc_id AS VARCHAR) || '.html' AS url,
+    'Doc ' || CAST(doc_id AS VARCHAR) || ' | site'
+      || CAST(doc_id % 97 AS VARCHAR) AS title,
+    CASE doc_id % 4 WHEN 1 THEN 'noindex, nofollow'
+                    WHEN 2 THEN 'index, follow'
+                    WHEN 3 THEN 'nofollow'
+                    ELSE '' END AS robots
+  FROM documents
+),
+c AS (
+  SELECT m.*,
+    CASE doc_id % 3 WHEN 0 THEN url
+                    WHEN 1 THEN url || '?ref=syndicated'
+                    ELSE '' END AS canonical_href
+  FROM m
+)
+SELECT url, title, robots, canonical_href,
+  robots LIKE '%noindex%' AS noindex,
+  robots LIKE '%nofollow%' AS nofollow,
+  (canonical_href = '' OR canonical_href = url) AS is_canonical_self,
+  (NOT robots LIKE '%noindex%'
+   AND (canonical_href = '' OR canonical_href = url)) AS keep
+FROM c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship extraction (SQL-reconstructed golden oracle)
@@ -764,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_graph": host_link_graph,
         "host_pagerank": host_pagerank,
         "extract_quality_pipeline": extract_quality_pipeline,
+        "head_meta": head_meta,
         # engine mechanics as relational ops (SURVEY.md Table B)
         "dedup_window_latest": relational.latest_event_per_user,
         "resume_anti_join": relational.resume_anti_join,
@@ -831,6 +902,7 @@ def oracle_sql() -> dict[str, str]:
         "host_link_graph": HOST_LINK_GRAPH_ORACLE,
         "host_pagerank": HOST_PAGERANK_ORACLE,
         "extract_quality_pipeline": EXTRACT_QUALITY_ORACLE,
+        "head_meta": HEAD_META_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,
         "metrics_rollup": relational.METRICS_ROLLUP_ORACLE,

@@ -242,6 +242,53 @@ def pages_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pages_with_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → pages whose ``<head>`` carries the metadata a
+    crawl pipeline must honor before keeping a page: ``<title>``, a
+    robots meta (four classes: absent / noindex,nofollow / index,follow /
+    attr-order-flipped nofollow — the flip pins extraction robustness),
+    and a canonical ``<link>`` (three classes: self / pointing elsewhere
+    (a syndicated copy) / absent). The metas sit AFTER the chrome
+    ``<style>``/``<script>`` blob, so extraction must scan past real head
+    noise. Pure column expressions (zero Python)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    sid = i.cast("string")
+    para = F.coalesce(F.col("text"), F.lit(""))
+    url = F.concat(F.lit("https://site"), (i % 97).cast("string"),
+                   F.lit(".example/doc/"), sid, F.lit(".html"))
+    robots = (
+        F.when(i % 4 == 1, F.lit(
+            "<meta name=\"robots\" content=\"noindex, nofollow\">"))
+        .when(i % 4 == 2, F.lit(
+            "<meta name=\"robots\" content=\"index, follow\">"))
+        .when(i % 4 == 3, F.lit(
+            "<meta content=\"nofollow\" name=\"robots\">"))
+        .otherwise(F.lit("")))
+    canonical = (
+        F.when(i % 3 == 0, F.concat(
+            F.lit("<link rel=\"canonical\" href=\""), url, F.lit("\">")))
+        .when(i % 3 == 1, F.concat(
+            F.lit("<link rel=\"canonical\" href=\""), url,
+            F.lit("?ref=syndicated\">")))
+        .otherwise(F.lit("")))
+    html_str = F.concat(
+        F.lit("<!DOCTYPE html><html><head>" + _CHROME_HEAD + "<title>"),
+        F.lit("Doc "), sid, F.lit(" | site"), (i % 97).cast("string"),
+        F.lit("</title><meta charset=\"utf-8\">"),
+        robots, canonical,
+        F.lit("</head><body><main><h1>Doc "), sid,
+        F.lit("</h1><p>"), para,
+        F.lit("</p></main>" + _CHROME_FOOTER + "</body></html>"))
+    return docs.select(
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_S) + (i % 86400)).alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        para.alias("text"),
+        F.col("lang"),
+    )
+
+
 def with_fixture_ooxml(pages: DataFrame, docx_mod: int = 2,
                        pptx_mod: int = 9, adoc_mod: int = 3) -> DataFrame:
     """Replace docs with ``doc_id % 10 == docx_mod/pptx_mod/adoc_mod`` by

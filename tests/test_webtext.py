@@ -190,3 +190,30 @@ def test_url_canonical_plan_single_window_exchange(spark):
     plan = webtext.url_canonical_dedup(spark, SF_DIR) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ----------------------------------------------- head_meta (queries.py)
+
+def test_head_meta_semantics_and_plan(spark):
+    from docling_api_spark.queries import head_meta
+    df = head_meta(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan          # pure map-side projection
+    rows = {int(r["url"].rsplit("/", 1)[1].split(".")[0]): r
+            for r in df.collect()}
+    for i, r in rows.items():
+        assert r["title"] == f"Doc {i} | site{i % 97}"
+        if i % 4 == 1:
+            assert r["noindex"] and r["nofollow"] and not r["keep"]
+        elif i % 4 == 3:                    # attr-order-flipped meta
+            assert r["robots"] == "nofollow" and r["nofollow"]
+            assert not r["noindex"]
+        elif i % 4 == 0:
+            assert r["robots"] == "" and not r["noindex"]
+        if i % 3 == 0:
+            assert r["is_canonical_self"]
+            assert r["canonical_href"] == r["url"]
+        elif i % 3 == 1:
+            assert not r["is_canonical_self"] and not r["keep"]
+        else:
+            assert r["canonical_href"] == "" and r["is_canonical_self"]
