@@ -813,6 +813,76 @@ FROM c
 """
 
 
+def content_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-ratio / thin-page signal: markdown bytes out over page
+    bytes in, from the extraction's own per-doc lineage counters
+    (bytes_in/bytes_out ride the result rows — no join, no second scan).
+    ``is_thin`` (extracted content < 5% of page bytes) is the
+    parked-domain / chrome-only page heuristic a crawl pipeline drops.
+
+    Density is computed as an integer round-half-away division
+    ``(2*10^4*out + in) div (2*in)`` then scaled — ROUND(out/in, 4) on
+    doubles can tie and the engines break ties differently (the lm_scores
+    lesson). The oracle rebuilds both byte counts from the page
+    generator's named SHELL_* constants, so any shell edit breaks this
+    hash loudly instead of silently drifting."""
+    pages = pages_from_documents(spark, sf_dir)
+    out = extract_df(pages, _CFG)
+    return out.select(
+        "url",
+        F.col("bytes_in").alias("html_bytes"),
+        F.col("bytes_out").alias("markdown_bytes"),
+        F.expr("CAST((20000 * bytes_out + bytes_in) DIV (2 * bytes_in) "
+               "AS DOUBLE) / 10000").alias("density"),
+        (F.col("bytes_out") * 20 < F.col("bytes_in")).alias("is_thin"),
+    )
+
+
+def _content_density_oracle() -> str:
+    from .sources import pages as P
+
+    pre = len(P.SHELL_PRE) + len("Doc ")
+    mid = len(P.SHELL_AFTER_TITLE)
+    post = len(P.SHELL_AFTER_PARA) + len(P.SHELL_POST)
+    lst = len(P.SHELL_LIST_PRE) + len(P.SHELL_LIST_POST)
+    tbl = (len(P.SHELL_TBL_PRE) + len(P.SHELL_TBL_MID)
+           + len(P.SHELL_TBL_POST))
+    md_pre = len("# Doc ")
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+    'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
+      || CAST(doc_id AS VARCHAR)
+      || CASE WHEN doc_id % 10 = 7 THEN '.md' ELSE '.html' END AS url,
+    CASE WHEN doc_id % 10 = 7
+         THEN {md_pre} + length(CAST(doc_id AS VARCHAR)) + 2
+              + octet_length(encode(text)) + 1
+         ELSE {pre} + length(CAST(doc_id AS VARCHAR)) + {mid}
+              + octet_length(encode(text)) + {post}
+              + CASE WHEN doc_id % 3 = 0
+                     THEN {lst} + length(CAST(doc_id AS VARCHAR))
+                     ELSE 0 END
+              + CASE WHEN doc_id % 5 = 0
+                     THEN {tbl} + length(CAST(doc_id AS VARCHAR))
+                          + length(lang)
+                     ELSE 0 END
+         END AS html_bytes,
+    octet_length(encode({_MD_EXPR})) AS markdown_bytes
+  FROM documents
+)
+SELECT url,
+  CAST(html_bytes AS BIGINT) AS html_bytes,
+  CAST(markdown_bytes AS BIGINT) AS markdown_bytes,
+  CAST((20000 * markdown_bytes + html_bytes) // (2 * html_bytes)
+       AS DOUBLE) / 10000 AS density,
+  markdown_bytes * 20 < html_bytes AS is_thin
+FROM b
+"""
+
+
+CONTENT_DENSITY_ORACLE = _content_density_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship extraction (SQL-reconstructed golden oracle)
@@ -835,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": host_pagerank,
         "extract_quality_pipeline": extract_quality_pipeline,
         "head_meta": head_meta,
+        "content_density": content_density,
         # engine mechanics as relational ops (SURVEY.md Table B)
         "dedup_window_latest": relational.latest_event_per_user,
         "resume_anti_join": relational.resume_anti_join,
@@ -903,6 +974,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": HOST_PAGERANK_ORACLE,
         "extract_quality_pipeline": EXTRACT_QUALITY_ORACLE,
         "head_meta": HEAD_META_ORACLE,
+        "content_density": CONTENT_DENSITY_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,
         "metrics_rollup": relational.METRICS_ROLLUP_ORACLE,

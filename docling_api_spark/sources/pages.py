@@ -68,6 +68,28 @@ _CHROME_FOOTER = (
     + "<script>var tail = 'analytics';</script>"
 )
 
+#: the HTML shell of the synthetic page, split at its variable slots and
+#: NAMED so derived oracles (content_density byte accounting) share one
+#: source of truth with the generator — a shell edit breaks their value
+#: hashes loudly instead of silently drifting
+SHELL_PRE = ("<!DOCTYPE html><html><head><title>t</title>"
+             + _CHROME_HEAD +
+             "</head><body>" + _CHROME_NAV +
+             "<header><h1>Site</h1></header>"
+             "<div><a href=\"/s1\">sponsored story one</a> "
+             "<a href=\"/s2\">sponsored story two</a> "
+             "<a href=\"/s3\">sponsored story three</a></div>"
+             "<main><h1>")
+SHELL_AFTER_TITLE = "</h1><p>"
+SHELL_AFTER_PARA = "</p>"
+SHELL_POST = "</main>" + _CHROME_FOOTER + "</body></html>"
+SHELL_LIST_PRE = "<ul><li>item one of doc "
+SHELL_LIST_POST = "</li><li>item two</li></ul>"
+SHELL_TBL_PRE = "<table><tr><th>k</th><th>v</th></tr><tr><td>id</td><td>"
+SHELL_TBL_MID = "</td></tr><tr><td>lang</td><td>"
+SHELL_TBL_POST = "</td></tr></table>"
+
+
 def pages_from_documents(spark: SparkSession, sf_dir: str,
                          repeat: int = 1,
                          parallelism: int | None = None) -> DataFrame:
@@ -102,28 +124,21 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
     is_md = (i % 10) == 7  # every 10th doc ships as raw Markdown, rest as HTML
     lst = F.when(
         i % 3 == 0,
-        F.concat(F.lit("<ul><li>item one of doc "), i.cast("string"),
-                 F.lit("</li><li>item two</li></ul>"))).otherwise(F.lit(""))
+        F.concat(F.lit(SHELL_LIST_PRE), i.cast("string"),
+                 F.lit(SHELL_LIST_POST))).otherwise(F.lit(""))
     tbl = F.when(
         i % 5 == 0,
         F.concat(
-            F.lit("<table><tr><th>k</th><th>v</th></tr><tr><td>id</td><td>"),
+            F.lit(SHELL_TBL_PRE),
             i.cast("string"),
-            F.lit("</td></tr><tr><td>lang</td><td>"), F.col("lang"),
-            F.lit("</td></tr></table>"))).otherwise(F.lit(""))
+            F.lit(SHELL_TBL_MID), F.col("lang"),
+            F.lit(SHELL_TBL_POST))).otherwise(F.lit(""))
     html_str = F.concat(
-        F.lit("<!DOCTYPE html><html><head><title>t</title>"
-              + _CHROME_HEAD +
-              "</head><body>" + _CHROME_NAV +
-              "<header><h1>Site</h1></header>"
-              "<div><a href=\"/s1\">sponsored story one</a> "
-              "<a href=\"/s2\">sponsored story two</a> "
-              "<a href=\"/s3\">sponsored story three</a></div>"
-              "<main><h1>"),
+        F.lit(SHELL_PRE),
         title,
-        F.lit("</h1><p>"), para, F.lit("</p>"),
+        F.lit(SHELL_AFTER_TITLE), para, F.lit(SHELL_AFTER_PARA),
         lst, tbl,
-        F.lit("</main>" + _CHROME_FOOTER + "</body></html>"),
+        F.lit(SHELL_POST),
     )
     md_str = F.concat(F.lit("# "), title, F.lit("\n\n"), para, F.lit("\n"))
     body = F.when(is_md, md_str).otherwise(html_str)
