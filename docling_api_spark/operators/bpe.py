@@ -1,0 +1,168 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+on-corpus vocabulary-learning stage of a training-data pipeline, built
+the canonical Spark way:
+
+- the corpus collapses ONCE to a (word, freq) table (keyed count — at
+  web scale the distinct-word table is still huge, so it stays a
+  DataFrame, never driver state);
+- each merge round is: explode adjacent symbol pairs → one keyed
+  sum-aggregation on (lhs, rhs) → collect exactly ONE row (the argmax
+  pair — scalar-sized by definition) → apply the merge map-side with a
+  whole-stage-codegen `aggregate()` fold (zero Python in the pass);
+- `localCheckpoint()` truncates lineage each round (the iterative-loop
+  discipline host_pagerank/ivf_train use).
+
+Everything is integer arithmetic with a total deterministic tie-break
+(count DESC, then lexicographically smallest pair), so the driver's
+oracle can replicate training engine-free, bit-identically, and inline
+the learned merge table as literals — the same value-gating pattern as
+``ann_ivf_trained`` (similarity.py).
+
+Reference parity note: the reference delegates tokenization entirely to
+docling's models (poetry.lock); tokenizer TRAINING has no counterpart
+there — this is a task-brief training-data addition.
+"""
+
+from __future__ import annotations
+
+import collections
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import textsql as X
+
+#: merge rounds for the driver-gated query — small because the synthetic
+#: vocabulary is small; the per-round plan is round-count-independent
+N_MERGES = 8
+#: end-of-word marker appended to every symbol sequence (standard BPE)
+EOW = "</w>"
+
+_ORACLE_CACHE: dict = {}
+
+
+def _word_counts_sql(dialect: str) -> str:
+    toks = X.tokens(dialect)
+    explode = "explode" if dialect == "spark" else "unnest"
+    return (f"SELECT tok AS word, count(*) AS freq "
+            f"FROM (SELECT {explode}({toks}) AS tok FROM documents) e "
+            f"GROUP BY tok")
+
+
+def _merge_expr(lhs: str, rhs: str) -> str:
+    """The greedy left-to-right non-overlapping merge as a SQL fold:
+    append each symbol unless it completes the (lhs, rhs) pair with the
+    accumulator's last element, in which case the last element is
+    replaced by the merged symbol. Non-overlap falls out: the merged
+    symbol can never equal ``lhs``, so a fresh pair must restart.
+    Symbols are [a-z0-9] + '</w>' fragments — safe as SQL literals."""
+    lit_l, lit_r, lit_m = f"'{lhs}'", f"'{rhs}'", f"'{lhs + rhs}'"
+    return (
+        "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
+        f"IF(size(acc) > 0 AND element_at(acc, -1) = {lit_l} "
+        f"AND x = {lit_r}, "
+        f"concat(slice(acc, 1, size(acc) - 1), array({lit_m})), "
+        "concat(acc, array(x))))"
+    )
+
+
+def bpe_train(spark: SparkSession, sf_dir: str,
+              n_merges: int = N_MERGES) -> DataFrame:
+    """Learn the top-``n_merges`` BPE merges over the documents corpus.
+    Returns the merge table (rank, lhs, rhs, merged, pair_count) — small
+    by definition (the distributed work is the per-round pair count over
+    the corpus-sized word table)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    words = spark.sql(_word_counts_sql("spark"))
+    df = words.select(
+        "freq",
+        F.expr("concat(transform(sequence(1, length(word)), "
+               f"i -> substring(word, i, 1)), array('{EOW}'))").alias("syms"),
+    ).localCheckpoint()
+    merges = []
+    for rank in range(n_merges):
+        pairs = df.select(
+            "freq",
+            F.explode(F.expr(
+                "transform(sequence(1, size(syms) - 1), "
+                "i -> struct(element_at(syms, i) AS lhs, "
+                "element_at(syms, i + 1) AS rhs))")).alias("p"))
+        best = (pairs.groupBy("p.lhs", "p.rhs")
+                .agg(F.sum("freq").alias("pair_count"))
+                .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+                .first())
+        if best is None:
+            break
+        merges.append((rank, best["lhs"], best["rhs"],
+                       best["lhs"] + best["rhs"], int(best["pair_count"])))
+        df = df.select(
+            "freq", F.expr(_merge_expr(best["lhs"], best["rhs"]))
+            .alias("syms")).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "rank int, lhs string, rhs string, merged string, pair_count bigint")
+
+
+def _replica(sf_dir: str, n_merges: int) -> list[tuple]:
+    """Engine-free bit-identical training replica (oracle side): same
+    tokenization (textsql.tokens contract), same integer pair counts,
+    same (count DESC, pair ASC) tie-break, same greedy fold."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    counts: collections.Counter = collections.Counter()
+    for (text,) in rows:
+        if not text:
+            continue
+        for w in re.sub("[^a-z0-9 ]", " ", text.lower()).split():
+            counts[w] += 1
+    words = [(list(w) + [EOW], c) for w, c in counts.items()]
+    merges = []
+    for rank in range(n_merges):
+        pc: collections.Counter = collections.Counter()
+        for syms, c in words:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (lhs, rhs), c = min(pc.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, lhs, rhs, lhs + rhs, c))
+        nxt = []
+        for syms, cnt in words:
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == lhs and x == rhs:
+                    out[-1] = lhs + rhs
+                else:
+                    out.append(x)
+            nxt.append((out, cnt))
+        words = nxt
+    return merges
+
+
+def bpe_train_oracle(sf_dir: str | None = None,
+                     n_merges: int = N_MERGES) -> str:
+    """DuckDB twin: the replica's learned merge table inlined as VALUES
+    (the ann_ivf_trained pattern — iterative but deterministic, so the
+    oracle re-derives it independently instead of going rows-only). Dir
+    defaults to the driver's correctness scale; SWEEP_SF_DIR overrides;
+    memoized per (dir, n)."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get("SWEEP_SF_DIR",
+                                      "/root/testdata/sf0.01")
+    key = (sf_dir, n_merges)
+    if key not in _ORACLE_CACHE:
+        merges = _replica(sf_dir, n_merges)
+        vals = ", ".join(
+            f"(CAST({r} AS INT), '{l}', '{rt}', '{m}', "
+            f"CAST({c} AS BIGINT))"
+            for r, l, rt, m, c in merges)
+        _ORACLE_CACHE[key] = (
+            "SELECT * FROM (VALUES "
+            f"{vals}) t(rank, lhs, rhs, merged, pair_count)")
+    return _ORACLE_CACHE[key]

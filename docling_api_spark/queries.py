@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .config import ExtractConfig
 from .functions import textsql as X
-from .operators import (dedup, multimodal, relational, similarity,
+from .operators import (bpe, dedup, multimodal, relational, similarity,
                         text_stats, webtext)
 from .plans.pipeline import extract_df
 from .sources.pages import pages_from_documents
@@ -950,6 +950,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_flags": webtext.contamination_flags,
         "dataset_split": webtext.dataset_split,
         "lm_scores": webtext.lm_scores,
+        # distributed tokenizer training (deterministic iterative merges;
+        # the oracle replicates training engine-free and inlines the
+        # learned merge table — the ann_ivf_trained pattern)
+        "bpe_train": bpe.bpe_train,
     }
 
 
@@ -1017,6 +1021,12 @@ def oracle_sql() -> dict[str, str]:
     # find: a dict-literal exception would take the other 45 down).
     try:
         out["ann_ivf_trained"] = similarity.ann_ivf_trained_oracle()
+    except Exception:
+        pass
+    # same contract for the BPE replica oracle (trains over documents
+    # parquet at oracle-build time)
+    try:
+        out["bpe_train"] = bpe.bpe_train_oracle()
     except Exception:
         pass
     return out
