@@ -66,12 +66,10 @@ def _merge_expr(lhs: str, rhs: str) -> str:
     )
 
 
-def bpe_train(spark: SparkSession, sf_dir: str,
-              n_merges: int = N_MERGES) -> DataFrame:
-    """Learn the top-``n_merges`` BPE merges over the documents corpus.
-    Returns the merge table (rank, lhs, rhs, merged, pair_count) — small
-    by definition (the distributed work is the per-round pair count over
-    the corpus-sized word table)."""
+def _train(spark: SparkSession, sf_dir: str,
+           n_merges: int) -> tuple[list[tuple], DataFrame]:
+    """The shared training loop: returns (merge list, final (freq, syms)
+    word DataFrame after all merges applied)."""
     spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .createOrReplaceTempView("documents")
     words = spark.sql(_word_counts_sql("spark"))
@@ -99,15 +97,41 @@ def bpe_train(spark: SparkSession, sf_dir: str,
         df = df.select(
             "freq", F.expr(_merge_expr(best["lhs"], best["rhs"]))
             .alias("syms")).localCheckpoint()
+    return merges, df
+
+
+def bpe_train(spark: SparkSession, sf_dir: str,
+              n_merges: int = N_MERGES) -> DataFrame:
+    """Learn the top-``n_merges`` BPE merges over the documents corpus.
+    Returns the merge table (rank, lhs, rhs, merged, pair_count) — small
+    by definition (the distributed work is the per-round pair count over
+    the corpus-sized word table)."""
+    merges, _ = _train(spark, sf_dir, n_merges)
     return spark.createDataFrame(
         merges,
         "rank int, lhs string, rhs string, merged string, pair_count bigint")
 
 
-def _replica(sf_dir: str, n_merges: int) -> list[tuple]:
+def bpe_vocab(spark: SparkSession, sf_dir: str,
+              n_merges: int = N_MERGES) -> DataFrame:
+    """The trained tokenizer's EXPORT artifact: every symbol in the
+    learned vocabulary (single characters + merged units + the EOW
+    marker) with its corpus occurrence count under the final
+    segmentation. The segmentation itself is the 8 map-side folds over
+    the word table; the count is one keyed aggregation on symbol —
+    per-doc segmentation at serving time is the same fold chain."""
+    _, df = _train(spark, sf_dir, n_merges)
+    return (df.select("freq", F.explode("syms").alias("symbol"))
+            .groupBy("symbol")
+            .agg(F.sum("freq").alias("n_occurrences")))
+
+
+def _replica(sf_dir: str,
+             n_merges: int) -> tuple[list[tuple], list[tuple]]:
     """Engine-free bit-identical training replica (oracle side): same
     tokenization (textsql.tokens contract), same integer pair counts,
-    same (count DESC, pair ASC) tie-break, same greedy fold."""
+    same (count DESC, pair ASC) tie-break, same greedy fold. Returns
+    (merge list, final (syms, freq) word list)."""
     import duckdb
 
     rows = duckdb.sql(
@@ -141,7 +165,7 @@ def _replica(sf_dir: str, n_merges: int) -> list[tuple]:
                     out.append(x)
             nxt.append((out, cnt))
         words = nxt
-    return merges
+    return merges, words
 
 
 def bpe_train_oracle(sf_dir: str | None = None,
@@ -155,9 +179,9 @@ def bpe_train_oracle(sf_dir: str | None = None,
 
     sf_dir = sf_dir or os.environ.get("SWEEP_SF_DIR",
                                       "/root/testdata/sf0.01")
-    key = (sf_dir, n_merges)
+    key = ("train", sf_dir, n_merges)
     if key not in _ORACLE_CACHE:
-        merges = _replica(sf_dir, n_merges)
+        merges, _ = _replica(sf_dir, n_merges)
         vals = ", ".join(
             f"(CAST({r} AS INT), '{l}', '{rt}', '{m}', "
             f"CAST({c} AS BIGINT))"
@@ -165,4 +189,29 @@ def bpe_train_oracle(sf_dir: str | None = None,
         _ORACLE_CACHE[key] = (
             "SELECT * FROM (VALUES "
             f"{vals}) t(rank, lhs, rhs, merged, pair_count)")
+    return _ORACLE_CACHE[key]
+
+
+def bpe_vocab_oracle(sf_dir: str | None = None,
+                     n_merges: int = N_MERGES) -> str:
+    """DuckDB twin of :func:`bpe_vocab`: the replica's final
+    segmentation rolled up to per-symbol corpus counts, inlined as
+    VALUES (vocabulary size = alphabet + n_merges — small by
+    construction)."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get("SWEEP_SF_DIR",
+                                      "/root/testdata/sf0.01")
+    key = ("vocab", sf_dir, n_merges)
+    if key not in _ORACLE_CACHE:
+        _, words = _replica(sf_dir, n_merges)
+        counts: collections.Counter = collections.Counter()
+        for syms, c in words:
+            for s in syms:
+                counts[s] += c
+        vals = ", ".join(
+            f"('{s}', CAST({c} AS BIGINT))"
+            for s, c in sorted(counts.items()))
+        _ORACLE_CACHE[key] = (
+            f"SELECT * FROM (VALUES {vals}) t(symbol, n_occurrences)")
     return _ORACLE_CACHE[key]

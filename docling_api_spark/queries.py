@@ -954,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the oracle replicates training engine-free and inlines the
         # learned merge table — the ann_ivf_trained pattern)
         "bpe_train": bpe.bpe_train,
+        "bpe_vocab": bpe.bpe_vocab,
     }
 
 
@@ -1027,6 +1028,7 @@ def oracle_sql() -> dict[str, str]:
     # parquet at oracle-build time)
     try:
         out["bpe_train"] = bpe.bpe_train_oracle()
+        out["bpe_vocab"] = bpe.bpe_vocab_oracle()
     except Exception:
         pass
     return out

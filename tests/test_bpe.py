@@ -76,4 +76,4 @@ def test_spark_matches_replica_on_driver_corpus(spark):
     sf = "/root/testdata/sf0.001"
     got = [(r["rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
            for r in bpe.bpe_train(spark, sf).collect()]
-    assert got == bpe._replica(sf, bpe.N_MERGES)
+    assert got == bpe._replica(sf, bpe.N_MERGES)[0]
