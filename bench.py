@@ -112,15 +112,30 @@ def flagship(spark, sf_dir: str, cpus: int, repeat: int) -> dict:
             "docs_per_sec": round(n_docs / wall, 1)}
 
 
+#: iterative / training queries (multi-job loops, minutes at sf0.1) run
+#: ONCE in the bench: a warm + best-of-2 protocol would triple a
+#: multi-minute training run for noise-shielding that only matters on
+#: sub-second timings. Their single-shot numbers are labeled as such in
+#: BASELINE.md.
+_SINGLE_SHOT = {"bpe_train", "bpe_vocab", "ann_ivf_trained",
+                "host_pagerank"}
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     """Steady-state per-query seconds: one untimed warm run (JIT for the
     interpreted HOF expressions, page cache), then best-of-2 timed runs —
     r3: a single-shot per query recorded transient host-noise spikes of
     up to 20x (metrics_rollup 0.35 -> 6.9 s, re-measured 0.51); the min
-    of two runs is what the co-tenant host can actually reproduce."""
+    of two runs is what the co-tenant host can actually reproduce.
+    Iterative training queries (``_SINGLE_SHOT``) run once."""
     import __spark_entry__ as entry
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
+        if name in _SINGLE_SHOT:
+            t0 = time.perf_counter()
+            _consume(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+            continue
         _consume(fn(spark, sf_dir))
         best = float("inf")
         for _ in range(2):

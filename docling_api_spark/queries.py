@@ -19,8 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .config import ExtractConfig
 from .functions import textsql as X
-from .operators import (bpe, dedup, multimodal, relational, similarity,
-                        text_stats, webtext)
+from .operators import (bpe, dedup, multimodal, pii, relational,
+                        similarity, text_stats, webtext)
 from .plans.pipeline import extract_df
 from .sources.pages import pages_from_documents
 
@@ -955,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # learned merge table — the ann_ivf_trained pattern)
         "bpe_train": bpe.bpe_train,
         "bpe_vocab": bpe.bpe_vocab,
+        # PII scrubbing (regex parity gated across Java regex / RE2)
+        "pii_scrub": pii.pii_scrub,
     }
 
 
@@ -1014,6 +1016,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_flags": webtext.CONTAMINATION_ORACLE,
         "dataset_split": webtext.SPLIT_ORACLE,
         "lm_scores": webtext.LM_ORACLE,
+        "pii_scrub": pii.PII_ORACLE,
     }
     # the learned-IVF oracle trains an engine-free k-means replica over
     # the embeddings parquet (memoized). If that data is unreachable in
