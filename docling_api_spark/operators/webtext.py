@@ -400,3 +400,93 @@ def lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LM_ORACLE = _lm_sql("duck")
+
+
+# ------------------------------------------ stratified language sample
+
+#: per-language keep rate in percent — the corpus-rebalancing shape
+#: (downsample the dominant language, keep the long tail whole)
+_LANG_RATES = {"en": 50, "fr": 80}
+_DEFAULT_RATE = 100
+_SAMPLE_SALT = "sample:v1:"
+
+
+def _stratified_sql(dialect: str) -> str:
+    """Language-stratified deterministic sampling: keep doc iff
+    md5('sample:v1:' || doc_id) % 100 < rate(lang). Pure map-side (zero
+    shuffle, zero state) — like dataset_split, membership is a function
+    of the document key alone, so it survives repartitioning, backfills
+    and incremental appends; unlike rand()-based df.sample it is exactly
+    reproducible across runs and engines. Emits every doc with its
+    verdict (the driver hashes both kept and dropped)."""
+    h = X.md5_int(dialect, f"'{_SAMPLE_SALT}' || CAST(doc_id AS STRING)")
+    rate = ("CASE " + " ".join(
+        f"WHEN lang = '{lg}' THEN {r}"
+        for lg, r in sorted(_LANG_RATES.items()))
+        + f" ELSE {_DEFAULT_RATE} END")
+    return f"""
+SELECT doc_id, lang,
+  CAST(bucket AS INT) AS bucket,
+  CAST(rate AS INT) AS keep_rate,
+  bucket < rate AS keep
+FROM (
+  SELECT doc_id, lang, {h} % 100 AS bucket, {rate} AS rate
+  FROM documents
+) b
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_stratified_sql("spark"))
+
+
+STRATIFIED_ORACLE = _stratified_sql("duck")
+
+
+# ------------------------------------------------- text normalization
+
+#: typographic folds applied before hashing/dedup: curly quotes →
+#: straight, en/em-dash → hyphen, NBSP → space (1:1 codepoint map —
+#: translate() in both engines)
+_FOLD_FROM = "‘’“”–— "
+_FOLD_TO = "''\"\"-- "
+
+
+def _normalize_sql(dialect: str) -> str:
+    """Unicode-typography normalization + whitespace collapse — the
+    canonicalization every dedup/hash stage should run first (two pages
+    differing only in quote style are the same page). The query stages a
+    deterministic messy variant (curly quotes, em-dash, double spaces)
+    over half the corpus, normalizes it, and hashes the result — so the
+    driver gates that translate() and the collapse behave identically
+    across engines on real multi-byte codepoints. Map-side only.
+
+    The normalizer expression (fold → collapse → trim) is the shippable
+    artifact; ``changed`` marks docs the normalizer actually touched."""
+    g = ", 'g'" if dialect == "duck" else ""
+    fold_to = _FOLD_TO.replace("'", "''")
+    messy = ("CASE WHEN doc_id % 2 = 0 THEN "
+             "'“' || text || '”  – end' "
+             "ELSE text END")
+    norm = (f"trim(regexp_replace(translate(m, '{_FOLD_FROM}', "
+            f"'{fold_to}'), '  +', ' '{g}))")
+    return f"""
+SELECT doc_id,
+  CAST(length(m) AS BIGINT) AS raw_len,
+  CAST(length(n) AS BIGINT) AS norm_len,
+  m <> n AS changed,
+  md5(n) AS norm_md5
+FROM (
+  SELECT doc_id, m, {norm} AS n
+  FROM (SELECT doc_id, {messy} AS m FROM documents) s0
+) s1
+"""
+
+
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_normalize_sql("spark"))
+
+
+NORMALIZE_ORACLE = _normalize_sql("duck")

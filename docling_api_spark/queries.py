@@ -957,6 +957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": bpe.bpe_vocab,
         # PII scrubbing (regex parity gated across Java regex / RE2)
         "pii_scrub": pii.pii_scrub,
+        "stratified_sample": webtext.stratified_sample,
+        "normalize_text": webtext.normalize_text,
     }
 
 
@@ -1017,6 +1019,8 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": webtext.SPLIT_ORACLE,
         "lm_scores": webtext.LM_ORACLE,
         "pii_scrub": pii.PII_ORACLE,
+        "stratified_sample": webtext.STRATIFIED_ORACLE,
+        "normalize_text": webtext.NORMALIZE_ORACLE,
     }
     # the learned-IVF oracle trains an engine-free k-means replica over
     # the embeddings parquet (memoized). If that data is unreachable in

@@ -165,6 +165,49 @@ def test_lm_scores_single_token_doc_null():
     assert rows[1][1] == 0 and rows[1][2] is None
 
 
+# --------------------------------------------- stratified sampling
+
+def test_stratified_rates_and_determinism(duck):
+    rows = duck.sql(webtext._stratified_sql("duck")).fetchall()
+    by_lang = {}
+    for _, lang, bucket, rate, keep in rows:
+        assert keep == (bucket < rate)
+        exp = webtext._LANG_RATES.get(lang, webtext._DEFAULT_RATE)
+        assert rate == exp
+        n, k = by_lang.get(lang, (0, 0))
+        by_lang[lang] = (n + 1, k + keep)
+    n, k = by_lang["en"]
+    assert 0.3 < k / n < 0.7          # ~50% en keep rate
+    # rate-100 languages keep everything
+    for lang, (n, k) in by_lang.items():
+        if lang not in webtext._LANG_RATES:
+            assert k == n
+    assert rows == duck.sql(webtext._stratified_sql("duck")).fetchall()
+
+
+# --------------------------------------------- text normalization
+
+def test_normalize_folds_and_collapses():
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM (VALUES "
+                "(2, 'plain words'), (3, 'odd doc')) v(doc_id, text)")
+    norm = {r[0]: r for r in
+            con.sql(webtext._normalize_sql("duck")).fetchall()}
+    # even doc got the messy wrapper, normalizer folds it back
+    doc_id, raw_len, norm_len, changed, _ = norm[2]
+    assert changed and norm_len < raw_len
+    # odd doc untouched
+    assert norm[3][3] is False and norm[3][1] == norm[3][2]
+    # the fold itself: curly quotes/en-dash → ASCII, runs collapsed
+    fold_to = webtext._FOLD_TO.replace("'", "''")
+    row = con.sql(
+        "WITH s0 AS (SELECT '“' || 'a  b' || '”  – end' AS m) "
+        "SELECT trim(regexp_replace(translate(m, "
+        f"'{webtext._FOLD_FROM}', '{fold_to}'), '  +', ' ', 'g')) FROM s0"
+    ).fetchall()[0][0]
+    assert row == '"a b" - end'
+
+
 # ------------------------------------------------------- plan pins
 
 def test_dataset_split_plan_zero_shuffle(spark):
