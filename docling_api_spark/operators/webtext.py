@@ -149,22 +149,13 @@ def _messy_url_sql(dialect: str) -> str:
     )
 
 
-def _url_canon_sql(dialect: str) -> str:
-    """Canonicalize, then dedup on the canonical form.
-
-    Canonical form = lower(scheme)://lower(host) [port stripped when it
-    is the scheme default] + path [trailing slash stripped] +
-    '?'+sort(non-tracking params) [omitted when empty]. Fragments never
-    reach the canonical form. ``is_canonical`` keeps the smallest doc_id
-    per canonical URL (first capture wins — swap the window key for
-    max(warc_ts) to prefer freshest).
-
-    Plan at scale: canonicalization is one map-side projection (regex +
-    array ops, whole-stage codegen); the dedup decision is ONE window
-    keyed on canonical_url — the same single-shuffle shape as
-    dedup_exact, and url-keyed, so host-level skew does not concentrate
-    (every URL is its own group)."""
-    url = _messy_url_sql(dialect)
+def canonicalize_sql(dialect: str, source: str) -> str:
+    """A SELECT computing ``canonical_url`` for every row of ``source``
+    (a relation exposing doc_id and a url column ``u``) — the reusable
+    canonicalizer: lower(scheme)://lower(host) [default port stripped] +
+    path [trailing slash stripped] + '?'+sort(non-tracking params)
+    [omitted when empty]; fragments never survive. Idempotent by
+    property test (canon(canon(u)) = canon(u))."""
     if dialect == "spark":
         # Spark regexp_replace replaces ALL matches; group refs are $1
         strip_frag = "regexp_replace(u, '#.*$', '')"
@@ -190,14 +181,7 @@ def _url_canon_sql(dialect: str) -> str:
             " '')")
     query = "coalesce(regexp_extract(nf, '[?](.*)$', 1), '')"
     return f"""
-WITH raw AS (SELECT doc_id, {url} AS u FROM documents),
-parts AS (
-  SELECT doc_id, u, {scheme} AS sch, {lower_hostport} AS hostport,
-         {path} AS pth, {query} AS q
-  FROM (SELECT doc_id, u, {strip_frag} AS nf FROM raw) s
-),
-canon AS (
-  SELECT doc_id, u,
+SELECT doc_id, u,
     sch || '://'
     || CASE WHEN sch = 'https' THEN regexp_replace(hostport, ':443$', '')
             WHEN sch = 'http'  THEN regexp_replace(hostport, ':80$', '')
@@ -208,12 +192,32 @@ canon AS (
   FROM (
     SELECT doc_id, u, sch, hostport, pth, {canon_q} AS cq
     FROM (SELECT doc_id, u, sch, hostport, pth, {params} AS kept
-          FROM parts) k
-  ) j
-)
+          FROM (
+            SELECT doc_id, u, {scheme} AS sch, {lower_hostport} AS hostport,
+                   {path} AS pth, {query} AS q
+            FROM (SELECT doc_id, u, {strip_frag} AS nf FROM {source}) s
+          ) parts) k
+  ) j"""
+
+
+def _url_canon_sql(dialect: str) -> str:
+    """Canonicalize the messy synthetic URLs, then dedup on the
+    canonical form. ``is_canonical`` keeps the smallest doc_id per
+    canonical URL (first capture wins — swap the window key for
+    max(warc_ts) to prefer freshest).
+
+    Plan at scale: canonicalization is one map-side projection (regex +
+    array ops, whole-stage codegen); the dedup decision is ONE window
+    keyed on canonical_url — the same single-shuffle shape as
+    dedup_exact, and url-keyed, so host-level skew does not concentrate
+    (every URL is its own group)."""
+    url = _messy_url_sql(dialect)
+    canon = canonicalize_sql(
+        dialect, f"(SELECT doc_id, {url} AS u FROM documents)")
+    return f"""
 SELECT doc_id, u AS url, canonical_url,
   doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS is_canonical
-FROM canon
+FROM ({canon}) c
 """
 
 

@@ -165,6 +165,64 @@ def test_lm_scores_single_token_doc_null():
     assert rows[1][1] == 0 and rows[1][2] is None
 
 
+# ----------------------------------- canonicalizer property: idempotence
+
+def _url_grammar():
+    """Deterministic enumeration of messy-URL shapes well beyond the
+    synthetic generator: case noise, default and NON-default ports,
+    empty paths, params in every order, tracking-only queries, bare
+    '?' and '#', repeated slashes."""
+    schemes = ["https", "HTTP", "hTTpS"]
+    hosts = ["Site7.Example", "a.example:443", "b.example:8080",
+             "c.example:80"]
+    paths = ["", "/", "/x/y/", "/x//y", "/doc/5"]
+    queries = ["", "?", "?utm_source=a", "?b=2&a=1", "?a=1&utm_x=3&b=2",
+               "?utm_a=1&utm_b=2"]
+    frags = ["", "#", "#frag"]
+    urls = []
+    for i, s in enumerate(schemes):
+        for j, h in enumerate(hosts):
+            for k, p in enumerate(paths):
+                urls.append(s + "://" + h + p
+                            + queries[(i + j + k) % len(queries)]
+                            + frags[(i * 2 + j + k) % len(frags)])
+    return urls
+
+
+def test_canonicalize_idempotent_and_engine_parity(spark):
+    urls = _url_grammar()
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{u}')" for i, u in enumerate(urls))
+    src = f"(SELECT * FROM (VALUES {vals}) v(doc_id, u))"
+    once = {r[0]: r[2] for r in con.sql(
+        webtext.canonicalize_sql("duck", src)).fetchall()}
+    vals2 = ", ".join(f"({i}, '{c}')" for i, c in once.items())
+    twice = {r[0]: r[2] for r in con.sql(
+        webtext.canonicalize_sql(
+            "duck", f"(SELECT * FROM (VALUES {vals2}) v(doc_id, u))")
+    ).fetchall()}
+    assert once == twice, "canonicalization must be idempotent"
+    # spark produces byte-identical canonicals on the same grammar
+    rows = ", ".join(f"({i}, '{u}')" for i, u in enumerate(urls))
+    sdf = spark.sql(webtext.canonicalize_sql(
+        "spark", f"(SELECT * FROM (VALUES {rows}) AS v(doc_id, u))"))
+    got = {r["doc_id"]: r["canonical_url"] for r in sdf.collect()}
+    assert got == once
+    # spot properties on the canonical forms
+    for c in once.values():
+        assert c == c.split("#")[0]
+        scheme, rest = c.split("://", 1)
+        hostport = rest.split("/")[0]
+        # only the scheme's OWN default port is stripped — https://x:80
+        # is a real non-default port and must survive
+        if scheme == "https":
+            assert not hostport.endswith(":443"), c
+        if scheme == "http":
+            assert not hostport.endswith(":80"), c
+        assert "utm_" not in c
+        assert scheme == scheme.lower()
+
+
 # --------------------------------------------- stratified sampling
 
 def test_stratified_rates_and_determinism(duck):
