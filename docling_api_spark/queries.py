@@ -218,15 +218,42 @@ def extract_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = extract_df(pages, cfg)
     ex = out.select("url", "markdown",
                     F.posexplode("images").alias("seq", "img"))
+    # r3: payloads are REAL PNGs (from-scratch stdlib encoder,
+    # png_write.py). zlib bytes aren't SQL-reproducible, so the gate
+    # DECODES them here — base64 → PNG signature + IHDR width/height —
+    # and the oracle PREDICTS those values from the generation rule
+    # (picture dims are md5-derived, table dims follow the raster
+    # geometry). Exact pixel bytes are golden-tested in test_png.py.
+    bin_ = "unbase64(img.image)"
     return ex.select(
         "url", F.col("seq").cast("int").alias("seq"),
         F.col("img.type").alias("img_type"),
         F.col("img.filename").alias("filename"),
-        F.col("img.image").alias("payload"),
+        (F.expr(f"hex(substring({bin_}, 1, 8))")
+         == "89504E470D0A1A0A").alias("png_sig_ok"),
+        F.expr(f"CAST(conv(hex(substring({bin_}, 17, 4)), 16, 10) "
+               "AS BIGINT)").alias("png_w"),
+        F.expr(f"CAST(conv(hex(substring({bin_}, 21, 4)), 16, 10) "
+               "AS BIGINT)").alias("png_h"),
         "markdown")
 
 
-EXTRACT_IMAGES_ORACLE = """
+#: oracle-side predictions of the PNG payload geometry (png_write.py
+#: contract): picture dims are md5-derived from the src ref with the
+#: shared textsql.md5_int arithmetic; the pages_with_images table is
+#: 3 rows x 2 cols under the fixed raster geometry
+_PIC_W_H = "(" + X.md5_int("duck", "{ref}") + " % 16)"
+_PIC_H_H = "(" + X.md5_int("duck", "{ref}") + " % 12)"
+
+
+def _table_dims_3x2() -> tuple[int, int]:
+    from .operators.png_write import table_dims
+    return table_dims(3, 2)
+
+
+_TBL_W, _TBL_H = _table_dims_3x2()
+
+EXTRACT_IMAGES_ORACLE = f"""
 WITH md AS (
   SELECT doc_id,
     'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
@@ -245,16 +272,21 @@ WITH md AS (
 )
 SELECT url, CAST(0 AS INT) AS seq, 'picture' AS img_type,
        'picture-1.png' AS filename,
-       to_base64(encode('pic-' || CAST(doc_id AS VARCHAR) || '-a.png'))
-         AS payload, markdown
-FROM md
-UNION ALL
-SELECT url, CAST(1 AS INT), 'picture', 'picture-2.png',
-       to_base64(encode('pic-' || CAST(doc_id AS VARCHAR) || '-b.png')),
+       TRUE AS png_sig_ok,
+       CAST(16 + {_PIC_W_H.format(ref="'pic-' || CAST(doc_id AS VARCHAR) || '-a.png'")} AS BIGINT) AS png_w,
+       CAST(12 + {_PIC_H_H.format(ref="'h' || 'pic-' || CAST(doc_id AS VARCHAR) || '-a.png'")} AS BIGINT) AS png_h,
        markdown
 FROM md
 UNION ALL
-SELECT url, CAST(2 AS INT), 'table', 'table-1.png', '', markdown
+SELECT url, CAST(1 AS INT), 'picture', 'picture-2.png',
+       TRUE,
+       CAST(16 + {_PIC_W_H.format(ref="'pic-' || CAST(doc_id AS VARCHAR) || '-b.png'")} AS BIGINT),
+       CAST(12 + {_PIC_H_H.format(ref="'h' || 'pic-' || CAST(doc_id AS VARCHAR) || '-b.png'")} AS BIGINT),
+       markdown
+FROM md
+UNION ALL
+SELECT url, CAST(2 AS INT), 'table', 'table-1.png', TRUE,
+       CAST({_TBL_W} AS BIGINT), CAST({_TBL_H} AS BIGINT), markdown
 FROM md WHERE doc_id % 5 = 0
 """
 

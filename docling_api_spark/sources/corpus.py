@@ -74,7 +74,12 @@ def html_links_images(i: int) -> Fixture:
         f"<p>After the image.</p></body></html>"
     ).encode()
     import base64
-    b64 = base64.b64encode(f"img-{i}.png".encode()).decode()
+
+    from ..operators.png_write import picture_png
+    # the expected payload is the INDEPENDENT encoder call on the ref —
+    # not the engine's own output (the codec itself is golden-tested
+    # against hand-built byte fixtures in test_png.py)
+    b64 = base64.b64encode(picture_png(f"img-{i}.png")).decode()
     golden = (
         f"See [site {i}](https://example.com/{i}) for details."
         "\n\npicture-1.png\n\nAfter the image."

@@ -58,8 +58,13 @@ def test_tables_as_images_not_rewritten():
     r = extract_html(html, cfg)
     assert "| a |" in r.markdown
     assert "table-1.png" not in r.markdown  # never substituted
-    assert r.images == [{"type": "table", "filename": "table-1.png",
-                         "image": ""}]
+    import base64
+
+    from docling_api_spark.operators.png_write import table_png
+    assert r.images == [{
+        "type": "table", "filename": "table-1.png",
+        # 2 rows x 1 col: the raster of the table's structure
+        "image": base64.b64encode(table_png(2, 1)).decode()}]
 
 
 def test_span_offsets_exact():
