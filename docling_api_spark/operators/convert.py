@@ -74,10 +74,21 @@ def convert_one(content, url: str, cfg: ExtractConfig) -> dict:
         elif fmt == "pptx":
             out["markdown"] = extract_pptx(content)
         elif fmt == "image":
-            # OCR is out of scope in this environment (no easyocr/torch —
-            # SURVEY.md Table C): format detected, explicit failure code.
-            out["error"] = "ocr_not_supported"
-            return out
+            # Machine-rendered text rasters are OCR'd for real by the
+            # from-scratch template matcher (operators/ocr.py — the
+            # easyocr counterpart, service.py:37, within sandbox scope);
+            # anything else (photographic scans, other encodings) keeps
+            # the explicit failure code rather than garbled output.
+            from .ocr import ocr_png
+            try:
+                text = ocr_png(content)
+            except ValueError:
+                out["error"] = "ocr_not_supported"
+                return out
+            out["markdown"] = text if text else None
+            if not text:
+                out["error"] = "empty_document"
+                return out
     except PdfUnsupported:
         out["error"] = "pdf_unsupported_feature"
         return out

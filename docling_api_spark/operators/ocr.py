@@ -1,0 +1,135 @@
+"""From-scratch OCR for machine-rendered text images — the sandbox-honest
+counterpart of the reference's easyocr IMAGE path (``utils.py:31``,
+``service.py:37``: scanned page → text).
+
+No torch/easyocr exists in the target env, so general photographic OCR
+stays a typed error (``ocr_not_supported``). What CAN be real here is
+the full pipeline shape for machine-generated scans: a 5×7 bitmap-font
+rasterizer (:func:`render_text_png`, building on the from-scratch PNG
+codec) and a template-matching recognizer (:func:`ocr_png`) that
+segments the glyph grid and reads the text back. Render→OCR is an exact
+identity on the supported charset (a-z, 0-9, space), so extraction over
+IMAGE inputs is oracle-checkable end-to-end: the driver reconstructs the
+expected text from the generation rule in SQL while Spark actually
+decodes pixels.
+
+Glyph grid: each cell is (GLYPH_W+1) × (GLYPH_H+1) px — 5×7 glyph plus
+1 px spacing — on a 1 px white margin all around. Black-on-white,
+8-bit grayscale, one line of text per image.
+"""
+
+from __future__ import annotations
+
+from .png_write import read_png_gray, write_png_gray
+
+GLYPH_W, GLYPH_H = 5, 7
+
+#: classic 5x7 dot-matrix shapes; '#' = ink. Distinct by construction
+#: (verified by test) so template matching is unambiguous.
+_FONT_ROWS = {
+    "a": (".###.", "#...#", "#...#", "#####", "#...#", "#...#", "#...#"),
+    "b": ("####.", "#...#", "#...#", "####.", "#...#", "#...#", "####."),
+    "c": (".###.", "#...#", "#....", "#....", "#....", "#...#", ".###."),
+    "d": ("####.", "#...#", "#...#", "#...#", "#...#", "#...#", "####."),
+    "e": ("#####", "#....", "#....", "####.", "#....", "#....", "#####"),
+    "f": ("#####", "#....", "#....", "####.", "#....", "#....", "#...."),
+    "g": (".###.", "#...#", "#....", "#.###", "#...#", "#...#", ".###."),
+    "h": ("#...#", "#...#", "#...#", "#####", "#...#", "#...#", "#...#"),
+    "i": (".###.", "..#..", "..#..", "..#..", "..#..", "..#..", ".###."),
+    "j": ("..###", "...#.", "...#.", "...#.", "...#.", "#..#.", ".##.."),
+    "k": ("#...#", "#..#.", "#.#..", "##...", "#.#..", "#..#.", "#...#"),
+    "l": ("#....", "#....", "#....", "#....", "#....", "#....", "#####"),
+    "m": ("#...#", "##.##", "#.#.#", "#.#.#", "#...#", "#...#", "#...#"),
+    "n": ("#...#", "##..#", "#.#.#", "#..##", "#...#", "#...#", "#...#"),
+    "o": (".###.", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."),
+    "p": ("####.", "#...#", "#...#", "####.", "#....", "#....", "#...."),
+    "q": (".###.", "#...#", "#...#", "#...#", "#.#.#", "#..#.", ".##.#"),
+    "r": ("####.", "#...#", "#...#", "####.", "#.#..", "#..#.", "#...#"),
+    "s": (".####", "#....", "#....", ".###.", "....#", "....#", "####."),
+    "t": ("#####", "..#..", "..#..", "..#..", "..#..", "..#..", "..#.."),
+    "u": ("#...#", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."),
+    "v": ("#...#", "#...#", "#...#", "#...#", "#...#", ".#.#.", "..#.."),
+    "w": ("#...#", "#...#", "#...#", "#.#.#", "#.#.#", "##.##", "#...#"),
+    "x": ("#...#", ".#.#.", "..#..", "..#..", "..#..", ".#.#.", "#...#"),
+    "y": ("#...#", "#...#", ".#.#.", "..#..", "..#..", "..#..", "..#.."),
+    "z": ("#####", "....#", "...#.", "..#..", ".#...", "#....", "#####"),
+    "0": (".###.", "#...#", "#..##", "#.#.#", "##..#", "#...#", ".###."),
+    "1": ("..#..", ".##..", "..#..", "..#..", "..#..", "..#..", ".###."),
+    "2": (".###.", "#...#", "....#", "...#.", "..#..", ".#...", "#####"),
+    "3": (".###.", "#...#", "....#", "..##.", "....#", "#...#", ".###."),
+    "4": ("...#.", "..##.", ".#.#.", "#..#.", "#####", "...#.", "...#."),
+    "5": ("#####", "#....", "####.", "....#", "....#", "#...#", ".###."),
+    "6": (".###.", "#....", "#....", "####.", "#...#", "#...#", ".###."),
+    "7": ("#####", "....#", "...#.", "..#..", ".#...", ".#...", ".#..."),
+    "8": (".###.", "#...#", "#...#", ".###.", "#...#", "#...#", ".###."),
+    "9": (".###.", "#...#", "#...#", ".####", "....#", "....#", ".###."),
+    " ": (".....", ".....", ".....", ".....", ".....", ".....", "....."),
+}
+
+#: glyph bitmap (tuple of GLYPH_H ints, bit GLYPH_W-1..0) per char
+FONT = {
+    ch: tuple(
+        sum(1 << (GLYPH_W - 1 - x) for x in range(GLYPH_W)
+            if rows[y][x] == "#")
+        for y in range(GLYPH_H))
+    for ch, rows in _FONT_ROWS.items()
+}
+_GLYPH_TO_CHAR = {bits: ch for ch, bits in FONT.items()}
+
+CELL_W, CELL_H = GLYPH_W + 1, GLYPH_H + 1    # glyph + 1px spacing
+CHARSET = frozenset(FONT)
+
+
+def render_text_png(text: str) -> bytes:
+    """Rasterize one line of supported-charset text: 1 px white margin,
+    then one (CELL_W x CELL_H) cell per character, black glyphs on
+    white. Deterministic (delegates to the deterministic PNG encoder)."""
+    bad = set(text) - CHARSET
+    if bad:
+        raise ValueError(f"unsupported chars: {sorted(bad)!r}")
+    w = 2 + max(1, len(text)) * CELL_W
+    h = 2 + CELL_H
+    px = bytearray(b"\xff" * (w * h))
+    for i, ch in enumerate(text):
+        bits = FONT[ch]
+        x0 = 1 + i * CELL_W
+        for gy in range(GLYPH_H):
+            for gx in range(GLYPH_W):
+                if bits[gy] >> (GLYPH_W - 1 - gx) & 1:
+                    px[(1 + gy) * w + x0 + gx] = 0
+    return write_png_gray(w, h, bytes(px))
+
+
+def ocr_png(data: bytes) -> str:
+    """Recognize text from a :func:`render_text_png` raster: verify the
+    grid geometry, re-read each cell's bitmap, template-match against
+    the font. Raises ValueError for images this recognizer does not
+    support (the caller maps that to the typed ``ocr_not_supported``
+    row — a photographic scan is NOT silently garbled)."""
+    try:
+        w, h, px = read_png_gray(data)
+    except ValueError:
+        raise
+    except Exception as exc:
+        # malformed chunk lengths / zlib garbage — same verdict as a
+        # structurally foreign PNG: this recognizer cannot read it
+        raise ValueError(f"undecodable PNG: {exc}") from exc
+    if h != 2 + CELL_H or w < 2 + CELL_W or (w - 2) % CELL_W != 0:
+        raise ValueError("not a text-raster geometry")
+    n = (w - 2) // CELL_W
+    out = []
+    for i in range(n):
+        x0 = 1 + i * CELL_W
+        bits = tuple(
+            sum(1 << (GLYPH_W - 1 - gx) for gx in range(GLYPH_W)
+                if px[(1 + gy) * w + x0 + gx] == 0)
+            for gy in range(GLYPH_H))
+        ch = _GLYPH_TO_CHAR.get(bits)
+        if ch is None:
+            raise ValueError(f"unrecognized glyph in cell {i}")
+        # spacing columns/rows must be blank, else it's not our font
+        for gy in range(CELL_H):
+            if px[(1 + gy) * w + x0 + GLYPH_W] != 255:
+                raise ValueError("ink in spacing column")
+        out.append(ch)
+    return "".join(out).rstrip()

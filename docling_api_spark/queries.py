@@ -845,6 +845,33 @@ FROM c
 """
 
 
+def extract_scanned_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE-input extraction: pages whose payload is a rendered text
+    raster go through the from-scratch template-matching OCR
+    (operators/ocr.py — the sandbox-honest easyocr counterpart,
+    reference service.py:37). The oracle reconstructs the expected text
+    from the generation rule while Spark actually decodes pixels, so a
+    wrong glyph match or grid offset breaks the value hash. Photographic
+    images still produce the typed ``ocr_not_supported`` row (pinned by
+    fixture tests), never silently garbled text."""
+    from .sources.pages import pages_with_scans
+    pages = pages_with_scans(spark, sf_dir)
+    out = extract_df(pages, _CFG)
+    return out.select("url", "fmt", "markdown", "error")
+
+
+EXTRACT_SCANNED_ORACLE = """
+SELECT
+  'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
+    || CAST(doc_id AS VARCHAR) || '.png' AS url,
+  'image' AS fmt,
+  rtrim('scan ' || CAST(doc_id AS VARCHAR) || ' '
+        || substr(text, 1, 40)) AS markdown,
+  CAST(NULL AS VARCHAR) AS error
+FROM documents
+"""
+
+
 def content_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-ratio / thin-page signal: markdown bytes out over page
     bytes in, from the extraction's own per-doc lineage counters
@@ -938,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_quality_pipeline": extract_quality_pipeline,
         "head_meta": head_meta,
         "content_density": content_density,
+        "extract_scanned_markdown": extract_scanned_markdown,
         # engine mechanics as relational ops (SURVEY.md Table B)
         "dedup_window_latest": relational.latest_event_per_user,
         "resume_anti_join": relational.resume_anti_join,
@@ -1016,6 +1044,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_quality_pipeline": EXTRACT_QUALITY_ORACLE,
         "head_meta": HEAD_META_ORACLE,
         "content_density": CONTENT_DENSITY_ORACLE,
+        "extract_scanned_markdown": EXTRACT_SCANNED_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,
         "metrics_rollup": relational.METRICS_ROLLUP_ORACLE,

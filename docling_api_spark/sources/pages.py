@@ -304,6 +304,42 @@ def pages_with_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pages_with_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → pages whose payload is a machine-rendered
+    text RASTER (PNG built by the from-scratch 5×7 font rasterizer,
+    operators/ocr.py): the IMAGE-input class the reference routes
+    through easyocr (service.py:37). Line per page:
+    ``scan {doc_id} {first 40 chars of text}`` — all within the
+    rasterizer charset (the driver corpus is pure [a-z ]). Rendering is
+    Python, so this source is a mapInPandas over the tiny documents
+    table (Arrow-batched; the REAL extraction work downstream is the
+    pixel-level OCR)."""
+    import pandas as pd
+
+    from ..operators.ocr import render_text_png
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def render(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            texts = pdf["text"].tolist()
+            langs = pdf["lang"].tolist()
+            yield pd.DataFrame({
+                "url": [f"https://site{i % 97}.example/doc/{i}.png"
+                        for i in ids],
+                "warc_ts": pd.to_datetime(
+                    [(_EPOCH_S + (i % 86400)) * 1_000_000_000
+                     for i in ids]),
+                "html": [render_text_png(
+                    f"scan {i} " + (t or "")[:40])
+                    for i, t in zip(ids, texts)],
+                "text": [t or "" for t in texts],
+                "lang": langs,
+            })
+
+    return docs.mapInPandas(render, PAGES_SCHEMA)
+
+
 def with_fixture_ooxml(pages: DataFrame, docx_mod: int = 2,
                        pptx_mod: int = 9, adoc_mod: int = 3) -> DataFrame:
     """Replace docs with ``doc_id % 10 == docx_mod/pptx_mod/adoc_mod`` by

@@ -1,0 +1,58 @@
+"""OCR tests: identity round-trip over the charset, glyph
+distinctness (the property template matching relies on), and honest
+rejection of images the recognizer does not support."""
+
+import pytest
+
+from docling_api_spark.config import ExtractConfig
+from docling_api_spark.operators import ocr, png_write
+from docling_api_spark.operators.convert import convert_one
+
+CFG = ExtractConfig()
+
+
+def test_font_glyphs_distinct_and_well_formed():
+    seen = {}
+    for ch, bits in ocr.FONT.items():
+        assert len(bits) == ocr.GLYPH_H
+        assert all(0 <= row < (1 << ocr.GLYPH_W) for row in bits)
+        assert bits not in seen, f"{ch!r} collides with {seen[bits]!r}"
+        seen[bits] = ch
+
+
+def test_render_ocr_identity_full_charset():
+    text = "abcdefghijklmnopqrstuvwxyz 0123456789"
+    assert ocr.ocr_png(ocr.render_text_png(text)) == text
+
+
+@pytest.mark.parametrize("text", [
+    "", " ", "a", "scan 42 the fast key order sort",
+    "0", "9 9  9", "zz z",
+])
+def test_render_ocr_roundtrip_cases(text):
+    assert ocr.ocr_png(ocr.render_text_png(text)) == text.rstrip()
+
+
+def test_unsupported_chars_raise():
+    with pytest.raises(ValueError):
+        ocr.render_text_png("Hello!")
+
+
+def test_non_raster_png_rejected():
+    # an arbitrary (non-text-grid) PNG must raise, not garble
+    blob = png_write.picture_png("some-ref")
+    with pytest.raises(ValueError):
+        ocr.ocr_png(blob)
+
+
+def test_pipeline_ocrs_scan_and_rejects_photo():
+    scan = ocr.render_text_png("scan 7 real text")
+    r = convert_one(scan, "https://x/7.png", CFG)
+    assert r["error"] is None and r["fmt"] == "image"
+    assert r["markdown"] == "scan 7 real text"
+    photo = png_write.picture_png("photo")    # not a text raster
+    r2 = convert_one(photo, "https://x/p.png", CFG)
+    assert r2["error"] == "ocr_not_supported"
+    # non-PNG image formats keep the typed failure too
+    r3 = convert_one(b"GIF89a" + b"\x00" * 20, "https://x/g.gif", CFG)
+    assert r3["error"] == "ocr_not_supported"
