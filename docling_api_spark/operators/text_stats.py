@@ -79,6 +79,12 @@ QUALITY_ORACLE = _quality_sql("duck")
 
 # ------------------------------------------------------------ quality filter
 
+#: retention-gate thresholds — shared with the streaming quality gate
+#: (streaming/curation.py) so batch and stream cannot drift apart
+MIN_TOKENS = 10
+MAX_CHARS_PER_TOKEN = 12
+STOPWORD_MIN_PER = 50     # keep iff n_stop * 50 >= n_tok
+
 def _quality_filter_sql(dialect: str, nd_rel: str | None = None) -> str:
     """The retention decision a training-data pipeline actually ships
     (C4/Gopher-style): exact-dup canonicalization + length + token-shape
@@ -112,13 +118,13 @@ def _quality_filter_sql(dialect: str, nd_rel: str | None = None) -> str:
     return f"""
 SELECT t2.doc_id,
   {nd_col}CASE WHEN t2.doc_id <> canonical_id THEN 'duplicate'
-       {near_case}WHEN n_tok < 10 THEN 'too_short'
-       WHEN length(text) > 12 * n_tok THEN 'long_tokens'
-       WHEN n_stop * 50 < n_tok THEN 'low_stopword'
+       {near_case}WHEN n_tok < {MIN_TOKENS} THEN 'too_short'
+       WHEN length(text) > {MAX_CHARS_PER_TOKEN} * n_tok THEN 'long_tokens'
+       WHEN n_stop * {STOPWORD_MIN_PER} < n_tok THEN 'low_stopword'
        ELSE '' END AS drop_reason,
   (t2.doc_id = canonical_id{near_keep}
-   AND n_tok >= 10
-   AND length(text) <= 12 * n_tok AND n_stop * 50 >= n_tok) AS keep
+   AND n_tok >= {MIN_TOKENS}
+   AND length(text) <= {MAX_CHARS_PER_TOKEN} * n_tok AND n_stop * {STOPWORD_MIN_PER} >= n_tok) AS keep
 FROM (
   SELECT doc_id, text, n_tok, n_stop,
          min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
