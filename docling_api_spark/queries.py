@@ -872,6 +872,28 @@ FROM documents
 """
 
 
+def extract_warc_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common-Crawl-native ingestion path: pages round-trip through
+    REAL ``.warc.gz`` segment files (from-scratch ISO 28500 writer +
+    reader, per-record gzip members — sources/warc.py) before the
+    standard extraction. Same oracle as extract_markdown: the container
+    format must be lossless, so the value hash equals the direct path's.
+    The in-query segment materialization is test scaffolding (local
+    shared FS); production points read_warc_pages at crawl segments."""
+    import tempfile
+
+    from .sources import warc as W
+    pages = pages_from_documents(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="warc_seg_")
+    W.warc_segments_from_pages(pages.repartition(4, "url"), tmp)
+    out = extract_df(W.read_warc_pages(spark, tmp), _CFG)
+    return out.select("url", "fmt", "markdown", "error")
+
+
+#: lossless-container contract: identical rows to the direct path
+EXTRACT_WARC_ORACLE = EXTRACT_MARKDOWN_ORACLE
+
+
 def content_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-ratio / thin-page signal: markdown bytes out over page
     bytes in, from the extraction's own per-doc lineage counters
@@ -966,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "head_meta": head_meta,
         "content_density": content_density,
         "extract_scanned_markdown": extract_scanned_markdown,
+        "extract_warc_markdown": extract_warc_markdown,
         # engine mechanics as relational ops (SURVEY.md Table B)
         "dedup_window_latest": relational.latest_event_per_user,
         "resume_anti_join": relational.resume_anti_join,
@@ -1045,6 +1068,7 @@ def oracle_sql() -> dict[str, str]:
         "head_meta": HEAD_META_ORACLE,
         "content_density": CONTENT_DENSITY_ORACLE,
         "extract_scanned_markdown": EXTRACT_SCANNED_ORACLE,
+        "extract_warc_markdown": EXTRACT_WARC_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,
         "metrics_rollup": relational.METRICS_ROLLUP_ORACLE,
