@@ -33,27 +33,36 @@ _CRLF = b"\r\n"
 
 
 def _record_bytes(url: str, date_iso: str, payload: bytes,
-                  content_type: str) -> bytes:
-    http = (b"HTTP/1.1 200 OK" + _CRLF
-            + b"Content-Type: " + content_type.encode() + _CRLF
-            + b"Content-Length: " + str(len(payload)).encode() + _CRLF
-            + _CRLF + payload)
+                  content_type: str, warc_type: str = "response") -> bytes:
+    if warc_type == "response":
+        # response records wrap an HTTP message (the crawler's capture)
+        body = (b"HTTP/1.1 200 OK" + _CRLF
+                + b"Content-Type: " + content_type.encode() + _CRLF
+                + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+                + _CRLF + payload)
+        body_ctype = b"application/http;msgtype=response"
+    else:
+        # conversion records (the WET form) carry the payload directly
+        body = payload
+        body_ctype = content_type.encode()
     head = (b"WARC/1.0" + _CRLF
-            + b"WARC-Type: response" + _CRLF
+            + b"WARC-Type: " + warc_type.encode() + _CRLF
             + b"WARC-Target-URI: " + url.encode() + _CRLF
             + b"WARC-Date: " + date_iso.encode() + _CRLF
-            + b"Content-Type: application/http;msgtype=response" + _CRLF
-            + b"Content-Length: " + str(len(http)).encode() + _CRLF)
-    return head + _CRLF + http + _CRLF + _CRLF
+            + b"Content-Type: " + body_ctype + _CRLF
+            + b"Content-Length: " + str(len(body)).encode() + _CRLF)
+    return head + _CRLF + body + _CRLF + _CRLF
 
 
-def write_warc(records, path: str, compress: bool = False) -> None:
+def write_warc(records, path: str, compress: bool = False,
+               warc_type: str = "response") -> None:
     """``records`` = iterable of (url, date_iso, payload_bytes,
     content_type). ``compress=True`` writes the CC-style per-record
-    gzip-member ``.warc.gz`` layout."""
+    gzip-member ``.warc.gz`` layout. ``warc_type='conversion'`` writes
+    the WET form (extracted-text records, no HTTP wrapper)."""
     with open(path, "wb") as f:
         for url, date_iso, payload, ctype in records:
-            raw = _record_bytes(url, date_iso, payload, ctype)
+            raw = _record_bytes(url, date_iso, payload, ctype, warc_type)
             if compress:
                 buf = io.BytesIO()
                 # mtime=0: byte-deterministic members
@@ -64,12 +73,13 @@ def write_warc(records, path: str, compress: bool = False) -> None:
                 f.write(raw)
 
 
-def iter_warc_records(data: bytes):
-    """Yield (url, warc_date, payload_bytes) for each response record.
-    Handles plain and gzip (multi-member or whole-file) WARCs; records
-    of other WARC-Types or with malformed headers are skipped, never
-    raised — a crawl segment with one bad record must not kill the
-    task."""
+def iter_warc_records(data: bytes, types: tuple = (b"response",)):
+    """Yield (url, warc_date, payload_bytes) for each record whose
+    WARC-Type is in ``types`` (``(b'conversion',)`` reads WET files —
+    those payloads carry no HTTP wrapper). Handles plain and gzip
+    (multi-member or whole-file) WARCs; records of other WARC-Types or
+    with malformed headers are skipped, never raised — a crawl segment
+    with one bad record must not kill the task."""
     if data[:2] == b"\x1f\x8b":
         # gzip: stdlib reads concatenated members transparently
         data = gzip.decompress(data)
@@ -102,14 +112,18 @@ def iter_warc_records(data: bytes):
             continue
         body = data[head_end + 4:head_end + 4 + length]
         pos = head_end + 4 + length + 4      # trailing CRLF CRLF
-        if headers.get(b"warc-type") != b"response":
+        rec_type = headers.get(b"warc-type")
+        if rec_type not in types:
             continue
         url = headers.get(b"warc-target-uri", b"").decode(
             "utf-8", "replace")
         date = headers.get(b"warc-date", b"").decode("ascii", "replace")
-        # strip the embedded HTTP response header from the payload
-        http_end = body.find(_CRLF + _CRLF)
-        payload = body[http_end + 4:] if http_end >= 0 else body
+        if rec_type == b"response":
+            # strip the embedded HTTP response header from the payload
+            http_end = body.find(_CRLF + _CRLF)
+            payload = body[http_end + 4:] if http_end >= 0 else body
+        else:
+            payload = body
         yield url, date, payload
 
 
@@ -183,5 +197,35 @@ def warc_segments_from_pages(pages: DataFrame, out_dir: str,
     pages.foreachPartition(write_part)
 
 
+def wet_from_extraction(results: DataFrame, out_dir: str) -> None:
+    """Extraction output → WET segments: one ``.wet.gz`` file per
+    partition of WARC *conversion* records carrying the extracted
+    markdown (text/plain, UTF-8) — the CC-shaped sidecar a downstream
+    text pipeline consumes without touching raw page bytes. Error rows
+    (NULL markdown) are omitted, as CC omits unconverted captures.
+    Executor-side writes (shared FS assumption, as
+    warc_segments_from_pages)."""
+    import calendar
+    import os
+    import tempfile as tf
+
+    def write_part(rows):
+        recs = []
+        for r in rows:
+            if r["markdown"] is None:
+                continue
+            ts = r["warc_ts"]
+            epoch = calendar.timegm(ts.timetuple()) if ts else 0
+            recs.append((r["url"], iso8601(epoch),
+                         r["markdown"].encode("utf-8"), "text/plain"))
+        if recs:
+            fd, p = tf.mkstemp(suffix=".wet.gz", dir=out_dir)
+            os.close(fd)
+            write_warc(recs, p, compress=True, warc_type="conversion")
+
+    results.select("url", "warc_ts", "markdown").foreachPartition(
+        write_part)
+
+
 __all__ = ["write_warc", "iter_warc_records", "read_warc_pages",
-           "warc_segments_from_pages", "iso8601"]
+           "warc_segments_from_pages", "wet_from_extraction", "iso8601"]

@@ -71,6 +71,50 @@ def test_whole_file_gzip_also_readable(tmp_path):
     assert len(got) == len(RECS)
 
 
+def test_wet_conversion_records(tmp_path):
+    p = str(tmp_path / "x.wet.gz")
+    recs = [("https://a/1.html", "2025-01-01T00:00:00Z",
+             "# Title\n\nbody text\n\nwith\r\n\r\nodd breaks".encode(),
+             "text/plain")]
+    W.write_warc(recs, p, compress=True, warc_type="conversion")
+    data = open(p, "rb").read()
+    # response-typed readers skip conversion records...
+    assert list(W.iter_warc_records(data)) == []
+    # ...and the WET reader returns the payload VERBATIM (no HTTP-header
+    # stripping, even when the text contains CRLF CRLF)
+    got = list(W.iter_warc_records(data, types=(b"conversion",)))
+    assert got == [(recs[0][0], recs[0][1], recs[0][2])]
+
+
+def test_warc_to_wet_full_round(spark, tmp_path):
+    # the complete CC shape: pages → .warc.gz → extraction → .wet.gz →
+    # read back → markdown matches the direct pipeline
+    from docling_api_spark.config import ExtractConfig
+    from docling_api_spark.plans.pipeline import extract_df
+    from docling_api_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    cfg = ExtractConfig(num_partitions=4)
+    direct = {r["url"]: r["markdown"]
+              for r in extract_df(pages, cfg).collect()
+              if r["markdown"] is not None}
+
+    warc_dir = tmp_path / "warc"
+    wet_dir = tmp_path / "wet"
+    warc_dir.mkdir(), wet_dir.mkdir()
+    W.warc_segments_from_pages(pages, str(warc_dir))
+    results = extract_df(W.read_warc_pages(spark, str(warc_dir)), cfg)
+    W.wet_from_extraction(results, str(wet_dir))
+
+    wet = {}
+    import pathlib
+    for f in pathlib.Path(wet_dir).iterdir():
+        for url, _, payload in W.iter_warc_records(
+                f.read_bytes(), types=(b"conversion",)):
+            wet[url] = payload.decode("utf-8")
+    assert wet == direct and len(wet) == 500
+
+
 def test_spark_read_warc_pages(spark, tmp_path):
     seg_dir = tmp_path / "segs"
     seg_dir.mkdir()
