@@ -75,9 +75,12 @@ SELECT doc_id,
   CAST({count(EMAIL_RX)} AS BIGINT) AS n_emails,
   CAST({count(PHONE_RX)} AS BIGINT) AS n_phones,
   CAST({count(IPV4_RX)} AS BIGINT) AS n_ips,
-  CAST(length({scrub_expr(dialect, 't')}) AS BIGINT) AS clean_len,
-  md5({scrub_expr(dialect, 't')}) AS clean_md5
-FROM (SELECT doc_id, {_inject_sql()} AS t FROM documents) s
+  CAST(length(clean) AS BIGINT) AS clean_len,
+  md5(clean) AS clean_md5
+FROM (
+  SELECT doc_id, t, {scrub_expr(dialect, 't')} AS clean
+  FROM (SELECT doc_id, {_inject_sql()} AS t FROM documents) s0
+) s1
 """
 
 
