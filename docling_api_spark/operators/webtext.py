@@ -47,8 +47,12 @@ def _repetition_sql(dialect: str) -> str:
 
     - ``dup_token_frac``  — fraction of tokens that are repeats of an
       earlier token (map-side: 1 - distinct/total, zero shuffle).
-    - ``top_2gram_frac``  — characters covered by the single most
-      frequent 2-gram / characters in all 2-grams.
+    - ``top_2gram_frac``  — the largest character coverage any single
+      2-gram achieves (count x gram length) / characters in all
+      2-grams. Deliberate variant of Gopher's argmax-by-frequency
+      formulation: coverage-max needs no tie-break join (argmax ties
+      are unspecified there), upper-bounds it, and flags the same
+      documents.
     - ``dup_3gram_frac``  — characters in 3-grams occurring more than
       once / characters in all 3-grams.
 

