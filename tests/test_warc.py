@@ -115,6 +115,39 @@ def test_warc_to_wet_full_round(spark, tmp_path):
     assert wet == direct and len(wet) == 500
 
 
+def test_payload_roundtrip_property(tmp_path):
+    """Arbitrary payload bytes survive the container — including
+    payloads that CONTAIN record markers ('WARC/1.0') or header
+    terminators (CRLF CRLF): slicing is Content-Length-driven, never
+    delimiter-driven."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.binary(max_size=300), min_size=1, max_size=5),
+           st.booleans())
+    def prop(payloads, compress):
+        recs = [(f"https://x/{i}", "2025-01-01T00:00:00Z", p, "a/b")
+                for i, p in enumerate(payloads)]
+        p = str(tmp_path / "prop.warc")
+        W.write_warc(recs, p, compress=compress)
+        got = list(W.iter_warc_records(open(p, "rb").read()))
+        assert got == [(u, d, pl) for u, d, pl, _ in recs]
+
+    prop()
+
+
+def test_payload_with_embedded_markers(tmp_path):
+    evil = (b"\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n"
+            b"Content-Length: 0\r\n\r\n\r\n\r\n")
+    recs = [("https://x/e", "2025-01-01T00:00:00Z", evil, "a/b"),
+            ("https://x/f", "2025-01-01T00:00:01Z", b"after", "a/b")]
+    p = str(tmp_path / "evil.warc")
+    W.write_warc(recs, p)
+    got = list(W.iter_warc_records(open(p, "rb").read()))
+    assert [(u, pl) for u, _, pl in got] == [
+        ("https://x/e", evil), ("https://x/f", b"after")]
+
+
 def test_spark_read_warc_pages(spark, tmp_path):
     seg_dir = tmp_path / "segs"
     seg_dir.mkdir()
