@@ -174,6 +174,80 @@ def quality_filter_neardup_oracle() -> str:
 QUALITY_FILTER_NEARDUP_ORACLE = quality_filter_neardup_oracle()
 
 
+# ------------------------------------------------- retention report
+
+def _retention_report_sql(dialect: str, nd_rel: str | None = None) -> str:
+    """The curation dashboard rollup: documents and tokens per retention
+    verdict (reason code '' = kept) over the FULL near-dup-aware filter.
+    One extra keyed aggregation on top of the filter plan — the kind of
+    per-run report a 10^12-doc pipeline publishes with every batch."""
+    inner = _quality_filter_sql(dialect, nd_rel=nd_rel)
+    toks = X.tokens(dialect)
+    n_tok = ("size(tk)" if dialect == "spark" else "len(tk)")
+    return f"""
+SELECT f.drop_reason,
+  count(*) AS n_docs,
+  CAST(sum(t.n_tok) AS BIGINT) AS n_tokens
+FROM ({inner}) f
+JOIN (SELECT doc_id, {n_tok} AS n_tok
+      FROM (SELECT doc_id, {toks} AS tk FROM documents) t0) t
+  ON t.doc_id = f.doc_id
+GROUP BY f.drop_reason
+"""
+
+
+def retention_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import dedup as DD
+
+    _view(spark, sf_dir)
+    DD.neardup_canonical(spark, sf_dir) \
+        .createOrReplaceTempView("neardup_canon")
+    return spark.sql(_retention_report_sql("spark",
+                                           nd_rel="neardup_canon"))
+
+
+def retention_report_oracle() -> str:
+    from . import dedup as DD
+
+    return _retention_report_sql(
+        "duck", nd_rel=f"({DD.neardup_canonical_oracle()})")
+
+
+RETENTION_REPORT_ORACLE = retention_report_oracle()
+
+
+# ------------------------------------------------- token-length histogram
+
+_HIST_BUCKET = 16
+
+
+def _token_hist_sql(dialect: str) -> str:
+    """Corpus token-length histogram (bucket = n_tokens div 16, capped
+    at 31): the length-distribution report used for truncation-budget
+    planning. Map-side bucket assignment + ONE keyed aggregation."""
+    toks = X.tokens(dialect)
+    n_tok = ("size(tk)" if dialect == "spark" else "len(tk)")
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""
+SELECT CAST(least(n_tok {div} {_HIST_BUCKET}, 31) AS INT) AS bucket,
+  count(*) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+  CAST(min(n_tok) AS BIGINT) AS min_tokens,
+  CAST(max(n_tok) AS BIGINT) AS max_tokens
+FROM (SELECT {n_tok} AS n_tok
+      FROM (SELECT {toks} AS tk FROM documents) t0) t1
+GROUP BY 1
+"""
+
+
+def token_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_token_hist_sql("spark"))
+
+
+TOKEN_HIST_ORACLE = _token_hist_sql("duck")
+
+
 # ------------------------------------------------------- model-score gate
 
 #: fixed "quality model" weights (a trained classifier would learn these;

@@ -1019,6 +1019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": text_stats.quality_filter,
         "quality_filter_neardup": text_stats.quality_filter_neardup,
         "quality_model_score": text_stats.quality_model_score,
+        "retention_report": text_stats.retention_report,
+        "token_length_hist": text_stats.token_length_hist,
         "tfidf_topterms": text_stats.tfidf_topterms,
         "lang_id": text_stats.lang_id,
         "fingerprints": text_stats.fingerprints,
@@ -1096,6 +1098,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": text_stats.QUALITY_FILTER_ORACLE,
         "quality_filter_neardup": text_stats.QUALITY_FILTER_NEARDUP_ORACLE,
         "quality_model_score": text_stats.QUALITY_MODEL_ORACLE,
+        "retention_report": text_stats.RETENTION_REPORT_ORACLE,
+        "token_length_hist": text_stats.TOKEN_HIST_ORACLE,
         "tfidf_topterms": text_stats.TFIDF_ORACLE,
         "lang_id": text_stats.LANG_ID_ORACLE,
         "fingerprints": text_stats.FINGERPRINT_ORACLE,
