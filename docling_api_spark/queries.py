@@ -79,14 +79,38 @@ FROM documents GROUP BY 1
 """
 
 
+#: fixture-corpus memo: the Python-side fixture synthesis (zip/PDF
+#: writers in mapInPandas) is test scaffolding — materialize it to
+#: parquet ONCE per (kind, sf_dir) so repeated runs (bench warm +
+#: best-of-2) measure the ENGINE, not the fixture writers (the same
+#: honesty rule as the WARC segment memo below)
+_FIXTURE_PAGES_CACHE: dict = {}
+
+
+def _cached_fixture_pages(spark: SparkSession, kind: str, sf_dir: str,
+                          build) -> DataFrame:
+    import tempfile
+
+    from .sources.pages import read_pages
+    path = _FIXTURE_PAGES_CACHE.get((kind, sf_dir))
+    if path is None:
+        path = tempfile.mkdtemp(prefix=f"fixture_{kind}_") + "/pages"
+        build().write.mode("overwrite").parquet(path)
+        _FIXTURE_PAGES_CACHE[(kind, sf_dir)] = path
+    return read_pages(spark, path)
+
+
 def extract_pdf_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PDF path, value-checked: fixture-grammar PDFs synthesized from
     the same documents (pdf_write), extracted by the content-stream reader
     (pdf_extract); the oracle reconstructs the expected markdown from the
     generation rule. Covers Flate and plain streams (compress = i%2==0)."""
     from .sources.pages import with_fixture_pdfs
-    pages = with_fixture_pdfs(pages_from_documents(spark, sf_dir))
-    out = extract_df(pages.where(F.col("url").endswith(".pdf")), _CFG)
+    pages = _cached_fixture_pages(
+        spark, "pdf", sf_dir,
+        lambda: with_fixture_pdfs(pages_from_documents(spark, sf_dir))
+        .where(F.col("url").endswith(".pdf")))
+    out = extract_df(pages, _CFG)
     return out.select("url", "fmt", "markdown", "error")
 
 
@@ -126,8 +150,11 @@ def extract_docx_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     (heading + paragraph + bullets + table — reference capability
     utils.py:26)."""
     from .sources.pages import with_fixture_ooxml
-    pages = with_fixture_ooxml(pages_from_documents(spark, sf_dir))
-    out = extract_df(pages.where(F.col("url").endswith(".docx")), _CFG)
+    pages = _cached_fixture_pages(
+        spark, "docx", sf_dir,
+        lambda: with_fixture_ooxml(pages_from_documents(spark, sf_dir))
+        .where(F.col("url").endswith(".docx")))
+    out = extract_df(pages, _CFG)
     return out.select("url", "fmt", "markdown", "error")
 
 
@@ -154,8 +181,11 @@ def extract_pptx_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     placeholder + body bullets with indent levels) — reference capability
     utils.py:27."""
     from .sources.pages import with_fixture_ooxml
-    pages = with_fixture_ooxml(pages_from_documents(spark, sf_dir))
-    out = extract_df(pages.where(F.col("url").endswith(".pptx")), _CFG)
+    pages = _cached_fixture_pages(
+        spark, "pptx", sf_dir,
+        lambda: with_fixture_ooxml(pages_from_documents(spark, sf_dir))
+        .where(F.col("url").endswith(".pptx")))
+    out = extract_df(pages, _CFG)
     return out.select("url", "fmt", "markdown", "error")
 
 
@@ -179,8 +209,11 @@ def extract_adoc_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     grammar through asciidoc_to_markdown — reference capability
     utils.py:32."""
     from .sources.pages import with_fixture_ooxml
-    pages = with_fixture_ooxml(pages_from_documents(spark, sf_dir))
-    out = extract_df(pages.where(F.col("url").endswith(".adoc")), _CFG)
+    pages = _cached_fixture_pages(
+        spark, "adoc", sf_dir,
+        lambda: with_fixture_ooxml(pages_from_documents(spark, sf_dir))
+        .where(F.col("url").endswith(".adoc")))
+    out = extract_df(pages, _CFG)
     return out.select("url", "fmt", "markdown", "error")
 
 
@@ -729,8 +762,11 @@ def span_pdf_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted markdown, reconstructed in SQL from the generation rule —
     C7 coverage beyond the HTML/MD corpus."""
     from .sources.pages import with_fixture_pdfs
-    pages = with_fixture_pdfs(pages_from_documents(spark, sf_dir))
-    out = extract_df(pages.where(F.col("url").endswith(".pdf")), _CFG)
+    pages = _cached_fixture_pages(
+        spark, "pdf", sf_dir,
+        lambda: with_fixture_pdfs(pages_from_documents(spark, sf_dir))
+        .where(F.col("url").endswith(".pdf")))
+    out = extract_df(pages, _CFG)
     ex = out.select("url", F.posexplode("spans").alias("seq", "s"))
     return ex.select(
         "url", F.col("seq").cast("int").alias("seq"),
