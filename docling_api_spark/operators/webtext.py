@@ -498,3 +498,107 @@ def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NORMALIZE_ORACLE = _normalize_sql("duck")
+
+
+# ------------------------------------------------ robots compliance
+
+def _robots_txt_sql() -> str:
+    """Deterministic per-host robots.txt synthesis (host id ``h``,
+    identical text both engines). Grammar the parser must honor:
+    a decoy ``user-agent: evilbot`` section FIRST (must be ignored),
+    then the ``*`` section with host-class-dependent rules:
+
+    - h%3=0: ``disallow: /doc/``                  → docs blocked
+    - h%3=1: ``disallow: /doc/`` + ``allow: /doc/1`` → only ids
+      starting '1' crawlable (longest-prefix-match exercises)
+    - h%3=2: only an unrelated ``/private/`` rule → docs allowed
+    """
+    nl = "chr(10)"
+    return (
+        f"'user-agent: evilbot' || {nl} || 'disallow: /' || {nl}"
+        f" || 'user-agent: *' || {nl} || 'disallow: /private/'"
+        f" || CASE WHEN h % 3 = 0 THEN {nl} || 'disallow: /doc/'"
+        f"         WHEN h % 3 = 1 THEN {nl} || 'disallow: /doc/'"
+        f"              || {nl} || 'allow: /doc/1'"
+        f"         ELSE '' END"
+    )
+
+
+def _robots_sql(dialect: str) -> str:
+    """Robots-exclusion compliance (REP, the Google spec semantics a
+    crawl pipeline must apply before a page may enter the corpus):
+    parse the host's robots.txt — select the ``*`` user-agent section
+    (decoy sections ignored), extract allow/disallow prefixes — then
+    verdict each URL by LONGEST matching prefix, allow winning ties;
+    no matching rule means allowed.
+
+    Pure SQL in both engines: section selection is a split on
+    'user-agent: ' + prefix filter; the longest-match-with-tie-break is
+    an integer max over ``2*len(prefix) + is_allow`` (longer dominates,
+    allow odd — no struct comparisons, no dialect divergence).
+
+    Plan at scale: the rules table is hosts-sized (broadcastable by
+    construction — there are millions of hosts, not trillions); pages
+    join it keyed on host, rules explode per matching prefix, one
+    aggregation keyed by url. The corpus never shuffles on anything but
+    its own url/host keys."""
+    txt = _robots_txt_sql()
+    if dialect == "spark":
+        sections = "filter(split(txt, 'user-agent: '), s -> s LIKE '*%')"
+        first_sec = f"element_at({sections}, 1)"
+        explode = "explode"
+        lines = "split(sec, '\\n')"
+    else:
+        sections = ("list_filter(string_split(txt, 'user-agent: '), "
+                    "s -> s LIKE '*%')")
+        first_sec = f"({sections})[1]"
+        explode = "unnest"
+        lines = "string_split(sec, chr(10))"
+    return f"""
+WITH hosts AS (
+  SELECT DISTINCT doc_id % 97 AS h FROM documents
+),
+robots AS (
+  SELECT h, {txt} AS txt FROM hosts
+),
+sec AS (
+  SELECT h, {first_sec} AS sec FROM robots
+),
+rules AS (
+  SELECT h,
+    split_part(line, ': ', 1) AS directive,
+    split_part(line, ': ', 2) AS prefix
+  FROM (SELECT h, {explode}({lines}) AS line FROM sec) e
+  WHERE line LIKE 'allow: %' OR line LIKE 'disallow: %'
+),
+pages AS (
+  SELECT doc_id, doc_id % 97 AS h,
+         '/doc/' || CAST(doc_id AS STRING)
+         || CASE WHEN doc_id % 10 = 7 THEN '.md' ELSE '.html' END AS path
+  FROM documents
+),
+matched AS (
+  SELECT p.doc_id, p.h, p.path,
+    max(2 * length(r.prefix)
+        + CASE WHEN r.directive = 'allow' THEN 1 ELSE 0 END) AS best
+  FROM pages p
+  JOIN rules r
+    ON r.h = p.h
+   AND substr(p.path, 1, length(r.prefix)) = r.prefix
+  GROUP BY p.doc_id, p.h, p.path
+)
+SELECT p.doc_id,
+  'site' || CAST(p.h AS STRING) || '.example' AS host,
+  p.path,
+  coalesce(m.best % 2 = 1, TRUE) AS crawl_allowed
+FROM pages p
+LEFT JOIN matched m ON m.doc_id = p.doc_id
+"""
+
+
+def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_robots_sql("spark"))
+
+
+ROBOTS_ORACLE = _robots_sql("duck")

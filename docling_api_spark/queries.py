@@ -1088,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": pii.pii_scrub,
         "stratified_sample": webtext.stratified_sample,
         "normalize_text": webtext.normalize_text,
+        "robots_filter": webtext.robots_filter,
     }
 
 
@@ -1154,6 +1155,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": pii.PII_ORACLE,
         "stratified_sample": webtext.STRATIFIED_ORACLE,
         "normalize_text": webtext.NORMALIZE_ORACLE,
+        "robots_filter": webtext.ROBOTS_ORACLE,
     }
     # the learned-IVF oracle trains an engine-free k-means replica over
     # the embeddings parquet (memoized). If that data is unreachable in

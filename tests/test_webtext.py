@@ -266,6 +266,33 @@ def test_normalize_folds_and_collapses():
     assert row == '"a b" - end'
 
 
+# ------------------------------------------------- robots compliance
+
+def test_robots_semantics(duck):
+    rows = {r[0]: r for r in
+            duck.sql(webtext._robots_sql("duck")).fetchall()}
+    assert len(rows) == 500
+    for doc_id, (_, host, path, allowed) in rows.items():
+        h = doc_id % 97
+        assert host == f"site{h}.example"
+        if h % 3 == 0:
+            # disallow: /doc/ with no allow override
+            assert allowed is False, (doc_id, h)
+        elif h % 3 == 1:
+            # allow: /doc/1 overrides by longest match
+            assert allowed == path.startswith("/doc/1"), (doc_id, h)
+        else:
+            # only the /private/ rule — docs unaffected
+            assert allowed is True, (doc_id, h)
+
+
+def test_robots_decoy_section_ignored(duck):
+    # if the evilbot section ('disallow: /') were parsed, EVERYTHING
+    # would be disallowed; assert some allowed rows exist
+    rows = duck.sql(webtext._robots_sql("duck")).fetchall()
+    assert any(r[3] for r in rows) and not all(r[3] for r in rows)
+
+
 # ------------------------------------------------------- plan pins
 
 def test_dataset_split_plan_zero_shuffle(spark):
