@@ -66,10 +66,22 @@ def _merge_expr(lhs: str, rhs: str) -> str:
     )
 
 
+#: Spark-side training memo (mirrors _ORACLE_CACHE): bpe_train and
+#: bpe_vocab are both registered queries, so without it every driver
+#: verify/bench pass trains twice. The cached final DataFrame is
+#: localCheckpointed — valid for the life of the SparkSession that
+#: built it, which is the scope of a sweep/bench/pytest process.
+_TRAIN_CACHE: dict = {}
+
+
 def _train(spark: SparkSession, sf_dir: str,
            n_merges: int) -> tuple[list[tuple], DataFrame]:
     """The shared training loop: returns (merge list, final (freq, syms)
-    word DataFrame after all merges applied)."""
+    word DataFrame after all merges applied). Memoized per (session,
+    sf_dir, n_merges)."""
+    key = (id(spark), sf_dir, n_merges)
+    if key in _TRAIN_CACHE:
+        return _TRAIN_CACHE[key]
     spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .createOrReplaceTempView("documents")
     words = spark.sql(_word_counts_sql("spark"))
@@ -97,6 +109,7 @@ def _train(spark: SparkSession, sf_dir: str,
         df = df.select(
             "freq", F.expr(_merge_expr(best["lhs"], best["rhs"]))
             .alias("syms")).localCheckpoint()
+    _TRAIN_CACHE[key] = (merges, df)
     return merges, df
 
 
@@ -143,6 +156,12 @@ def _replica(sf_dir: str,
             continue
         for w in re.sub("[^a-z0-9 ]", " ", text.lower()).split():
             counts[w] += 1
+    return replica_from_counts(counts, n_merges)
+
+
+def replica_from_counts(counts, n_merges: int):
+    """The replica's merge loop on an explicit word-count mapping —
+    split out so semantics tests exercise THIS loop, not a copy."""
     words = [(list(w) + [EOW], c) for w, c in counts.items()]
     merges = []
     for rank in range(n_merges):

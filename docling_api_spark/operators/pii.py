@@ -21,9 +21,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: backslash-free, RE2-and-Java-compatible patterns
-EMAIL_RX = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
-PHONE_RX = "[+][0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+#: backslash-free, RE2-and-Java-compatible patterns. Case handled by
+#: explicit [a-zA-Z] classes — '(?i)' is not shared-verbatim-safe here.
+#: Phone covers international dial forms with 2-3 dash groups of 2-4
+#: digits (+1-555-0042 and NANP +1-555-867-5309 alike). Known limit,
+#: documented rather than half-fixed: RE2 has no lookbehind, so IPV4_RX
+#: consumes greedily inside longer dotted-digit runs ('1.2.3.4.5' →
+#: '<IP>.5') — acceptable for redaction (the PII is still gone), wrong
+#: for strict extraction.
+EMAIL_RX = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+PHONE_RX = "[+][0-9]{1,3}(-[0-9]{2,4}){2,3}"
 IPV4_RX = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
 
 

@@ -85,7 +85,8 @@ MIN_TOKENS = 10
 MAX_CHARS_PER_TOKEN = 12
 STOPWORD_MIN_PER = 50     # keep iff n_stop * 50 >= n_tok
 
-def _quality_filter_sql(dialect: str, nd_rel: str | None = None) -> str:
+def _quality_filter_sql(dialect: str, nd_rel: str | None = None,
+                        with_n_tok: bool = False) -> str:
     """The retention decision a training-data pipeline actually ships
     (C4/Gopher-style): exact-dup canonicalization + length + token-shape
     + stopword-density gates composed into keep/drop with a reason code.
@@ -115,9 +116,12 @@ def _quality_filter_sql(dialect: str, nd_rel: str | None = None) -> str:
                      f"            THEN 'near_duplicate'\n       ")
         near_keep = f"\n   AND t2.doc_id = {canon}"
         join = f"\nLEFT JOIN {nd_rel} nd ON nd.doc_id = t2.doc_id"
+    # the report variant projects the already-computed token count so
+    # downstream rollups never re-tokenize the corpus (r3 review find)
+    tok_col = "n_tok,\n  " if with_n_tok else ""
     return f"""
 SELECT t2.doc_id,
-  {nd_col}CASE WHEN t2.doc_id <> canonical_id THEN 'duplicate'
+  {tok_col}{nd_col}CASE WHEN t2.doc_id <> canonical_id THEN 'duplicate'
        {near_case}WHEN n_tok < {MIN_TOKENS} THEN 'too_short'
        WHEN length(text) > {MAX_CHARS_PER_TOKEN} * n_tok THEN 'long_tokens'
        WHEN n_stop * {STOPWORD_MIN_PER} < n_tok THEN 'low_stopword'
@@ -179,19 +183,16 @@ QUALITY_FILTER_NEARDUP_ORACLE = quality_filter_neardup_oracle()
 def _retention_report_sql(dialect: str, nd_rel: str | None = None) -> str:
     """The curation dashboard rollup: documents and tokens per retention
     verdict (reason code '' = kept) over the FULL near-dup-aware filter.
-    One extra keyed aggregation on top of the filter plan — the kind of
-    per-run report a 10^12-doc pipeline publishes with every batch."""
-    inner = _quality_filter_sql(dialect, nd_rel=nd_rel)
-    toks = X.tokens(dialect)
-    n_tok = ("size(tk)" if dialect == "spark" else "len(tk)")
+    One extra keyed aggregation on top of the filter plan (the filter
+    projects its own n_tok — no second tokenization pass, no join) —
+    the kind of per-run report a 10^12-doc pipeline publishes with
+    every batch."""
+    inner = _quality_filter_sql(dialect, nd_rel=nd_rel, with_n_tok=True)
     return f"""
 SELECT f.drop_reason,
   count(*) AS n_docs,
-  CAST(sum(t.n_tok) AS BIGINT) AS n_tokens
+  CAST(sum(f.n_tok) AS BIGINT) AS n_tokens
 FROM ({inner}) f
-JOIN (SELECT doc_id, {n_tok} AS n_tok
-      FROM (SELECT doc_id, {toks} AS tk FROM documents) t0) t
-  ON t.doc_id = f.doc_id
 GROUP BY f.drop_reason
 """
 

@@ -186,18 +186,26 @@ def canonicalize_sql(dialect: str, source: str) -> str:
     query = "coalesce(regexp_extract(nf, '[?](.*)$', 1), '')"
     return f"""
 SELECT doc_id, u,
+    -- non-hierarchical / schemeless inputs (mailto:, protocol-relative
+    -- '//host/..', bare paths) pass through fragment-stripped but
+    -- otherwise UNTOUCHED: without a parsed scheme+host every such URL
+    -- would collapse to one ':///' canonical and the downstream dedup
+    -- would silently merge distinct pages (r3 review find, verified)
+    CASE WHEN sch = '' OR hostport = '' THEN nf0 ELSE
     sch || '://'
     || CASE WHEN sch = 'https' THEN regexp_replace(hostport, ':443$', '')
             WHEN sch = 'http'  THEN regexp_replace(hostport, ':80$', '')
             ELSE hostport END
     || CASE WHEN pth = '' OR pth = '/' THEN '/'
             ELSE regexp_replace(pth, '/$', '') END
-    || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
+    || CASE WHEN cq = '' THEN '' ELSE '?' || cq END
+    END AS canonical_url
   FROM (
-    SELECT doc_id, u, sch, hostport, pth, {canon_q} AS cq
-    FROM (SELECT doc_id, u, sch, hostport, pth, {params} AS kept
+    SELECT doc_id, u, nf0, sch, hostport, pth, {canon_q} AS cq
+    FROM (SELECT doc_id, u, nf0, sch, hostport, pth, {params} AS kept
           FROM (
-            SELECT doc_id, u, {scheme} AS sch, {lower_hostport} AS hostport,
+            SELECT doc_id, u, nf AS nf0, {scheme} AS sch,
+                   {lower_hostport} AS hostport,
                    {path} AS pth, {query} AS q
             FROM (SELECT doc_id, u, {strip_frag} AS nf FROM {source}) s
           ) parts) k

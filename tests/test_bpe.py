@@ -6,32 +6,9 @@ from docling_api_spark.operators import bpe
 
 
 def _replica_words(word_counts, n_merges):
-    """Run the replica on an explicit word-count dict (bypassing parquet
-    I/O) by monkey-shaping its internals: rebuild the same loop."""
-    import collections
-    words = [(list(w) + [bpe.EOW], c) for w, c in word_counts.items()]
-    merges = []
-    for rank in range(n_merges):
-        pc = collections.Counter()
-        for syms, c in words:
-            for a, b in zip(syms, syms[1:]):
-                pc[(a, b)] += c
-        if not pc:
-            break
-        (lhs, rhs), c = min(pc.items(),
-                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
-        merges.append((rank, lhs, rhs, lhs + rhs, c))
-        nxt = []
-        for syms, cnt in words:
-            out = []
-            for x in syms:
-                if out and out[-1] == lhs and x == rhs:
-                    out[-1] = lhs + rhs
-                else:
-                    out.append(x)
-            nxt.append((out, cnt))
-        words = nxt
-    return merges, words
+    """The REAL replica loop on an explicit word-count dict (r3 review:
+    this was a verbatim copy that could silently diverge)."""
+    return bpe.replica_from_counts(word_counts, n_merges)
 
 
 def test_greedy_fold_non_overlapping(spark):

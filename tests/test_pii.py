@@ -39,6 +39,24 @@ def test_clean_doc_untouched():
     assert "555" not in clean[1]
 
 
+def test_real_world_shapes_redacted():
+    # r3 review find: the first patterns were lowercase-only and pinned
+    # to the synthetic 7-digit phone — real shapes leaked through
+    import duckdb
+
+    from docling_api_spark.operators.pii import scrub_expr
+    con = duckdb.connect()
+
+    def scrub(s):
+        return con.sql(
+            "SELECT " + scrub_expr("duck", f"'{s}'")).fetchall()[0][0]
+
+    assert scrub("mail John.Doe@Example.COM now") == "mail <EMAIL> now"
+    assert scrub("call +1-555-867-5309 ok") == "call <PHONE> ok"
+    assert scrub("call +44-20-7946-0958 ok") == "call <PHONE> ok"
+    assert scrub("ip 10.0.200.41 end") == "ip <IP> end"
+
+
 def test_email_redacted_before_phone_pass():
     # the email's digits must not be half-eaten by the phone pass:
     # redaction order is email -> phone -> ip

@@ -189,6 +189,22 @@ def _url_grammar():
     return urls
 
 
+def test_schemeless_urls_pass_through_distinct():
+    # r3 review find: without the guard, every schemeless /
+    # protocol-relative / non-hierarchical URL collapsed to ':///' and
+    # the dedup silently merged distinct pages
+    con = duckdb.connect()
+    degenerate = ["//a.example/x", "//b.example/y", "mailto:joe@x.com",
+                  "/bare/path", "data:text/plain,hi#frag"]
+    vals = ", ".join(f"({i}, '{u}')" for i, u in enumerate(degenerate))
+    src = f"(SELECT * FROM (VALUES {vals}) v(doc_id, u))"
+    got = {r[0]: r[2] for r in con.sql(
+        webtext.canonicalize_sql("duck", src)).fetchall()}
+    assert len(set(got.values())) == len(degenerate)
+    assert got[0] == "//a.example/x"            # untouched
+    assert got[4] == "data:text/plain,hi"       # fragment still stripped
+
+
 def test_canonicalize_idempotent_and_engine_parity(spark):
     urls = _url_grammar()
     con = duckdb.connect()
