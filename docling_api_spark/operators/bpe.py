@@ -86,7 +86,7 @@ def _train(spark: SparkSession, sf_dir: str,
         .createOrReplaceTempView("documents")
     words = spark.sql(_word_counts_sql("spark"))
     df = words.select(
-        "freq",
+        "word", "freq",
         F.expr("concat(transform(sequence(1, length(word)), "
                f"i -> substring(word, i, 1)), array('{EOW}'))").alias("syms"),
     ).localCheckpoint()
@@ -107,7 +107,7 @@ def _train(spark: SparkSession, sf_dir: str,
         merges.append((rank, best["lhs"], best["rhs"],
                        best["lhs"] + best["rhs"], int(best["pair_count"])))
         df = df.select(
-            "freq", F.expr(_merge_expr(best["lhs"], best["rhs"]))
+            "word", "freq", F.expr(_merge_expr(best["lhs"], best["rhs"]))
             .alias("syms")).localCheckpoint()
     _TRAIN_CACHE[key] = (merges, df)
     return merges, df
@@ -123,6 +123,69 @@ def bpe_train(spark: SparkSession, sf_dir: str,
     return spark.createDataFrame(
         merges,
         "rank int, lhs string, rhs string, merged string, pair_count bigint")
+
+
+def bpe_segment_counts(spark: SparkSession, sf_dir: str,
+                       n_merges: int = N_MERGES) -> DataFrame:
+    """APPLYING the trained tokenizer: per-document subtoken counts
+    under the learned merges — the serving-time statistic (sequence
+    budget per doc) a pipeline computes after tokenizer training.
+
+    Plan at scale: the segmentation already lives on the word table
+    (the training loop's final fold output, memoized); per-doc counts
+    are explode(doc tokens) → equi-join word → size(syms) (keyed on the
+    word — the classic word-frequency join) → one doc-keyed sum. No
+    per-doc re-segmentation: a corpus re-uses its word table exactly as
+    real BPE serving caches word→pieces."""
+    _, df = _train(spark, sf_dir, n_merges)
+    word_sizes = df.select("word", F.size("syms").alias("n_pieces"))
+    # re-point the view explicitly: a _train cache hit skips view setup,
+    # and another query may have re-bound 'documents' to a different dir
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    toks = X.tokens("spark")
+    doc_words = spark.sql(
+        f"SELECT doc_id, explode({toks}) AS word FROM documents")
+    return (doc_words.join(word_sizes, "word")
+            .groupBy("doc_id")
+            .agg(F.sum("n_pieces").alias("n_subtokens"),
+                 F.count(F.lit(1)).alias("n_words")))
+
+
+def bpe_segment_oracle(sf_dir: str | None = None,
+                       n_merges: int = N_MERGES) -> str:
+    """DuckDB twin: the replica segments every word identically; per-doc
+    counts are inlined as VALUES (corpus-row-count-sized — fine at the
+    driver's correctness scales)."""
+    import os
+    import re as _re
+
+    sf_dir = sf_dir or os.environ.get("SWEEP_SF_DIR",
+                                      "/root/testdata/sf0.01")
+    key = ("segment", sf_dir, n_merges)
+    if key not in _ORACLE_CACHE:
+        import duckdb
+
+        _, words = _replica(sf_dir, n_merges)
+        pieces = {"".join(syms).replace(EOW, ""): len(syms)
+                  for syms, _ in words}
+        rows = duckdb.sql(
+            f"SELECT doc_id, text FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')").fetchall()
+        vals = []
+        for doc_id, text in rows:
+            if not text:
+                continue
+            ws = _re.sub("[^a-z0-9 ]", " ", text.lower()).split()
+            if not ws:
+                continue
+            n_sub = sum(pieces[w] for w in ws)
+            vals.append(f"({doc_id}, CAST({n_sub} AS BIGINT), "
+                        f"CAST({len(ws)} AS BIGINT))")
+        _ORACLE_CACHE[key] = (
+            "SELECT * FROM (VALUES " + ", ".join(vals)
+            + ") t(doc_id, n_subtokens, n_words)")
+    return _ORACLE_CACHE[key]
 
 
 def bpe_vocab(spark: SparkSession, sf_dir: str,

@@ -1084,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # learned merge table — the ann_ivf_trained pattern)
         "bpe_train": bpe.bpe_train,
         "bpe_vocab": bpe.bpe_vocab,
+        "bpe_segment_counts": bpe.bpe_segment_counts,
         # PII scrubbing (regex parity gated across Java regex / RE2)
         "pii_scrub": pii.pii_scrub,
         "stratified_sample": webtext.stratified_sample,
@@ -1171,6 +1172,7 @@ def oracle_sql() -> dict[str, str]:
     try:
         out["bpe_train"] = bpe.bpe_train_oracle()
         out["bpe_vocab"] = bpe.bpe_vocab_oracle()
+        out["bpe_segment_counts"] = bpe.bpe_segment_oracle()
     except Exception:
         pass
     return out

@@ -60,6 +60,9 @@ def _dir_dependent_oracle(name: str):
     if name == "bpe_vocab":
         from docling_api_spark.operators.bpe import bpe_vocab_oracle
         return bpe_vocab_oracle(SF_DIR)
+    if name == "bpe_segment_counts":
+        from docling_api_spark.operators.bpe import bpe_segment_oracle
+        return bpe_segment_oracle(SF_DIR)
     return None
 
 
