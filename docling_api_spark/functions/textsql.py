@@ -35,6 +35,20 @@ def md5_int(dialect: str, payload: str, hex_digits: int = 8) -> str:
     return f"CAST(('0x' || substr(md5({payload}), 1, {hex_digits})) AS BIGINT)"
 
 
+def ratio4(dialect: str, num: str, den: str) -> str:
+    """``num/den`` rounded half-AWAY at 4 dp as exact integer arithmetic:
+    ``(2*10^4*num + den) div (2*den) / 10^4``. ROUND(int/int double, 4)
+    is the cross-engine tie class found in lm_scores/content_density
+    (Spark BigDecimal HALF_UP vs DuckDB scaled-double rounding disagree
+    when the scaled ratio lands exactly on .5); integer division cannot
+    tie. Requires ``num >= 0`` and ``den > 0`` (pass ``nullif(den, 0)``
+    — NULL propagates). The quotient maps to the identical nearest
+    double in both engines (4 dp values are exact in binary64 / 10^4)."""
+    op = "DIV" if dialect == "spark" else "//"
+    return (f"CAST((20000 * ({num}) + ({den})) {op} (2 * ({den})) "
+            f"AS DOUBLE) / 10000")
+
+
 def shingles_from(dialect: str, tk: str = "tk", k: int = 3) -> str:
     """k-word shingles (k=3) from a *token-array column* ``tk``.
 

@@ -78,8 +78,13 @@ def _train(spark: SparkSession, sf_dir: str,
            n_merges: int) -> tuple[list[tuple], DataFrame]:
     """The shared training loop: returns (merge list, final (freq, syms)
     word DataFrame after all merges applied). Memoized per (session,
-    sf_dir, n_merges)."""
-    key = (id(spark), sf_dir, n_merges)
+    sf_dir, n_merges) — keyed on (applicationId, sessionUUID), NOT
+    id(spark): a stopped session's id() can be reused by a new session,
+    which would hit the cache and hand back localCheckpointed blocks
+    belonging to the dead JVM context (ADVICE r3)."""
+    sess_key = (spark.sparkContext.applicationId,
+                spark.sparkContext.startTime)
+    key = (sess_key, sf_dir, n_merges)
     if key in _TRAIN_CACHE:
         return _TRAIN_CACHE[key]
     spark.read.parquet(f"{sf_dir}/documents.parquet") \

@@ -116,6 +116,17 @@ def ocr_png(data: bytes) -> str:
         raise ValueError(f"undecodable PNG: {exc}") from exc
     if h != 2 + CELL_H or w < 2 + CELL_W or (w - 2) % CELL_W != 0:
         raise ValueError("not a text-raster geometry")
+    # the 1 px outer margins and the spacing row beneath the glyphs
+    # (pixel row 1+GLYPH_H) must be all white — without this, a foreign
+    # raster with ink there whose rows 1..7 happen to match glyph
+    # bitmaps would decode to text instead of raising (ADVICE r3)
+    for x in range(w):
+        if px[x] != 255 or px[(h - 1) * w + x] != 255 \
+                or px[(1 + GLYPH_H) * w + x] != 255:
+            raise ValueError("ink in margin or spacing row")
+    for y in range(h):
+        if px[y * w] != 255 or px[y * w + w - 1] != 255:
+            raise ValueError("ink in side margin")
     n = (w - 2) // CELL_W
     out = []
     for i in range(n):

@@ -100,10 +100,10 @@ a3 AS (
 )
 SELECT t.doc_id,
   CAST({n_tok} AS BIGINT) AS n_tokens,
-  ROUND(({n_tok} - {n_uniq})
-        / CAST(nullif({n_tok}, 0) AS DOUBLE), 4) AS dup_token_frac,
-  ROUND(a2.top_chars / CAST(a2.tot_chars AS DOUBLE), 4) AS top_2gram_frac,
-  ROUND(a3.dup_chars / CAST(a3.tot_chars AS DOUBLE), 4) AS dup_3gram_frac
+  {X.ratio4(dialect, f"{n_tok} - {n_uniq}", f"nullif({n_tok}, 0)")}
+    AS dup_token_frac,
+  {X.ratio4(dialect, "a2.top_chars", "a2.tot_chars")} AS top_2gram_frac,
+  {X.ratio4(dialect, "a3.dup_chars", "a3.tot_chars")} AS dup_3gram_frac
 FROM t
 LEFT JOIN a2 ON a2.doc_id = t.doc_id
 LEFT JOIN a3 ON a3.doc_id = t.doc_id
@@ -288,8 +288,8 @@ agg AS (
 SELECT t.doc_id,
   CAST(coalesce(agg.n_grams, 0) AS BIGINT) AS n_grams,
   CAST(coalesce(agg.n_hits, 0) AS BIGINT) AS n_contaminated,
-  ROUND(coalesce(agg.n_hits, 0)
-        / CAST(nullif(agg.n_grams, 0) AS DOUBLE), 4) AS contaminated_frac,
+  {X.ratio4(dialect, "coalesce(agg.n_hits, 0)", "nullif(agg.n_grams, 0)")}
+    AS contaminated_frac,
   coalesce(agg.n_hits, 0) > 0 AS is_contaminated
 FROM t
 LEFT JOIN agg ON agg.doc_id = t.doc_id

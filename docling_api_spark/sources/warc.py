@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -73,6 +74,17 @@ def write_warc(records, path: str, compress: bool = False,
                 f.write(raw)
 
 
+#: version-agnostic record marker for resync: any WARC/<digit> (a 1.1
+#: or future-version segment must resync too, not silently drop its
+#: tail after one malformed record — ADVICE r3)
+_WARC_MARKER_RX = re.compile(rb"WARC/\d")
+
+
+def _next_record(data: bytes, start: int) -> int:
+    m = _WARC_MARKER_RX.search(data, start)
+    return m.start() if m else -1
+
+
 def iter_warc_records(data: bytes, types: tuple = (b"response",)):
     """Yield (url, warc_date, payload_bytes) for each record whose
     WARC-Type is in ``types`` (``(b'conversion',)`` reads WET files —
@@ -92,7 +104,7 @@ def iter_warc_records(data: bytes, types: tuple = (b"response",)):
         header_blob = data[pos:head_end]
         if not header_blob.startswith(b"WARC/"):
             # resync: find the next record marker
-            nxt = data.find(b"WARC/1.0", pos + 1)
+            nxt = _next_record(data, pos + 1)
             if nxt < 0:
                 return
             pos = nxt
@@ -105,7 +117,7 @@ def iter_warc_records(data: bytes, types: tuple = (b"response",)):
         try:
             length = int(headers.get(b"content-length", b""))
         except ValueError:
-            nxt = data.find(b"WARC/1.0", head_end)
+            nxt = _next_record(data, head_end)
             if nxt < 0:
                 return
             pos = nxt

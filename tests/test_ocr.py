@@ -56,3 +56,19 @@ def test_pipeline_ocrs_scan_and_rejects_photo():
     # non-PNG image formats keep the typed failure too
     r3 = convert_one(b"GIF89a" + b"\x00" * 20, "https://x/g.gif", CFG)
     assert r3["error"] == "ocr_not_supported"
+
+
+def test_ink_in_spacing_row_rejected():
+    """A raster whose glyph rows match the font but which carries ink in
+    the spacing row beneath the glyphs (or the outer margins) is a
+    FOREIGN image and must raise, not decode (r3 ADVICE)."""
+    w, h, px = png_write.read_png_gray(ocr.render_text_png("ab"))
+    for flip in [(1 + ocr.GLYPH_H) * w + 2,   # spacing row under glyphs
+                 3,                            # top margin
+                 (h - 1) * w + 3,              # bottom margin
+                 2 * w,                        # left margin
+                 2 * w + w - 1]:               # right margin
+        bad = bytearray(px)
+        bad[flip] = 0
+        with pytest.raises(ValueError):
+            ocr.ocr_png(png_write.write_png_gray(w, h, bytes(bad)))

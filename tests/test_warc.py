@@ -158,3 +158,17 @@ def test_spark_read_warc_pages(spark, tmp_path):
     assert (RECS[0][0], RECS[0][2]) in rows
     assert len(rows) == 3          # url+payload dedups the repeated rec
     assert df.count() == 4         # but all 4 records are rows
+
+
+def test_warc_11_segment_resyncs(tmp_path):
+    """A WARC/1.1 segment with one malformed record must resync on the
+    version-agnostic marker, not silently drop the file tail (r3
+    ADVICE: the old resync searched for the literal b'WARC/1.0')."""
+    p = str(tmp_path / "x.warc")
+    W.write_warc(RECS, p)
+    good = open(p, "rb").read().replace(b"WARC/1.0", b"WARC/1.1")
+    first = W._record_bytes(*RECS[0]).replace(b"WARC/1.0", b"WARC/1.1")
+    bad = b"WARC/1.1\r\nContent-Length: notanumber\r\n\r\njunk"
+    blob = first + bad + good[len(first):]
+    got = list(W.iter_warc_records(blob))
+    assert [u for u, _, _ in got] == [u for u, _, _, _ in RECS]

@@ -361,3 +361,30 @@ def test_head_meta_semantics_and_plan(spark):
             assert not r["is_canonical_self"] and not r["keep"]
         else:
             assert r["canonical_href"] == "" and r["is_canonical_self"]
+
+
+# ------------------------------------------------------- ratio4 ties
+
+def test_ratio4_tie_identical_across_engines(spark):
+    """The .5 tie class ROUND(int/int double, 4) gets wrong across
+    engines (r3 ADVICE): 1/20000 scaled to 4 dp is exactly 0.5 — Spark's
+    BigDecimal HALF_UP says 0.0001, DuckDB's scaled-double path can say
+    0.0. ratio4's integer round-half-away cannot tie; both engines must
+    produce the identical double for every constructed tie."""
+    import duckdb as d
+
+    from docling_api_spark.functions import textsql as X
+    cases = [(1, 20000), (3, 20000), (1, 8000), (7, 2000),
+             (12345, 20000), (0, 5), (19999, 20000 * 2)]
+    for num, den in cases:
+        s = spark.sql(
+            "SELECT " + X.ratio4("spark", str(num), str(den)) + " AS r"
+        ).collect()[0]["r"]
+        q = d.connect().execute(
+            "SELECT " + X.ratio4("duck", str(num), str(den)) + " AS r"
+        ).fetchone()[0]
+        assert s == q, (num, den, s, q)
+        # and the value is the half-AWAY rounding of num/den at 4 dp
+        scaled = num * 10**4
+        expect = (2 * scaled + den) // (2 * den) / 10**4
+        assert s == expect, (num, den, s, expect)
