@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .config import ExtractConfig
 from .functions import textsql as X
-from .operators import (bpe, dedup, multimodal, pii, relational,
+from .operators import (bpe, curation, dedup, multimodal, pii, relational,
                         similarity, text_stats, webtext)
 from .plans.pipeline import extract_df
 from .sources.pages import pages_from_documents
@@ -895,6 +895,41 @@ FROM c
 """
 
 
+def crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl-curation verdict (operators/curation.py): the
+    five already-gated stages composed in crawl order — robots REP →
+    head-meta noindex/canonical → canonical-URL dedup → near-dup-aware
+    quality filter → stratified sample — one keep/drop + reason row per
+    document. The Spark side runs the REAL stages (extraction regexes,
+    REP parse, LSH + connected components); the oracle composes the five
+    stage ORACLES through the same precedence template, so the value
+    hash gates the composition itself (join keys, verdict precedence)."""
+    webtext.robots_filter(spark, sf_dir) \
+        .createOrReplaceTempView("crawl_robots")
+    head_meta(spark, sf_dir).createOrReplaceTempView("crawl_meta")
+    webtext.url_canonical_dedup(spark, sf_dir) \
+        .createOrReplaceTempView("crawl_canon")
+    text_stats.quality_filter_neardup(spark, sf_dir) \
+        .createOrReplaceTempView("crawl_qual")
+    webtext.stratified_sample(spark, sf_dir) \
+        .createOrReplaceTempView("crawl_sample")
+    return spark.sql(curation.verdict_sql(
+        "crawl_robots", "crawl_meta", "crawl_canon", "crawl_qual",
+        "crawl_sample"))
+
+
+def _crawl_curation_oracle() -> str:
+    return curation.verdict_sql(
+        f"({webtext.ROBOTS_ORACLE})",
+        f"({HEAD_META_ORACLE})",
+        f"({webtext.URL_CANON_ORACLE})",
+        f"({text_stats.QUALITY_FILTER_NEARDUP_ORACLE})",
+        f"({webtext.STRATIFIED_ORACLE})")
+
+
+CRAWL_CURATION_ORACLE = _crawl_curation_oracle()
+
+
 def extract_scanned_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE-input extraction: pages whose payload is a rendered text
     raster go through the from-scratch template-matching OCR
@@ -1092,10 +1127,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": webtext.stratified_sample,
         "normalize_text": webtext.normalize_text,
         "robots_filter": webtext.robots_filter,
+        # end-to-end crawl-curation composite (r4): value-checks the
+        # five-stage composition per-stage gates cannot see
+        "crawl_curation": crawl_curation,
         # remaining window slots: strongest standalone signals
         "ann_lsh": similarity.ann_lsh,
         "lang_id": text_stats.lang_id,
-        "tfidf_topterms": text_stats.tfidf_topterms,
         # ---- past the driver window (slots 51+): r3-driver-green,
         # code unchanged; covered by bench + self-sweep ----
         "span_summary": span_summary,              # ⊂ span_detail
@@ -1111,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": text_stats.quality_scores,  # ⊂ quality_filter
         "quality_model_score": text_stats.quality_model_score,
         "token_length_hist": text_stats.token_length_hist,
+        "tfidf_topterms": text_stats.tfidf_topterms,
         "fingerprints": text_stats.fingerprints,
         "cosine_topk": similarity.cosine_topk,     # brute-force baseline
         "ann_ivf": similarity.ann_ivf,             # ⊂ ann_ivf_trained
@@ -1138,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": HOST_PAGERANK_ORACLE,
         "extract_quality_pipeline": EXTRACT_QUALITY_ORACLE,
         "head_meta": HEAD_META_ORACLE,
+        "crawl_curation": CRAWL_CURATION_ORACLE,
         "content_density": CONTENT_DENSITY_ORACLE,
         "extract_scanned_markdown": EXTRACT_SCANNED_ORACLE,
         "extract_warc_markdown": EXTRACT_WARC_ORACLE,

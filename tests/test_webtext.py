@@ -388,3 +388,46 @@ def test_ratio4_tie_identical_across_engines(spark):
         scaled = num * 10**4
         expect = (2 * scaled + den) // (2 * den) / 10**4
         assert s == expect, (num, den, s, expect)
+
+
+# ------------------------------------------------ crawl_curation composite
+
+def test_crawl_curation_precedence_and_conjunction(spark):
+    """Composition semantics the per-stage gates cannot see: the verdict
+    is the FIRST failing stage in crawl order, keep is the conjunction
+    of all five stage verdicts, and every documented reason code
+    actually occurs on the driver corpus."""
+    from docling_api_spark import queries as Q
+    sf = "/root/testdata/sf0.001"
+    rows = {r["doc_id"]: r for r in Q.crawl_curation(spark, sf).collect()}
+    robots = {r["doc_id"]: r["crawl_allowed"]
+              for r in webtext.robots_filter(spark, sf).collect()}
+    sample = {r["doc_id"]: r["keep"]
+              for r in webtext.stratified_sample(spark, sf).collect()}
+    assert len(rows) == 500
+    reasons = {r["drop_reason"] for r in rows.values()}
+    # only documented codes; the major stages fire somewhere and some
+    # docs survive (url_duplicate may be fully shadowed by earlier
+    # stages at this scale — precedence, checked per-doc below)
+    assert reasons <= {"", "robots_denied", "meta_noindex",
+                       "canonical_elsewhere", "url_duplicate",
+                       "duplicate", "near_duplicate", "too_short",
+                       "long_tokens", "low_stopword", "sampled_out"}
+    assert {"", "robots_denied", "meta_noindex", "canonical_elsewhere",
+            "sampled_out"} <= reasons
+    canon = {r["doc_id"]: r["is_canonical"]
+             for r in webtext.url_canonical_dedup(spark, sf).collect()}
+    for i, r in rows.items():
+        # a kept doc must be its canonical-URL group's representative
+        if r["keep"]:
+            assert canon[i]
+        # precedence: a robots-denied doc reports robots_denied no
+        # matter what later stages say
+        if not robots[i]:
+            assert r["drop_reason"] == "robots_denied"
+        # conjunction: keep implies every stage passed
+        if r["keep"]:
+            assert r["drop_reason"] == ""
+            assert robots[i] and sample[i]
+        else:
+            assert r["drop_reason"] != ""
