@@ -133,6 +133,12 @@ def extract_pdf_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "fmt", "markdown", "error")
 
 
+#: r4 grammar notch: every fixture ends with a reference paragraph
+#: '(ref i\\i%7)' whose parens/backslash exercise the PDF string-escape
+#: path end-to-end; docs with doc_id%20=14 are TWO-page (the ref
+#: paragraph sits on page 2 under its own h3), gating /Kids-order page
+#: concatenation and cross-page span offsets. chr(92) = backslash
+#: (dialect-safe — no literal-escape ambiguity).
 EXTRACT_PDF_ORACLE = """
 SELECT
   'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
@@ -142,7 +148,13 @@ SELECT
     || chr(10) || chr(10) || '## Section ' || CAST(doc_id % 7 AS VARCHAR)
     || chr(10) || chr(10) || '### Part ' || CAST(doc_id % 3 AS VARCHAR)
     || CASE WHEN length(trim(text)) > 0
-            THEN chr(10) || chr(10) || text ELSE '' END AS markdown,
+            THEN chr(10) || chr(10) || text ELSE '' END
+    || CASE WHEN doc_id % 20 = 14
+            THEN chr(10) || chr(10) || '### Part '
+                 || CAST(doc_id % 3 AS VARCHAR) || ' b'
+            ELSE '' END
+    || chr(10) || chr(10) || '(ref ' || CAST(doc_id AS VARCHAR)
+    || chr(92) || CAST(doc_id % 7 AS VARCHAR) || ')' AS markdown,
   CAST(NULL AS VARCHAR) AS error
 FROM documents
 WHERE doc_id % 10 = 4
@@ -791,6 +803,9 @@ def span_pdf_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.ref").alias("ref"))
 
 
+#: r4: +2 span rows per doc — the page-2 h3 (two-page fixtures,
+#: doc_id%20=14) and the escaped reference paragraph; ``nb``/``pg2``
+#: make the seq numbering exact even for blank-text docs.
 SPAN_PDF_DETAIL_ORACLE = """
 WITH o AS (
   SELECT doc_id, text,
@@ -798,7 +813,12 @@ WITH o AS (
       || CAST(doc_id AS VARCHAR) || '.pdf' AS url,
     'Doc ' || CAST(doc_id AS VARCHAR) AS r1,
     'Section ' || CAST(doc_id % 7 AS VARCHAR) AS r2,
-    'Part ' || CAST(doc_id % 3 AS VARCHAR) AS r3
+    'Part ' || CAST(doc_id % 3 AS VARCHAR) AS r3,
+    'Part ' || CAST(doc_id % 3 AS VARCHAR) || ' b' AS r4,
+    '(ref ' || CAST(doc_id AS VARCHAR) || chr(92)
+      || CAST(doc_id % 7 AS VARCHAR) || ')' AS rl,
+    CASE WHEN doc_id % 20 = 14 THEN 1 ELSE 0 END AS pg2,
+    CASE WHEN length(trim(text)) > 0 THEN 1 ELSE 0 END AS nb
   FROM documents WHERE doc_id % 10 = 4
 ),
 e AS (
@@ -807,22 +827,40 @@ e AS (
     2 + length(r1) + 2 + 3 + length(r2) AS e2,
     2 + length(r1) + 2 + 3 + length(r2) + 2 + 4 + length(r3) AS e3
   FROM o
+),
+e2x AS (
+  SELECT *,
+    e3 + nb * (2 + length(text)) AS e4
+  FROM e
+),
+e3x AS (
+  SELECT *,
+    e4 + pg2 * (2 + 4 + length(r4)) AS e5
+  FROM e2x
 )
 SELECT url, CAST(0 AS INT) AS seq, CAST(0 AS BIGINT) AS span_start,
        CAST(e1 AS BIGINT) AS span_end, 'heading' AS kind, r1 AS ref
-FROM e
+FROM e3x
 UNION ALL
 SELECT url, CAST(1 AS INT), CAST(e1 + 2 AS BIGINT), CAST(e2 AS BIGINT),
        'heading', r2
-FROM e
+FROM e3x
 UNION ALL
 SELECT url, CAST(2 AS INT), CAST(e2 + 2 AS BIGINT), CAST(e3 AS BIGINT),
        'heading', r3
-FROM e
+FROM e3x
 UNION ALL
 SELECT url, CAST(3 AS INT), CAST(e3 + 2 AS BIGINT),
-       CAST(e3 + 2 + length(text) AS BIGINT), 'paragraph', ''
-FROM e WHERE length(trim(text)) > 0
+       CAST(e4 AS BIGINT), 'paragraph', ''
+FROM e3x WHERE nb = 1
+UNION ALL
+SELECT url, CAST(3 + nb AS INT), CAST(e4 + 2 AS BIGINT),
+       CAST(e5 AS BIGINT), 'heading', r4
+FROM e3x WHERE pg2 = 1
+UNION ALL
+SELECT url, CAST(3 + nb + pg2 AS INT), CAST(e5 + 2 AS BIGINT),
+       CAST(e5 + 2 + length(rl) AS BIGINT), 'paragraph', ''
+FROM e3x
 """
 
 

@@ -495,7 +495,25 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                           (72.0, 655.0, 14.0, [f"Part {i % 3}"])]
                 if lines:
                     blocks.append((72.0, 620.0, 11.0, lines))
-                htmls[j] = write_pdf([blocks], compress=i % 2 == 0)
+                # r4: a trailing reference paragraph whose text NEEDS
+                # string escapes — '(', ')', '\' — so the escape path
+                # (pdf_write._escape / pdf_extract._ESCAPES) is driver
+                # value-gated, not just unit-tested. 40pt below the last
+                # body line (> 1.5×size → its own block).
+                ref_line = f"(ref {i}\\{i % 7})"
+                para_y = 620.0 - 14.0 * max(0, len(lines) - 1)
+                if i % 20 == 14:
+                    # two-page fixture: the reference paragraph moves to
+                    # page 2 under its own h3 — span offsets cross the
+                    # page boundary and reading order must concatenate
+                    # pages in /Kids order
+                    page2 = [(72.0, 730.0, 14.0, [f"Part {i % 3} b"]),
+                             (72.0, 690.0, 11.0, [ref_line])]
+                    doc_pages = [blocks, page2]
+                else:
+                    blocks.append((72.0, para_y - 40.0, 11.0, [ref_line]))
+                    doc_pages = [blocks]
+                htmls[j] = write_pdf(doc_pages, compress=i % 2 == 0)
                 urls[j] = url[: -len(".html")] + ".pdf"
             out = pdf.copy()
             out["url"] = pd.Series(urls, index=pdf.index)

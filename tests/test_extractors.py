@@ -204,3 +204,41 @@ def test_pdf_reader_robust_under_mutation():
 def test_markdown_normalize_idempotent(text):
     once = normalize_markdown(text)
     assert normalize_markdown(once) == once
+
+
+def test_pdf_string_escapes_roundtrip():
+    """Literal-string escapes (backslash, parens, octal) survive the
+    write→extract round trip byte-exactly (r4 grammar notch — the most
+    common real-PDF string feature the scoped reader handles)."""
+    from docling_api_spark.operators.pdf_extract import (_tokenize,
+                                                         extract_pdf)
+    from docling_api_spark.operators.pdf_write import write_pdf
+    tricky = r"(ref 14\0) and \ (nested (parens)) end"
+    pdf = write_pdf([[(72.0, 700.0, 11.0, [tricky])]])
+    assert extract_pdf(pdf) == tricky
+    # octal escapes decode too (reader-side; the writer never emits them)
+    toks = list(_tokenize(rb"(\051\134\050) Tj"))
+    assert toks[0] == ("str", b")\\(")
+
+
+def test_pdf_two_page_fixture_markdown_and_spans():
+    """The doc_id%20==14 fixture class: page-2 blocks concatenate after
+    page 1 in /Kids order and span offsets continue across the page
+    boundary (hand-derived golden, independent of the SQL oracle)."""
+    from docling_api_spark.operators.md_adoc import block_spans
+    from docling_api_spark.operators.pdf_extract import extract_pdf
+    from docling_api_spark.operators.pdf_write import write_pdf
+    p1 = [(72.0, 730.0, 24.0, ["Doc 14"]),
+          (72.0, 690.0, 18.0, ["Section 0"]),
+          (72.0, 655.0, 14.0, ["Part 2"]),
+          (72.0, 620.0, 11.0, ["body text"])]
+    p2 = [(72.0, 730.0, 14.0, ["Part 2 b"]),
+          (72.0, 690.0, 11.0, ["(ref 14\\0)"])]
+    md = extract_pdf(write_pdf([p1, p2], compress=True))
+    assert md == ("# Doc 14\n\n## Section 0\n\n### Part 2\n\n"
+                  "body text\n\n### Part 2 b\n\n(ref 14\\0)")
+    spans = block_spans(md)
+    assert [(s["start"], s["end"], s["kind"]) for s in spans] == [
+        (0, 8, "heading"), (10, 22, "heading"), (24, 34, "heading"),
+        (36, 45, "paragraph"), (47, 59, "heading"), (61, 71, "paragraph")]
+    assert md[spans[4]["start"]:spans[4]["end"]] == "### Part 2 b"
