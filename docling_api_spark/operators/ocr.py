@@ -15,7 +15,9 @@ decodes pixels.
 
 Glyph grid: each cell is (GLYPH_W+1) × (GLYPH_H+1) px — 5×7 glyph plus
 1 px spacing — on a 1 px white margin all around. Black-on-white,
-8-bit grayscale, one line of text per image.
+8-bit grayscale; multi-line pages stack one cell-row per text line
+(r4 — row segmentation is (h-2) div CELL_H, each line's spacing row
+validated white).
 """
 
 from __future__ import annotations
@@ -81,22 +83,28 @@ CHARSET = frozenset(FONT)
 
 
 def render_text_png(text: str) -> bytes:
-    """Rasterize one line of supported-charset text: 1 px white margin,
-    then one (CELL_W x CELL_H) cell per character, black glyphs on
-    white. Deterministic (delegates to the deterministic PNG encoder)."""
-    bad = set(text) - CHARSET
+    """Rasterize supported-charset text — one or more lines separated by
+    ``\\n`` (r4: multi-line, the minimal honest step from "label" to
+    "page"; the reference's easyocr path reads whole pages,
+    ``service.py:37``): 1 px white margin, each line a row of
+    (CELL_W x CELL_H) cells, black glyphs on white. Deterministic
+    (delegates to the deterministic PNG encoder)."""
+    lines = text.split("\n")
+    bad = set(text) - CHARSET - {"\n"}
     if bad:
         raise ValueError(f"unsupported chars: {sorted(bad)!r}")
-    w = 2 + max(1, len(text)) * CELL_W
-    h = 2 + CELL_H
+    w = 2 + max(1, max(len(ln) for ln in lines)) * CELL_W
+    h = 2 + len(lines) * CELL_H
     px = bytearray(b"\xff" * (w * h))
-    for i, ch in enumerate(text):
-        bits = FONT[ch]
-        x0 = 1 + i * CELL_W
-        for gy in range(GLYPH_H):
-            for gx in range(GLYPH_W):
-                if bits[gy] >> (GLYPH_W - 1 - gx) & 1:
-                    px[(1 + gy) * w + x0 + gx] = 0
+    for ln_no, line in enumerate(lines):
+        y0 = 1 + ln_no * CELL_H
+        for i, ch in enumerate(line):
+            bits = FONT[ch]
+            x0 = 1 + i * CELL_W
+            for gy in range(GLYPH_H):
+                for gx in range(GLYPH_W):
+                    if bits[gy] >> (GLYPH_W - 1 - gx) & 1:
+                        px[(y0 + gy) * w + x0 + gx] = 0
     return write_png_gray(w, h, bytes(px))
 
 
@@ -114,33 +122,44 @@ def ocr_png(data: bytes) -> str:
         # malformed chunk lengths / zlib garbage — same verdict as a
         # structurally foreign PNG: this recognizer cannot read it
         raise ValueError(f"undecodable PNG: {exc}") from exc
-    if h != 2 + CELL_H or w < 2 + CELL_W or (w - 2) % CELL_W != 0:
+    if h < 2 + CELL_H or (h - 2) % CELL_H != 0 \
+            or w < 2 + CELL_W or (w - 2) % CELL_W != 0:
         raise ValueError("not a text-raster geometry")
-    # the 1 px outer margins and the spacing row beneath the glyphs
-    # (pixel row 1+GLYPH_H) must be all white — without this, a foreign
-    # raster with ink there whose rows 1..7 happen to match glyph
-    # bitmaps would decode to text instead of raising (ADVICE r3)
+    n_lines = (h - 2) // CELL_H
+    # the 1 px outer margins and each line's spacing row beneath its
+    # glyphs must be all white — without this, a foreign raster with
+    # ink there whose glyph rows happen to match font bitmaps would
+    # decode to text instead of raising (ADVICE r3)
     for x in range(w):
-        if px[x] != 255 or px[(h - 1) * w + x] != 255 \
-                or px[(1 + GLYPH_H) * w + x] != 255:
-            raise ValueError("ink in margin or spacing row")
+        if px[x] != 255 or px[(h - 1) * w + x] != 255:
+            raise ValueError("ink in margin")
+        for ln in range(n_lines):
+            if px[(1 + ln * CELL_H + GLYPH_H) * w + x] != 255:
+                raise ValueError("ink in spacing row")
     for y in range(h):
         if px[y * w] != 255 or px[y * w + w - 1] != 255:
             raise ValueError("ink in side margin")
     n = (w - 2) // CELL_W
-    out = []
-    for i in range(n):
-        x0 = 1 + i * CELL_W
-        bits = tuple(
-            sum(1 << (GLYPH_W - 1 - gx) for gx in range(GLYPH_W)
-                if px[(1 + gy) * w + x0 + gx] == 0)
-            for gy in range(GLYPH_H))
-        ch = _GLYPH_TO_CHAR.get(bits)
-        if ch is None:
-            raise ValueError(f"unrecognized glyph in cell {i}")
-        # spacing columns/rows must be blank, else it's not our font
-        for gy in range(CELL_H):
-            if px[(1 + gy) * w + x0 + GLYPH_W] != 255:
-                raise ValueError("ink in spacing column")
-        out.append(ch)
-    return "".join(out).rstrip()
+    out_lines = []
+    for ln in range(n_lines):
+        y0 = 1 + ln * CELL_H
+        out = []
+        for i in range(n):
+            x0 = 1 + i * CELL_W
+            bits = tuple(
+                sum(1 << (GLYPH_W - 1 - gx) for gx in range(GLYPH_W)
+                    if px[(y0 + gy) * w + x0 + gx] == 0)
+                for gy in range(GLYPH_H))
+            ch = _GLYPH_TO_CHAR.get(bits)
+            if ch is None:
+                raise ValueError(f"unrecognized glyph in cell {ln}:{i}")
+            # spacing columns must be blank, else it's not our font
+            for gy in range(CELL_H):
+                if px[(y0 + gy) * w + x0 + GLYPH_W] != 255:
+                    raise ValueError("ink in spacing column")
+            out.append(ch)
+        out_lines.append("".join(out).rstrip())
+    # trailing all-blank lines are rendering artifacts, not text
+    while out_lines and out_lines[-1] == "":
+        out_lines.pop()
+    return "\n".join(out_lines)

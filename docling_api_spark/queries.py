@@ -982,13 +982,17 @@ def extract_scanned_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "fmt", "markdown", "error")
 
 
+#: r4 multi-line OCR: the scan is three raster lines (id / text head /
+#: lang); the recognizer rstrips each decoded line, so the middle line
+#: mirrors that here
 EXTRACT_SCANNED_ORACLE = """
 SELECT
   'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
     || CAST(doc_id AS VARCHAR) || '.png' AS url,
   'image' AS fmt,
-  rtrim('scan ' || CAST(doc_id AS VARCHAR) || ' '
-        || substr(text, 1, 40)) AS markdown,
+  'scan ' || CAST(doc_id AS VARCHAR) || chr(10)
+    || rtrim(substr(text, 1, 40)) || chr(10)
+    || 'lang ' || lang AS markdown,
   CAST(NULL AS VARCHAR) AS error
 FROM documents
 """

@@ -308,9 +308,15 @@ def pages_with_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → pages whose payload is a machine-rendered
     text RASTER (PNG built by the from-scratch 5×7 font rasterizer,
     operators/ocr.py): the IMAGE-input class the reference routes
-    through easyocr (service.py:37). Line per page:
-    ``scan {doc_id} {first 40 chars of text}`` — all within the
-    rasterizer charset (the driver corpus is pure [a-z ]). Rendering is
+    through easyocr (service.py:37). THREE lines per page (r4 —
+    multi-line rasters, the page shape easyocr reads)::
+
+        scan {doc_id}
+        {first 40 chars of text}
+        lang {lang}
+
+    — all within the rasterizer charset (the driver corpus is pure
+    [a-z ], langs lowercase alpha). Rendering is
     Python, so this source is a mapInPandas over the tiny documents
     table (Arrow-batched; the REAL extraction work downstream is the
     pixel-level OCR)."""
@@ -331,8 +337,8 @@ def pages_with_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [(_EPOCH_S + (i % 86400)) * 1_000_000_000
                      for i in ids]),
                 "html": [render_text_png(
-                    f"scan {i} " + (t or "")[:40])
-                    for i, t in zip(ids, texts)],
+                    f"scan {i}\n" + (t or "")[:40] + f"\nlang {lg}")
+                    for i, t, lg in zip(ids, texts, langs)],
                 "text": [t or "" for t in texts],
                 "lang": langs,
             })

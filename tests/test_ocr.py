@@ -72,3 +72,25 @@ def test_ink_in_spacing_row_rejected():
         bad[flip] = 0
         with pytest.raises(ValueError):
             ocr.ocr_png(png_write.write_png_gray(w, h, bytes(bad)))
+
+
+@pytest.mark.parametrize("text", [
+    "scan 42\nthe fast key order sort\nlang en",
+    "a\n\nb",
+    "multi line\nwith  spaces ",
+    "\nleading blank",
+])
+def test_multiline_roundtrip(text):
+    """r4: row segmentation — an n-line scan round-trips with each line
+    rstripped and trailing blank lines dropped."""
+    expect = "\n".join(ln.rstrip() for ln in text.split("\n"))
+    while expect.endswith("\n"):
+        expect = expect[:-1]
+    assert ocr.ocr_png(ocr.render_text_png(text)) == expect
+
+
+def test_multiline_pipeline_markdown():
+    scan = ocr.render_text_png("scan 7\nreal text\nlang en")
+    r = convert_one(scan, "https://x/7.png", CFG)
+    assert r["error"] is None
+    assert r["markdown"] == "scan 7\nreal text\nlang en"
