@@ -51,3 +51,18 @@ def test_gate_reason_codes(spark):
     assert got["a"] == (False, "extract_error")
     assert got["b"] == (False, "too_short")
     assert got["c"] == (True, "")
+
+
+def test_streaming_curation_query_idempotent_rerun(spark):
+    """The driver-registered streaming query (r4): a second invocation
+    in the same session reuses the checkpoint — no new files, no new
+    batches — and returns the identical result set."""
+    from docling_api_spark import queries as Q
+    sf = "/root/testdata/sf0.001"
+    first = Q.streaming_curation(spark, sf)
+    n1 = first.count()
+    kept1 = first.where("keep").count()
+    second = Q.streaming_curation(spark, sf)
+    assert second.count() == n1 == 500
+    assert second.where("keep").count() == kept1
+    assert second.schema == first.schema
