@@ -117,8 +117,12 @@ def flagship(spark, sf_dir: str, cpus: int, repeat: int) -> dict:
 #: multi-minute training run for noise-shielding that only matters on
 #: sub-second timings. Their single-shot numbers are labeled as such in
 #: BASELINE.md.
+#: run-once queries: iterative training loops, and streaming_curation —
+#: its first invocation does the real work (materialize + stream); a
+#: re-run short-circuits on the checkpoint (no new files), so best-of-2
+#: would time the no-op path and report a dishonest number
 _SINGLE_SHOT = {"bpe_train", "bpe_vocab", "ann_ivf_trained",
-                "host_pagerank"}
+                "host_pagerank", "streaming_curation"}
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
