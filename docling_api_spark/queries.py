@@ -95,7 +95,11 @@ def _cached_fixture_pages(spark: SparkSession, kind: str, sf_dir: str,
     path = _FIXTURE_PAGES_CACHE.get((kind, sf_dir))
     if path is None:
         path = tempfile.mkdtemp(prefix=f"fixture_{kind}_") + "/pages"
-        build().write.mode("overwrite").parquet(path)
+        # 32 files: the memoized corpus must scan with full parallelism
+        # (a 1-2 file parquet serializes the downstream extraction no
+        # matter the split size — r4 find: extract_scanned spent 7 s on
+        # 2 cores while the OCR itself costs ~0.3 s across 32)
+        build().repartition(32).write.mode("overwrite").parquet(path)
         _FIXTURE_PAGES_CACHE[(kind, sf_dir)] = path
     return read_pages(spark, path)
 
