@@ -502,3 +502,46 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
 
 
 DEDUP_EMBEDDING_ORACLE = _embedding_dedup_sql("duck")
+
+
+# ------------------------------------------------------- ANN recall report
+
+def _recall_sql(dialect: str, cfg: AnnConfig = DEFAULT_ANN) -> str:
+    """Index-quality gate (r4): per-query recall@k of the sign-LSH ANN
+    against the exact brute-force top-k — the measurement a pipeline
+    runs before trusting an approximate index at scale, composed from
+    the two already-gated pipelines so the driver value-hashes the
+    COMPARISON itself (set intersection, per-query grouping), not just
+    each retrieval.
+
+    recall = |ann ∩ exact| / |exact| per query, as an exact integer
+    round-half-away ratio (textsql.ratio4 — no cross-engine ROUND tie).
+
+    Plan at scale: the exact side is the broadcast-queries baseline, the
+    ANN side is bucket-equi-joined; the recall join is keyed on
+    (qid, nid) — queries-sized, trivially co-partitioned. Ties inside
+    either top-k are broken by vec_id in both pipelines, so the
+    intersection is deterministic."""
+    exact = _topk_sql(dialect)
+    appx = _ann_sql(dialect, cfg)
+    recall = X.ratio4(dialect, "count(a.nid)", "count(*)")
+    return f"""
+WITH exact_k AS ({exact}),
+appx_k AS ({appx})
+SELECT e.qid,
+  CAST(count(*) AS BIGINT) AS k,
+  CAST(count(a.nid) AS BIGINT) AS n_hit,
+  {recall} AS recall_at_k
+FROM exact_k e
+LEFT JOIN appx_k a ON a.qid = e.qid AND a.nid = e.nid
+GROUP BY e.qid
+"""
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str,
+                      cfg: AnnConfig = DEFAULT_ANN) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_recall_sql("spark", cfg))
+
+
+ANN_RECALL_ORACLE = _recall_sql("duck")

@@ -1244,8 +1244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming path surfaced in the driver contract (r4): the
         # AvailableNow extract+gate sink, value-hashed vs a batch oracle
         "streaming_curation": streaming_curation,
-        # remaining window slot: strongest standalone signal
-        "ann_lsh": similarity.ann_lsh,
+        # ANN index-quality gate (r4): recall@k of sign-LSH vs exact
+        # top-k — subsumes ann_lsh AND cosine_topk (embeds both)
+        "ann_recall_report": similarity.ann_recall_report,
         # ---- past the driver window (slots 51+): r3-driver-green,
         # code unchanged; covered by bench + self-sweep ----
         "span_summary": span_summary,              # ⊂ span_detail
@@ -1264,7 +1265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": text_stats.tfidf_topterms,
         "lang_id": text_stats.lang_id,
         "fingerprints": text_stats.fingerprints,
-        "cosine_topk": similarity.cosine_topk,     # brute-force baseline
+        "cosine_topk": similarity.cosine_topk,     # ⊂ ann_recall_report
+        "ann_lsh": similarity.ann_lsh,             # ⊂ ann_recall_report
         "ann_ivf": similarity.ann_ivf,             # ⊂ ann_ivf_trained
     }
 
@@ -1321,6 +1323,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": text_stats.FINGERPRINT_ORACLE,
         "cosine_topk": similarity.COSINE_TOPK_ORACLE,
         "ann_lsh": similarity.ANN_LSH_ORACLE,
+        "ann_recall_report": similarity.ANN_RECALL_ORACLE,
         "ann_ivf": similarity.ANN_IVF_ORACLE,
         "dedup_embedding_cosine": similarity.DEDUP_EMBEDDING_ORACLE,
         "media_metadata": multimodal.MEDIA_METADATA_ORACLE,

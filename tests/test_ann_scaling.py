@@ -152,3 +152,30 @@ def test_lsh_params_for_threshold():
     lo_sigs, lo_bands = lsh_params_for(0.4)
     lo_r = lo_sigs // lo_bands
     assert (1.0 / lo_bands) ** (1.0 / lo_r) < mid
+
+
+def test_ann_recall_report_semantics(spark):
+    """recall@k is |ann ∩ exact| / k per query; the composite must agree
+    with a hand-computed intersection of the two gated base queries."""
+    from docling_api_spark.operators import similarity as S
+    sf = "/root/testdata/sf0.001"
+    exact = {}
+    for r in S.cosine_topk(spark, sf).collect():
+        exact.setdefault(r["qid"], set()).add(r["nid"])
+    appx = {}
+    for r in S.ann_lsh(spark, sf).collect():
+        appx.setdefault(r["qid"], set()).add(r["nid"])
+    rep = {r["qid"]: r for r in S.ann_recall_report(spark, sf).collect()}
+    assert set(rep) == set(exact)
+    for qid, ex in exact.items():
+        hits = len(ex & appx.get(qid, set()))
+        r = rep[qid]
+        assert r["k"] == len(ex) and r["n_hit"] == hits
+        expect = (2 * 10**4 * hits + len(ex)) // (2 * len(ex)) / 10**4
+        assert r["recall_at_k"] == expect
+    # the report must register real hits (recall level itself is an
+    # AnnConfig trade-off, not a correctness property — at sf0.001 the
+    # default 1+Hamming-1 probes reach ~0.2; more probes buy more)
+    mean = sum(r["n_hit"] for r in rep.values()) / \
+        sum(r["k"] for r in rep.values())
+    assert mean > 0
