@@ -681,6 +681,59 @@ FROM b
 """
 
 
+def anchor_text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text aggregation per destination host (r4) — the
+    link signal search/ranking pipelines materialize next to the link
+    graph (what OTHER pages call this host). Composed from the real
+    extraction: outlinks → absolute links → anchor tokens → per-host
+    term counts → top-3 by (count desc, token). One keyed aggregation +
+    one host-keyed window; anchors tokenize with the shared textsql
+    normalization, so the oracle reconstructs everything from the
+    generation rule.
+
+    Plan at scale: explode keys on (dst_host, token) — no global hot
+    key; the rank window partitions on dst_host (hosts-sized)."""
+    from pyspark.sql.window import Window
+    links = outlinks(spark, sf_dir)
+    dst = F.regexp_extract("href", r"^https?://([^/]+)/", 1)
+    toks = F.expr(X.tokens("spark", col="anchor"))
+    ex = (links.select(dst.alias("dst_host"),
+                       F.explode(toks).alias("token"))
+          .where(F.col("dst_host") != ""))
+    counts = (ex.groupBy("dst_host", "token")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), F.asc("token"))
+    return (counts.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("dst_host", "token",
+                    F.col("n").cast("long").alias("n"),
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
+def _anchor_rollup_oracle() -> str:
+    toks = X.tokens("duck", col="anchor")
+    return f"""
+WITH l AS (
+  SELECT 'site' || CAST((doc_id + 1) % 97 AS VARCHAR) || '.example'
+           AS dst_host,
+         'site link ' || CAST(doc_id AS VARCHAR) AS anchor
+  FROM documents
+),
+t AS (SELECT dst_host, unnest({toks}) AS token FROM l),
+c AS (SELECT dst_host, token, count(*) AS n FROM t GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY dst_host
+                               ORDER BY n DESC, token) AS rnk
+  FROM c
+)
+SELECT dst_host, token, CAST(n AS BIGINT) AS n, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+ANCHOR_ROLLUP_ORACLE = _anchor_rollup_oracle()
+
+
 def host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level link graph (src_host → dst_host edge weights) over the
     extracted outlinks — the classic webgraph rollup. Absolute links
@@ -1191,7 +1244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_distribution": format_distribution,
         "host_stats": host_stats,
         "extract_rich_markdown": extract_rich_markdown,
-        "outlinks": outlinks,
+        # inbound anchor-term rollup (r4); subsumes outlinks' link
+        # parse (it consumes the same extracted links, per-term)
+        "anchor_text_rollup": anchor_text_rollup,
         "host_link_graph": host_link_graph,
         "host_pagerank": host_pagerank,
         "extract_quality_pipeline": extract_quality_pipeline,
@@ -1251,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # code unchanged; covered by bench + self-sweep ----
         "span_summary": span_summary,              # ⊂ span_detail
         "extract_linked_markdown": extract_linked_markdown,  # ⊂ outlinks
+        "outlinks": outlinks,  # ⊂ host_link_graph + anchor_text_rollup
         "host_quota_sample": host_quota_sample,    # ⊂ host_stats
         "windowed_event_counts": relational.windowed_event_counts,
         "sessionize_events": relational.sessionize_events,
@@ -1288,6 +1344,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_rich_markdown": EXTRACT_RICH_ORACLE,
         "extract_linked_markdown": EXTRACT_LINKED_ORACLE,
         "outlinks": OUTLINKS_ORACLE,
+        "anchor_text_rollup": ANCHOR_ROLLUP_ORACLE,
         "host_link_graph": HOST_LINK_GRAPH_ORACLE,
         "host_pagerank": HOST_PAGERANK_ORACLE,
         "extract_quality_pipeline": EXTRACT_QUALITY_ORACLE,
