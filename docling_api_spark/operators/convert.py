@@ -23,6 +23,7 @@ No per-row Python UDFs anywhere: this module is invoked via
 
 from __future__ import annotations
 
+import re
 import time
 
 import pandas as pd
@@ -43,6 +44,47 @@ def _decode_text(content: bytes) -> str:
         return content.decode("latin-1")
 
 
+#: html5-prescan charset sniff window (whatwg: first 1024 bytes)
+_CHARSET_RX = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?([a-zA-Z0-9_\-]+)", re.IGNORECASE)
+
+#: declared-label → python codec for the charsets a crawl actually sees
+#: (whatwg: the 'latin-1' family of labels all mean windows-1252)
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "iso-8859-1": "cp1252", "latin-1": "cp1252", "latin1": "cp1252",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+    "us-ascii": "ascii",
+    "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+}
+
+
+def decode_html(content: bytes) -> str:
+    """HTML byte-stream decoding per the real crawl contract (r4): BOM
+    first, then the html5 prescan for a ``<meta charset=..>`` /
+    ``http-equiv`` declaration in the first 1024 bytes (whatwg §13.2.3.2
+    — incl. the iso-8859-1→windows-1252 label remap), then the utf-8 →
+    latin-1 fallback chain. Deterministic, never raises (undecodable
+    byte under the declared codec → the fallback chain, mirroring
+    browser error-recovery)."""
+    if content[:3] == b"\xef\xbb\xbf":
+        return content[3:].decode("utf-8", "replace")
+    if content[:2] == b"\xff\xfe":
+        return content.decode("utf-16-le", "replace").lstrip("﻿")
+    if content[:2] == b"\xfe\xff":
+        return content.decode("utf-16-be", "replace").lstrip("﻿")
+    m = _CHARSET_RX.search(content[:1024])
+    if m:
+        codec = _CHARSET_ALIASES.get(
+            m.group(1).decode("ascii", "ignore").lower())
+        if codec:
+            try:
+                return content.decode(codec)
+            except (UnicodeDecodeError, ValueError):
+                pass
+    return _decode_text(content)
+
+
 def convert_one(content, url: str, cfg: ExtractConfig) -> dict:
     """Pure per-document conversion. Returns a dict with keys
     fmt/markdown/images/spans/error — exactly one of markdown/error set."""
@@ -59,7 +101,7 @@ def convert_one(content, url: str, cfg: ExtractConfig) -> dict:
         return out
     try:
         if fmt == "html":
-            res = extract_html(_decode_text(content), cfg)
+            res = extract_html(decode_html(content), cfg)
             out["markdown"] = res.markdown
             out["images"] = res.images
             out["spans"] = res.spans if cfg.emit_spans else None

@@ -118,6 +118,7 @@ def _cached_source(spark: SparkSession, kind: str, sf_dir: str) -> DataFrame:
         "linked": PS.pages_linked,
         "meta": PS.pages_with_meta,
         "scans": PS.pages_with_scans,
+        "charset": PS.pages_charset,
     }
     return _cached_fixture_pages(
         spark, kind, sf_dir, lambda: builders[kind](spark, sf_dir))
@@ -990,6 +991,41 @@ FROM c
 """
 
 
+def extract_charset_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-UTF8 page decoding, value-checked end to end (r4): the corpus
+    serves utf-8 / declared iso-8859-1 / declared windows-1252 (bytes
+    that are WRONG under the fallback chain — C1 controls instead of
+    em-dash/euro — so the hash proves the html5 meta prescan is honored)
+    / undeclared latin-1 (the fallback chain). Reference capability:
+    docling's encoding handling, delegated per SURVEY Table C."""
+    pages = _cached_source(spark, "charset", sf_dir)
+    out = extract_df(pages, _CFG)
+    return out.select("url", "fmt", "markdown", "error")
+
+
+#: expected decoded text per doc_id%4 class, unicode via chr() codepoints
+#: (é=233 à=224 ï=239 em-dash=8212 euro=8364) — no literal-encoding
+#: ambiguity in the SQL source
+EXTRACT_CHARSET_ORACLE = """
+SELECT
+  'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
+    || CAST(doc_id AS VARCHAR) || '.html' AS url,
+  'html' AS fmt,
+  '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+    || CASE doc_id % 4
+       WHEN 0 THEN 'caf' || chr(233) || ' costs ' || chr(8364) || ' '
+                   || CAST(doc_id AS VARCHAR)
+       WHEN 1 THEN 'd' || chr(233) || 'j' || chr(224) || ' vu '
+                   || CAST(doc_id AS VARCHAR)
+       WHEN 2 THEN 'dash ' || chr(8212) || ' euro ' || chr(8364) || ' '
+                   || CAST(doc_id AS VARCHAR)
+       ELSE 'na' || chr(239) || 've ' || CAST(doc_id AS VARCHAR)
+       END AS markdown,
+  CAST(NULL AS VARCHAR) AS error
+FROM documents
+"""
+
+
 _STREAM_CURATION_CACHE: dict = {}
 
 
@@ -1254,12 +1290,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_density": content_density,
         "extract_scanned_markdown": extract_scanned_markdown,
         "extract_warc_markdown": extract_warc_markdown,
+        # charset handling (r4): meta-prescan decode, value-gated
+        "extract_charset_markdown": extract_charset_markdown,
         # engine mechanics as relational ops (SURVEY.md Table B)
         "dedup_window_latest": relational.latest_event_per_user,
         "resume_anti_join": relational.resume_anti_join,
         "metrics_rollup": relational.metrics_rollup,
         # training-data pipeline: dedup family
-        "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_near_pipeline": dedup.dedup_near_pipeline,
         "incremental_dedup": dedup.incremental_dedup,
@@ -1311,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_counts": relational.windowed_event_counts,
         "sessionize_events": relational.sessionize_events,
         "json_props_rollup": relational.json_props_rollup,
+        "dedup_exact": dedup.dedup_exact,  # ⊂ quality_filter (md5 window)
         "minhash_signatures": dedup.minhash_signatures,  # ⊂ near_pipeline
         "simhash": dedup.simhash,
         "ngram_jaccard": dedup.ngram_jaccard,      # ⊂ near_pipeline
@@ -1354,6 +1392,7 @@ def oracle_sql() -> dict[str, str]:
         "content_density": CONTENT_DENSITY_ORACLE,
         "extract_scanned_markdown": EXTRACT_SCANNED_ORACLE,
         "extract_warc_markdown": EXTRACT_WARC_ORACLE,
+        "extract_charset_markdown": EXTRACT_CHARSET_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,
         "metrics_rollup": relational.METRICS_ROLLUP_ORACLE,

@@ -304,6 +304,63 @@ def pages_with_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pages_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → pages in the ENCODINGS a real crawl serves
+    (r4): by ``doc_id % 4`` —
+
+    - 0: utf-8, declared ``<meta charset="utf-8">`` ('café costs € i')
+    - 1: declared iso-8859-1, bytes latin-1 ('déjà vu i') — whatwg
+      remaps the label to windows-1252 (identical for these chars)
+    - 2: declared windows-1252, bytes cp1252 with 0x80/0x97 ('dash —
+      euro € i') — bytes INVALID as utf-8 and WRONG under a latin-1
+      fallback (C1 controls), so the value hash proves the declaration
+      is honored, not the fallback chain
+    - 3: NO declaration, bytes latin-1 ('naïve i') — invalid utf-8,
+      exercises the fallback chain
+
+    mapInPandas (Python) — corpus materialization (cp1252 isn't a JVM
+    F.encode charset); memoized via queries._cached_source."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def render(batches):
+        for pdf in batches:
+            rows = {"url": [], "warc_ts": [], "html": [], "text": [],
+                    "lang": []}
+            for i, lang in zip(pdf["doc_id"].tolist(),
+                               pdf["lang"].tolist()):
+                cls = i % 4
+                if cls == 0:
+                    text, codec = f"café costs € {i}", "utf-8"
+                    meta = '<meta charset="utf-8">'
+                elif cls == 1:
+                    text, codec = f"déjà vu {i}", "latin-1"
+                    meta = ('<meta http-equiv="Content-Type" '
+                            'content="text/html; charset=iso-8859-1">')
+                elif cls == 2:
+                    text, codec = (f"dash — euro € {i}",
+                                   "cp1252")
+                    meta = '<meta charset="windows-1252">'
+                else:
+                    text, codec = f"naïve {i}", "latin-1"
+                    meta = ""
+                html = (f"<!DOCTYPE html><html><head>{meta}<title>t"
+                        f"</title></head><body>{_CHROME_NAV}<main>"
+                        f"<h1>Doc {i}</h1><p>{text}</p></main>"
+                        f"{_CHROME_FOOTER}</body></html>")
+                rows["url"].append(
+                    f"https://site{i % 97}.example/doc/{i}.html")
+                rows["warc_ts"].append(pd.Timestamp(
+                    (_EPOCH_S + (i % 86400)) * 1_000_000_000))
+                rows["html"].append(html.encode(codec))
+                rows["text"].append(text)
+                rows["lang"].append(lang)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(render, PAGES_SCHEMA)
+
+
 def pages_with_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → pages whose payload is a machine-rendered
     text RASTER (PNG built by the from-scratch 5×7 font rasterizer,

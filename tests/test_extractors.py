@@ -242,3 +242,29 @@ def test_pdf_two_page_fixture_markdown_and_spans():
         (0, 8, "heading"), (10, 22, "heading"), (24, 34, "heading"),
         (36, 45, "paragraph"), (47, 59, "heading"), (61, 71, "paragraph")]
     assert md[spans[4]["start"]:spans[4]["end"]] == "### Part 2 b"
+
+
+def test_charset_decode_paths():
+    """r4 html5-prescan decoding: declared cp1252 bytes that are WRONG
+    under the fallback chain must decode per the declaration; the
+    iso-8859-1 label remaps to windows-1252 (whatwg); BOMs win over
+    declarations; undeclared invalid-utf8 falls back to latin-1."""
+    from docling_api_spark.operators.convert import decode_html
+    body = "<p>dash — euro € ok</p>"
+    declared = ('<html><head><meta charset="windows-1252"></head><body>'
+                + body + "</body></html>")
+    assert "— euro €" in decode_html(declared.encode("cp1252"))
+    # the whatwg label remap: iso-8859-1 label, cp1252-only bytes
+    remap = ('<html><head><meta http-equiv="Content-Type" content='
+             '"text/html; charset=iso-8859-1"></head><body>'
+             + body + "</body></html>")
+    assert "— euro €" in decode_html(remap.encode("cp1252"))
+    # BOM wins; utf-16 both endians
+    for enc in ("utf-16-le", "utf-16-be"):
+        bom = b"\xff\xfe" if enc == "utf-16-le" else b"\xfe\xff"
+        assert "é" in decode_html(bom + "<p>é</p>".encode(enc))
+    assert decode_html("naïve".encode("latin-1")) == "naïve"
+    # declared codec that cannot decode the bytes -> fallback, no raise
+    lie = ('<html><head><meta charset="us-ascii"></head><body><p>'
+           "naïve</p></body></html>").encode("latin-1")
+    assert "naïve" in decode_html(lie)
