@@ -991,6 +991,71 @@ FROM c
 """
 
 
+def sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (r4) — the URL-discovery feed a crawler reads
+    next to robots.txt: per-host ``sitemap.xml`` documents are parsed
+    into (host, loc, lastmod, priority) rows. The host sitemaps are
+    synthesized by aggregation from the same corpus rule (order pinned
+    by array_sort over (doc_id, entry) structs — collect_list order is
+    partition-dependent), then PARSED back map-side with
+    regexp_extract_all; the oracle reconstructs the rows directly from
+    the rule, so the value hash gates the XML parse round-trip — the
+    same lossless-container pattern as WARC.
+
+    Plan at scale: one host-keyed aggregation builds the sitemaps (in
+    production they arrive fetched); the parse is explode + regex
+    projection, zero Python, no further shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    loc = F.concat(F.lit("https://site"), (i % 97).cast("string"),
+                   F.lit(".example/doc/"), i.cast("string"),
+                   F.lit(".html"))
+    lastmod = F.concat(
+        F.lit("2025-"), F.lpad((1 + i % 12).cast("string"), 2, "0"),
+        F.lit("-"), F.lpad((1 + i % 28).cast("string"), 2, "0"))
+    prio = F.concat(F.lit("0."), (i % 10).cast("string"))
+    entry = F.concat(
+        F.lit("<url><loc>"), loc, F.lit("</loc><lastmod>"), lastmod,
+        F.lit("</lastmod><priority>"), prio,
+        F.lit("</priority></url>"))
+    maps = (docs
+            .select((i % 97).cast("string").alias("h"),
+                    F.struct(i.alias("doc_id"), entry.alias("e"))
+                    .alias("s"))
+            .groupBy("h")
+            .agg(F.concat(
+                F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset>'),
+                F.array_join(F.expr(
+                    "transform(array_sort(collect_list(s)), x -> x.e)"),
+                    ""),
+                F.lit("</urlset>")).alias("xml")))
+    urls = F.expr(
+        "regexp_extract_all(xml, '<url>(.*?)</url>', 1)")
+    ex = maps.select(
+        F.concat(F.lit("site"), F.col("h"), F.lit(".example"))
+        .alias("host"),
+        F.explode(urls).alias("u"))
+    return ex.select(
+        "host",
+        F.regexp_extract("u", "<loc>([^<]*)</loc>", 1).alias("loc"),
+        F.regexp_extract("u", "<lastmod>([^<]*)</lastmod>", 1)
+        .alias("lastmod"),
+        F.regexp_extract("u", "<priority>([^<]*)</priority>", 1)
+        .alias("priority"))
+
+
+SITEMAP_URLS_ORACLE = """
+SELECT
+  'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host,
+  'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
+    || CAST(doc_id AS VARCHAR) || '.html' AS loc,
+  '2025-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '-'
+    || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS lastmod,
+  '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
+FROM documents
+"""
+
+
 def extract_charset_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-UTF8 page decoding, value-checked end to end (r4): the corpus
     serves utf-8 / declared iso-8859-1 / declared windows-1252 (bytes
@@ -1292,12 +1357,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_warc_markdown": extract_warc_markdown,
         # charset handling (r4): meta-prescan decode, value-gated
         "extract_charset_markdown": extract_charset_markdown,
+        # sitemap ingestion (r4): URL-discovery parse round-trip
+        "sitemap_urls": sitemap_urls,
         # engine mechanics as relational ops (SURVEY.md Table B)
         "dedup_window_latest": relational.latest_event_per_user,
         "resume_anti_join": relational.resume_anti_join,
         "metrics_rollup": relational.metrics_rollup,
         # training-data pipeline: dedup family
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_near_pipeline": dedup.dedup_near_pipeline,
         "incremental_dedup": dedup.incremental_dedup,
         "passage_dedup": dedup.passage_dedup,
@@ -1349,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": relational.sessionize_events,
         "json_props_rollup": relational.json_props_rollup,
         "dedup_exact": dedup.dedup_exact,  # ⊂ quality_filter (md5 window)
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,  # ⊂ near_pipeline
         "minhash_signatures": dedup.minhash_signatures,  # ⊂ near_pipeline
         "simhash": dedup.simhash,
         "ngram_jaccard": dedup.ngram_jaccard,      # ⊂ near_pipeline
@@ -1393,6 +1460,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_scanned_markdown": EXTRACT_SCANNED_ORACLE,
         "extract_warc_markdown": EXTRACT_WARC_ORACLE,
         "extract_charset_markdown": EXTRACT_CHARSET_ORACLE,
+        "sitemap_urls": SITEMAP_URLS_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,
         "metrics_rollup": relational.METRICS_ROLLUP_ORACLE,
