@@ -119,6 +119,7 @@ def _cached_source(spark: SparkSession, kind: str, sf_dir: str) -> DataFrame:
         "meta": PS.pages_with_meta,
         "scans": PS.pages_with_scans,
         "charset": PS.pages_charset,
+        "broken": PS.pages_broken,
     }
     return _cached_fixture_pages(
         spark, kind, sf_dir, lambda: builders[kind](spark, sf_dir))
@@ -991,6 +992,44 @@ FROM c
 """
 
 
+def error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 under the driver's value gate (r4): a corpus where 5 of 6
+    documents are broken in a distinct way (empty / unknown-binary /
+    grammar-less PDF / photographic scan / structurally-broken DOCX)
+    must produce exactly the typed per-document error rows — never a
+    raise, never a silent drop — while the control class still extracts.
+    The reference converts exceptions to per-doc error strings
+    (service.py:83-88); this hashes that taxonomy end to end."""
+    pages = _cached_source(spark, "broken", sf_dir)
+    out = extract_df(pages, _CFG)
+    return out.select("url", "fmt", "markdown", "error")
+
+
+EXTRACT_ERROR_TAXONOMY_ORACLE = """
+SELECT
+  'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
+    || CAST(doc_id AS VARCHAR)
+    || CASE doc_id % 6 WHEN 2 THEN '.xyz' WHEN 3 THEN '.pdf'
+            WHEN 4 THEN '.png' WHEN 5 THEN '.docx' ELSE '.html' END
+    AS url,
+  CASE doc_id % 6 WHEN 0 THEN 'html' WHEN 3 THEN 'pdf'
+       WHEN 4 THEN 'image' WHEN 5 THEN 'docx'
+       ELSE CAST(NULL AS VARCHAR) END AS fmt,
+  CASE WHEN doc_id % 6 = 0
+       THEN '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+            || text
+       ELSE CAST(NULL AS VARCHAR) END AS markdown,
+  CASE doc_id % 6
+       WHEN 1 THEN 'empty_document'
+       WHEN 2 THEN 'unsupported_format'
+       WHEN 3 THEN 'pdf_unsupported_feature'
+       WHEN 4 THEN 'ocr_not_supported'
+       WHEN 5 THEN 'parse_error'
+       ELSE CAST(NULL AS VARCHAR) END AS error
+FROM documents
+"""
+
+
 def sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap ingestion (r4) — the URL-discovery feed a crawler reads
     next to robots.txt: per-host ``sitemap.xml`` documents are parsed
@@ -1342,7 +1381,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_images": extract_images,
         "span_detail": span_detail,
         "span_pdf_detail": span_pdf_detail,
-        "format_distribution": format_distribution,
         "host_stats": host_stats,
         "extract_rich_markdown": extract_rich_markdown,
         # inbound anchor-term rollup (r4); subsumes outlinks' link
@@ -1359,6 +1397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_charset_markdown": extract_charset_markdown,
         # sitemap ingestion (r4): URL-discovery parse round-trip
         "sitemap_urls": sitemap_urls,
+        # A14 failure taxonomy, value-hashed (r4)
+        "error_taxonomy": error_taxonomy,
         # engine mechanics as relational ops (SURVEY.md Table B)
         "dedup_window_latest": relational.latest_event_per_user,
         "resume_anti_join": relational.resume_anti_join,
@@ -1410,6 +1450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_summary": span_summary,              # ⊂ span_detail
         "extract_linked_markdown": extract_linked_markdown,  # ⊂ outlinks
         "outlinks": outlinks,  # ⊂ host_link_graph + anchor_text_rollup
+        # ⊂ extract_markdown (same corpus, fmt column value-hashed
+        # per url there; this is just its histogram)
+        "format_distribution": format_distribution,
         "host_quota_sample": host_quota_sample,    # ⊂ host_stats
         "windowed_event_counts": relational.windowed_event_counts,
         "sessionize_events": relational.sessionize_events,
@@ -1461,6 +1504,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_warc_markdown": EXTRACT_WARC_ORACLE,
         "extract_charset_markdown": EXTRACT_CHARSET_ORACLE,
         "sitemap_urls": SITEMAP_URLS_ORACLE,
+        "error_taxonomy": EXTRACT_ERROR_TAXONOMY_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,
         "metrics_rollup": relational.METRICS_ROLLUP_ORACLE,

@@ -361,6 +361,78 @@ def pages_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(render, PAGES_SCHEMA)
 
 
+def pages_broken(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → a corpus exercising the FULL per-document
+    failure taxonomy (r4; reference A14 — error capture must never
+    raise, ``service.py:83-88``): by ``doc_id % 6`` —
+
+    - 0: good HTML (the control row — real markdown comes out)
+    - 1: zero-byte payload            → ``empty_document``
+    - 2: binary junk, unknown ext     → ``unsupported_format``
+    - 3: PDF header, no objects       → ``pdf_unsupported_feature``
+    - 4: photographic PNG             → ``ocr_not_supported``
+    - 5: valid zip, docx content-type, no word/document.xml
+                                      → ``parse_error``
+
+    mapInPandas (corpus materialization; the zip/PNG writers are
+    Python). Deterministic: zip entries pin date_time."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    from ..operators.png_write import picture_png
+
+    def broken_docx() -> bytes:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+            # a word/ entry so the sniffer classifies DOCX, but no
+            # word/document.xml — extraction must fail as parse_error
+            zi = zipfile.ZipInfo("word/styles.xml",
+                                 date_time=(1980, 1, 1, 0, 0, 0))
+            z.writestr(zi, "<w:styles/>")
+        return buf.getvalue()
+
+    _DOCX = broken_docx()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def render(batches):
+        for pdf in batches:
+            rows = {"url": [], "warc_ts": [], "html": [], "text": [],
+                    "lang": []}
+            for i, t, lg in zip(pdf["doc_id"].tolist(),
+                                pdf["text"].tolist(),
+                                pdf["lang"].tolist()):
+                cls = i % 6
+                t = t or ""
+                if cls == 0:
+                    ext, body = ".html", (
+                        f"<html><body>{_CHROME_NAV}<main><h1>Doc {i}"
+                        f"</h1><p>{t}</p></main>{_CHROME_FOOTER}"
+                        f"</body></html>").encode()
+                elif cls == 1:
+                    ext, body = ".html", b""
+                elif cls == 2:
+                    ext, body = ".xyz", b"\x00\x01\x02binaryjunk" + bytes(
+                        range(200, 230))
+                elif cls == 3:
+                    ext, body = ".pdf", b"%PDF-1.4\n no objects here"
+                elif cls == 4:
+                    ext, body = ".png", picture_png(f"photo-{i}")
+                else:
+                    ext, body = ".docx", _DOCX
+                rows["url"].append(
+                    f"https://site{i % 97}.example/doc/{i}{ext}")
+                rows["warc_ts"].append(pd.Timestamp(
+                    (_EPOCH_S + (i % 86400)) * 1_000_000_000))
+                rows["html"].append(body)
+                rows["text"].append(t)
+                rows["lang"].append(lg)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(render, PAGES_SCHEMA)
+
+
 def pages_with_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → pages whose payload is a machine-rendered
     text RASTER (PNG built by the from-scratch 5×7 font rasterizer,
