@@ -39,7 +39,12 @@ def _norm(v):
 
 def _rows(cols, data):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(row[i]) for i in idx) for row in data)
+    # type-tagged cells so NULLs sort against strings (error_taxonomy
+    # has NULL fmt rows — plain None < str raises)
+    return sorted(
+        tuple((v is None, "" if v is None else v)
+              for v in (_norm(row[i]) for i in idx))
+        for row in data)
 
 
 QUERY_NAMES = sorted(entrymod.queries().keys())
