@@ -610,3 +610,52 @@ def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROBOTS_ORACLE = _robots_sql("duck")
+
+
+# ------------------------------------------------ crawl snapshot diff
+
+def _snapshot_diff_sql(dialect: str) -> str:
+    """Two-snapshot crawl diff (r4) — the incremental-ingest verdict a
+    recurring crawl computes before reprocessing: per url,
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` between
+    snapshot A (t0) and snapshot B (t1). Deterministic synthesis from
+    the corpus rule: docs with ``doc_id%11=3`` appear only in B (new),
+    ``doc_id%7=5`` only in A (gone), ``doc_id%5=0`` change content
+    between snapshots; both-absent docs are excluded entirely.
+
+    Plan at scale: ONE url-keyed full-outer join of two content-hash
+    projections — url is unique per snapshot, so no skew; at 10^12 docs
+    both sides hash-partition on url and the verdict is map-side after
+    the join. The same plan diff-drives reprocessing (only
+    added/changed rows feed extraction)."""
+    del dialect  # identical text in both engines
+    url = ("'https://site' || CAST(doc_id % 97 AS STRING) "
+           "|| '.example/doc/' || CAST(doc_id AS STRING) || '.html'")
+    return f"""
+WITH base AS (
+  SELECT doc_id, {url} AS url, text FROM documents
+),
+a AS (
+  SELECT url, md5(text) AS h FROM base WHERE doc_id % 11 <> 3
+),
+b AS (
+  SELECT url,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                  ELSE text END) AS h
+  FROM base WHERE doc_id % 7 <> 5
+)
+SELECT coalesce(a.url, b.url) AS url,
+  CASE WHEN b.url IS NULL THEN 'removed'
+       WHEN a.url IS NULL THEN 'added'
+       WHEN a.h = b.h THEN 'unchanged'
+       ELSE 'changed' END AS verdict
+FROM a FULL OUTER JOIN b ON a.url = b.url
+"""
+
+
+def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_snapshot_diff_sql("spark"))
+
+
+SNAPSHOT_DIFF_ORACLE = _snapshot_diff_sql("duck")

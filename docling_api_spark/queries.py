@@ -1381,7 +1381,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_images": extract_images,
         "span_detail": span_detail,
         "span_pdf_detail": span_pdf_detail,
-        "host_stats": host_stats,
         "extract_rich_markdown": extract_rich_markdown,
         # inbound anchor-term rollup (r4); subsumes outlinks' link
         # parse (it consumes the same extracted links, per-term)
@@ -1399,6 +1398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": sitemap_urls,
         # A14 failure taxonomy, value-hashed (r4)
         "error_taxonomy": error_taxonomy,
+        # incremental-crawl two-snapshot diff (r4)
+        "crawl_snapshot_diff": webtext.crawl_snapshot_diff,
         # engine mechanics as relational ops (SURVEY.md Table B)
         "dedup_window_latest": relational.latest_event_per_user,
         "resume_anti_join": relational.resume_anti_join,
@@ -1453,6 +1454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ⊂ extract_markdown (same corpus, fmt column value-hashed
         # per url there; this is just its histogram)
         "format_distribution": format_distribution,
+        # ⊂ host_link_graph / anchor_text_rollup (host rollups over
+        # the same extraction, both in-window)
+        "host_stats": host_stats,
         "host_quota_sample": host_quota_sample,    # ⊂ host_stats
         "windowed_event_counts": relational.windowed_event_counts,
         "sessionize_events": relational.sessionize_events,
@@ -1505,6 +1509,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_charset_markdown": EXTRACT_CHARSET_ORACLE,
         "sitemap_urls": SITEMAP_URLS_ORACLE,
         "error_taxonomy": EXTRACT_ERROR_TAXONOMY_ORACLE,
+        "crawl_snapshot_diff": webtext.SNAPSHOT_DIFF_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,
         "metrics_rollup": relational.METRICS_ROLLUP_ORACLE,
