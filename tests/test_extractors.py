@@ -268,3 +268,33 @@ def test_charset_decode_paths():
     lie = ('<html><head><meta charset="us-ascii"></head><body><p>'
            "naïve</p></body></html>").encode("latin-1")
     assert "naïve" in decode_html(lie)
+
+
+def test_charset_decode_property():
+    """Property (seeded-random, 2000 cases): text drawn from the
+    declared codec's repertoire survives encode→decode_html exactly;
+    arbitrary byte blobs never raise."""
+    import random
+
+    from docling_api_spark.operators.convert import decode_html
+    rng = random.Random(7)
+    pools = {
+        "utf-8": "abc éàü€— 日本語 0",
+        "cp1252": "abc éàü€—‚ƒ„…†‡ˆ‰ 0",
+        "latin-1": "abc éàüÿ÷ 0",
+    }
+    declared = {"utf-8": "utf-8", "cp1252": "windows-1252",
+                "latin-1": "iso-8859-1"}
+    for _ in range(2000):
+        codec = rng.choice(list(pools))
+        text = "".join(rng.choice(pools[codec]) for _ in range(40))
+        html = (f'<html><head><meta charset="{declared[codec]}"></head>'
+                f"<body><p>{text}</p></body></html>")
+        got = decode_html(html.encode(codec))
+        # iso-8859-1 label remaps to cp1252 (identical for latin-1's
+        # repertoire), so the declared decode must reproduce the text
+        assert text in got, (codec, text)
+    for _ in range(2000):
+        blob = bytes(rng.randrange(256)
+                     for _ in range(rng.randrange(0, 300)))
+        decode_html(blob)  # must never raise
