@@ -520,11 +520,16 @@ def _robots_txt_sql() -> str:
     - h%3=1: ``disallow: /doc/`` + ``allow: /doc/1`` → only ids
       starting '1' crawlable (longest-prefix-match exercises)
     - h%3=2: only an unrelated ``/private/`` rule → docs allowed
+
+    r4: every ``*`` section also carries ``crawl-delay: 1+h%3`` — the
+    politeness directive :func:`fetch_schedule` parses (robots_filter's
+    rules CTE ignores it by its allow/disallow line filter).
     """
     nl = "chr(10)"
     return (
         f"'user-agent: evilbot' || {nl} || 'disallow: /' || {nl}"
         f" || 'user-agent: *' || {nl} || 'disallow: /private/'"
+        f" || {nl} || 'crawl-delay: ' || CAST(1 + h % 3 AS STRING)"
         f" || CASE WHEN h % 3 = 0 THEN {nl} || 'disallow: /doc/'"
         f"         WHEN h % 3 = 1 THEN {nl} || 'disallow: /doc/'"
         f"              || {nl} || 'allow: /doc/1'"
@@ -659,3 +664,63 @@ def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SNAPSHOT_DIFF_ORACLE = _snapshot_diff_sql("duck")
+
+
+# ------------------------------------------------ fetch schedule
+
+def _fetch_schedule_sql(dialect: str) -> str:
+    """Politeness-aware crawl-frontier schedule (r4): compose the robots
+    verdict, the per-host REP ``crawl-delay`` directive (parsed from the
+    same ``*`` section the rules come from), and the sitemap priority
+    rule into a per-host fetch order with absolute time offsets —
+    ``fetch_offset_s = (rank-1) * crawl_delay`` — the schedule a polite
+    fetcher executes. Disallowed urls never enter the frontier.
+
+    Plan at scale: the robots verdict is the existing hosts-sized
+    rules join; the schedule adds one host-partitioned rank window
+    (hosts bound the partition count, priorities bound each partition's
+    sort) and a map-side multiply. No new shuffle shape."""
+    robots = _robots_sql(dialect)
+    sec_src = _robots_txt_sql()
+    if dialect == "spark":
+        first_sec = ("element_at(filter(split(txt, 'user-agent: '), "
+                     "s -> s LIKE '*%'), 1)")
+    else:
+        first_sec = ("(list_filter(string_split(txt, 'user-agent: '), "
+                     "s -> s LIKE '*%'))[1]")
+    return f"""
+WITH v AS ({robots}),
+hosts AS (SELECT DISTINCT doc_id % 97 AS h FROM documents),
+delays AS (
+  SELECT h,
+    CAST(coalesce(nullif(regexp_extract(
+        {first_sec}, 'crawl-delay: ([0-9]+)', 1), ''), '1') AS BIGINT)
+      AS delay_s
+  FROM (SELECT h, {sec_src} AS txt FROM hosts) rt
+),
+f AS (
+  SELECT v.doc_id, v.host, v.path,
+         CAST(v.doc_id % 10 AS INT) AS priority,
+         d.delay_s
+  FROM v JOIN delays d ON 'site' || CAST(d.h AS STRING) || '.example'
+                          = v.host
+  WHERE v.crawl_allowed
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+                               ORDER BY priority DESC, doc_id)
+            AS fetch_rank
+  FROM f
+)
+SELECT doc_id, host, CAST(fetch_rank AS INT) AS fetch_rank,
+  CAST((fetch_rank - 1) * delay_s AS BIGINT) AS fetch_offset_s
+FROM r
+"""
+
+
+def fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_fetch_schedule_sql("spark"))
+
+
+FETCH_SCHEDULE_ORACLE = _fetch_schedule_sql("duck")

@@ -1400,6 +1400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_taxonomy": error_taxonomy,
         # incremental-crawl two-snapshot diff (r4)
         "crawl_snapshot_diff": webtext.crawl_snapshot_diff,
+        # politeness frontier: robots verdict + REP crawl-delay +
+        # priority rank → per-host fetch offsets (r4)
+        "fetch_schedule": webtext.fetch_schedule,
         # engine mechanics as relational ops (SURVEY.md Table B)
         "dedup_window_latest": relational.latest_event_per_user,
         "resume_anti_join": relational.resume_anti_join,
@@ -1411,7 +1414,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis composites
         "quality_filter": text_stats.quality_filter,
         "quality_filter_neardup": text_stats.quality_filter_neardup,
-        "retention_report": text_stats.retention_report,
         # similarity search (trained path; brute-force/static variants
         # are past the window, r3-green unchanged)
         "ann_ivf_trained": similarity.ann_ivf_trained,
@@ -1470,6 +1472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": text_stats.quality_scores,  # ⊂ quality_filter
         "quality_model_score": text_stats.quality_model_score,
         "token_length_hist": text_stats.token_length_hist,
+        # ⊂ quality_filter_neardup (this is its groupBy rollup; the
+        # row-level filter it aggregates stays in-window)
+        "retention_report": text_stats.retention_report,
         "tfidf_topterms": text_stats.tfidf_topterms,
         "lang_id": text_stats.lang_id,
         "fingerprints": text_stats.fingerprints,
@@ -1510,6 +1515,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_urls": SITEMAP_URLS_ORACLE,
         "error_taxonomy": EXTRACT_ERROR_TAXONOMY_ORACLE,
         "crawl_snapshot_diff": webtext.SNAPSHOT_DIFF_ORACLE,
+        "fetch_schedule": webtext.FETCH_SCHEDULE_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,
         "metrics_rollup": relational.METRICS_ROLLUP_ORACLE,
