@@ -37,8 +37,15 @@ def _fingerprint(df) -> tuple:
     canonical string form. Cheap (one aggregation), engine-local, and
     collision-safe enough for a pre-swap equality check."""
     aggs = [F.count(F.lit(1)).alias("n")]
-    for c in df.columns:
-        s = F.col(c).cast("string")
+    for f in df.schema.fields:
+        c = f.name
+        # binary → base64 before the string cast: a direct cast is
+        # utf-8-lossy and two differing byte payloads could fingerprint
+        # equal (pages tables carry binary html)
+        if f.dataType.simpleString() == "binary":
+            s = F.base64(F.col(c))
+        else:
+            s = F.col(c).cast("string")
         aggs.append(F.sum(F.col(c).isNull().cast("long"))
                     .alias(f"null_{c}"))
         aggs.append(F.sum(F.crc32(F.coalesce(s, F.lit("\x00NULL"))))

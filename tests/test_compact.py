@@ -66,3 +66,19 @@ def test_fingerprint_catches_row_loss(spark, tmp_path):
     finally:
         C._fingerprint = orig
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+
+def test_compact_binary_columns(spark, tmp_path):
+    """Binary payloads fingerprint via base64 (a utf-8-lossy string cast
+    could collide) and survive compaction byte-exactly."""
+    path = str(tmp_path / "btable")
+    df = spark.range(0, 300).selectExpr(
+        "id", "unhex(lpad(hex(id * 2654435761 % 4294967296), 8, '0')) "
+        "AS payload")
+    df.repartition(10).write.mode("overwrite").parquet(path)
+    before = sorted((r["id"], bytes(r["payload"]))
+                    for r in spark.read.parquet(path).collect())
+    res = compact_output(spark, path, target_file_bytes=10**9)
+    after = sorted((r["id"], bytes(r["payload"]))
+                   for r in spark.read.parquet(path).collect())
+    assert after == before and res["files_after"] == 1
