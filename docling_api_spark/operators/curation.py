@@ -36,6 +36,13 @@ from __future__ import annotations
 #: verdict precedence, first failing stage wins (crawl order):
 #: robots → noindex → canonical-elsewhere → url-dup → quality/near-dup
 #: (that stage's own reason code passes through) → sampling
+#: LEFT joins + conservative coalesce: a document MISSING from a stage
+#: relation must not silently vanish from the verdict table (an inner
+#: join would drop it) — it drops with the typed reason
+#: 'missing_<stage>_verdict', the fail-closed contract a production
+#: composition needs when one upstream table is partial. The synthetic
+#: stages are total over documents, so the corpus oracle never hits
+#: these branches; the template fuzz test drives them directly.
 _TEMPLATE = """
 WITH meta_k AS (
   SELECT CAST(regexp_extract(url, '/doc/([0-9]+)', 1) AS BIGINT) AS doc_id,
@@ -43,21 +50,26 @@ WITH meta_k AS (
   FROM {meta}
 )
 SELECT d.doc_id,
-  CASE WHEN NOT r.crawl_allowed THEN 'robots_denied'
+  CASE WHEN r.doc_id IS NULL THEN 'missing_robots_verdict'
+       WHEN NOT r.crawl_allowed THEN 'robots_denied'
+       WHEN m.doc_id IS NULL THEN 'missing_meta_verdict'
        WHEN m.noindex THEN 'meta_noindex'
        WHEN NOT m.is_canonical_self THEN 'canonical_elsewhere'
+       WHEN u.doc_id IS NULL THEN 'missing_canon_verdict'
        WHEN NOT u.is_canonical THEN 'url_duplicate'
+       WHEN q.doc_id IS NULL THEN 'missing_quality_verdict'
        WHEN q.drop_reason <> '' THEN q.drop_reason
+       WHEN s.doc_id IS NULL THEN 'missing_sample_verdict'
        WHEN NOT s.keep THEN 'sampled_out'
        ELSE '' END AS drop_reason,
-  (r.crawl_allowed AND NOT m.noindex AND m.is_canonical_self
-   AND u.is_canonical AND q.keep AND s.keep) AS keep
+  coalesce(r.crawl_allowed AND NOT m.noindex AND m.is_canonical_self
+           AND u.is_canonical AND q.keep AND s.keep, FALSE) AS keep
 FROM (SELECT doc_id FROM documents) d
-JOIN {robots} r ON r.doc_id = d.doc_id
-JOIN meta_k m ON m.doc_id = d.doc_id
-JOIN {canon} u ON u.doc_id = d.doc_id
-JOIN {qual} q ON q.doc_id = d.doc_id
-JOIN {sample} s ON s.doc_id = d.doc_id
+LEFT JOIN {robots} r ON r.doc_id = d.doc_id
+LEFT JOIN meta_k m ON m.doc_id = d.doc_id
+LEFT JOIN {canon} u ON u.doc_id = d.doc_id
+LEFT JOIN {qual} q ON q.doc_id = d.doc_id
+LEFT JOIN {sample} s ON s.doc_id = d.doc_id
 """
 
 

@@ -82,3 +82,42 @@ def test_template_identical_across_engines(spark, seed):
         expect[i] = (v, v == "" and qd[i][1])
     assert {(i, v, k) for i, v, k in got_s} == \
         {(i, *expect[i]) for i in docs}
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_template_fail_closed_on_partial_stages(spark, seed):
+    """Docs missing from a stage relation must drop with the typed
+    missing_<stage>_verdict reason in BOTH engines — never vanish from
+    the verdict table, never keep."""
+    rng = random.Random(seed)
+    docs, robots, meta, canon, qual, sample = _tables(rng, 80)
+    # drop a disjoint random slice from each stage
+    drop = {k: set(rng.sample(docs, 8)) for k in
+            ("robots", "meta", "canon", "qual", "sample")}
+    robots = [r for r in robots if r[0] not in drop["robots"]]
+    meta = [m for m in meta
+            if int(m[0].rsplit("/", 1)[-1].split(".")[0])
+            not in drop["meta"]]
+    canon = [c for c in canon if c[0] not in drop["canon"]]
+    qual = [q for q in qual if q[0] not in drop["qual"]]
+    sample = [s for s in sample if s[0] not in drop["sample"]]
+    rels = dict(
+        robots=_vals(robots, ["doc_id", "crawl_allowed"]),
+        meta=_vals(meta, ["url", "noindex", "is_canonical_self"]),
+        canon=_vals(canon, ["doc_id", "is_canonical"]),
+        qual=_vals(qual, ["doc_id", "drop_reason", "keep"]),
+        sample=_vals(sample, ["doc_id", "keep"]),
+    )
+    sql = curation.verdict_sql(**rels).replace(
+        "(SELECT doc_id FROM documents)",
+        _vals([(i,) for i in docs], ["doc_id"]))
+    got_s = sorted(map(tuple, spark.sql(sql).collect()))
+    got_d = sorted(duckdb.connect().execute(sql).fetchall())
+    assert got_s == got_d
+    by_id = {i: (v, k) for i, v, k in got_s}
+    assert len(by_id) == len(docs)          # nobody vanished
+    for i in drop["robots"]:
+        assert by_id[i] == ("missing_robots_verdict", False)
+    for i, (v, k) in by_id.items():
+        if v.startswith("missing_"):
+            assert not k
