@@ -45,7 +45,13 @@ def ratio4(dialect: str, num: str, den: str) -> str:
     — NULL propagates). The quotient maps to the identical nearest
     double in both engines (4 dp values are exact in binary64 / 10^4)."""
     op = "DIV" if dialect == "spark" else "//"
-    return (f"CAST((20000 * ({num}) + ({den})) {op} (2 * ({den})) "
+    # operands widened to BIGINT: with an INT-typed num, 20000*num
+    # overflows int32 past num≈10^5 and Spark's ANSI mode raises
+    # (found by the bulk cross-engine fuzz; the registered call sites
+    # all pass BIGINT counts, but the helper must not rely on that)
+    n = f"CAST({num} AS BIGINT)"
+    m = f"CAST({den} AS BIGINT)"
+    return (f"CAST((20000 * ({n}) + ({m})) {op} (2 * ({m})) "
             f"AS DOUBLE) / 10000")
 
 

@@ -431,3 +431,33 @@ def test_crawl_curation_precedence_and_conjunction(spark):
             assert robots[i] and sample[i]
         else:
             assert r["drop_reason"] != ""
+
+
+def test_ratio4_bulk_random_cross_engine(spark):
+    """500 seeded random (num, den) pairs through ratio4 in ONE query
+    per engine — identical doubles required (the .5-tie class cannot
+    appear by construction; this guards the whole integer pipeline)."""
+    import random
+
+    import duckdb as d
+
+    from docling_api_spark.functions import textsql as X
+    rng = random.Random(123)
+    pairs = [(rng.randrange(0, 10**6), rng.randrange(1, 10**6))
+             for _ in range(500)]
+    vals = ", ".join(f"({n}, {m})" for n, m in pairs)
+    for dialect, run in (
+        ("spark", lambda q: [r["r"] for r in spark.sql(q).collect()]),
+        ("duck", lambda q: [r[0] for r in
+                            d.connect().execute(q).fetchall()]),
+    ):
+        sql = (f"SELECT {X.ratio4(dialect, 'n', 'm')} AS r "
+               f"FROM (VALUES {vals}) AS t(n, m) ORDER BY n, m")
+        got = run(sql)
+        if dialect == "spark":
+            spark_res = got
+        else:
+            assert got == spark_res
+    expect = [ (2 * n * 10**4 + m) // (2 * m) / 10**4
+               for n, m in sorted(pairs)]
+    assert spark_res == expect
