@@ -1130,6 +1130,59 @@ FROM documents
 """
 
 
+_STREAM_DEDUP_CACHE: dict = {}
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL streaming path (applyInPandasWithState) under the
+    driver's value gate (r4): exact-dedup keep-set maintained across TWO
+    separately-launched AvailableNow runs over a doc_id-split feed —
+    run 2 must stay silent for every key whose canonical arrived in
+    run 1 (state carry-over through the checkpoint). Deterministic by
+    construction: within a trigger the group handler picks min(doc_id),
+    and the doc_id-ordered split makes first-arrival == global-min, so
+    the sink equals the batch GROUP BY min — the oracle. batch_dups is
+    slicing-dependent and projected away."""
+    import tempfile
+
+    from .streaming.dedup_stream import dedup_stream
+
+    def run(inp: str, out: str, ckpt: str) -> None:
+        docs_schema = spark.read.parquet(
+            f"{sf_dir}/documents.parquet").select("doc_id", "text").schema
+        stream = (spark.readStream.schema(docs_schema)
+                  .option("maxFilesPerTrigger", 1000).parquet(inp))
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (dedup_stream(stream).writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    root = _STREAM_DEDUP_CACHE.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="stream_dedup_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", "text")
+        mid = docs.approxQuantile("doc_id", [0.5], 0)[0]
+        inp, out, ckpt = (root + "/in", root + "/out", root + "/ckpt")
+        docs.where(f"doc_id <= {mid}").write.parquet(inp)
+        run(inp, out, ckpt)
+        docs.where(f"doc_id > {mid}").write.mode("append").parquet(inp)
+        run(inp, out, ckpt)
+        _STREAM_DEDUP_CACHE[sf_dir] = root
+    return spark.read.parquet(root + "/out") \
+        .select("content_key", "doc_id")
+
+
+STREAMING_DEDUP_ORACLE = """
+SELECT md5(text) AS content_key, CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM documents GROUP BY 1
+"""
+
+
 _STREAM_CURATION_CACHE: dict = {}
 
 
@@ -1409,7 +1462,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_rollup": relational.metrics_rollup,
         # training-data pipeline: dedup family
         "dedup_near_pipeline": dedup.dedup_near_pipeline,
-        "incremental_dedup": dedup.incremental_dedup,
         "passage_dedup": dedup.passage_dedup,
         # text analysis composites
         "quality_filter": text_stats.quality_filter,
@@ -1445,6 +1497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming path surfaced in the driver contract (r4): the
         # AvailableNow extract+gate sink, value-hashed vs a batch oracle
         "streaming_curation": streaming_curation,
+        # stateful streaming keep-set across two checkpointed runs (r4)
+        "streaming_dedup": streaming_dedup,
         # ANN index-quality gate (r4): recall@k of sign-LSH vs exact
         # top-k — subsumes ann_lsh AND cosine_topk (embeds both)
         "ann_recall_report": similarity.ann_recall_report,
@@ -1465,6 +1519,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_rollup": relational.json_props_rollup,
         "dedup_exact": dedup.dedup_exact,  # ⊂ quality_filter (md5 window)
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,  # ⊂ near_pipeline
+        # new-batch-vs-known-corpus decision ⊂ streaming_dedup's
+        # driver-gated state carry-over; scale-fix plan tests remain
+        "incremental_dedup": dedup.incremental_dedup,
         "minhash_signatures": dedup.minhash_signatures,  # ⊂ near_pipeline
         "simhash": dedup.simhash,
         "ngram_jaccard": dedup.ngram_jaccard,      # ⊂ near_pipeline
@@ -1508,6 +1565,7 @@ def oracle_sql() -> dict[str, str]:
         "head_meta": HEAD_META_ORACLE,
         "crawl_curation": CRAWL_CURATION_ORACLE,
         "streaming_curation": STREAMING_CURATION_ORACLE,
+        "streaming_dedup": STREAMING_DEDUP_ORACLE,
         "content_density": CONTENT_DENSITY_ORACLE,
         "extract_scanned_markdown": EXTRACT_SCANNED_ORACLE,
         "extract_warc_markdown": EXTRACT_WARC_ORACLE,
