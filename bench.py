@@ -122,7 +122,8 @@ def flagship(spark, sf_dir: str, cpus: int, repeat: int) -> dict:
 #: re-run short-circuits on the checkpoint (no new files), so best-of-2
 #: would time the no-op path and report a dishonest number
 _SINGLE_SHOT = {"bpe_train", "bpe_vocab", "ann_ivf_trained",
-                "host_pagerank", "streaming_curation"}
+                "host_pagerank", "streaming_curation",
+                "streaming_dedup"}
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
