@@ -56,57 +56,62 @@ def _repetition_sql(dialect: str) -> str:
     - ``dup_3gram_frac``  — characters in 3-grams occurring more than
       once / characters in all 3-grams.
 
-    Plan at scale: the token fraction never leaves the scan; each n-gram
-    signal is explode → count per (doc_id, gram) → one per-doc
-    aggregation — every stage hash-partitions on a key that contains
-    doc_id, so there is no global hot key no matter how skewed the
-    corpus (the busiest reducer sees one document's grams). Long
-    documents stay linear: explode+count is O(tokens), never the
-    O(tokens^2) a per-row array self-scan would cost. Ratios are
-    integer/integer rounded at 4 dp; NULL when a document is too short
-    to have any n-gram (no 0/0 invention)."""
+    Plan at scale (r4: single-pass): BOTH n-gram sizes ride ONE
+    explode — each gram is key-prefixed with its size ('2:' / '3:') so
+    one count per (doc_id, tagged-gram), one per-doc conditional
+    aggregation, and one join produce all signals (previously two full
+    explode→count→agg→join chains — twice the shuffle volume). Every
+    stage hash-partitions on a key containing doc_id, so there is no
+    global hot key no matter how skewed the corpus (the busiest reducer
+    sees one document's grams); the token fraction never leaves the
+    scan. Long documents stay linear: explode+count is O(tokens), never
+    the O(tokens^2) a per-row array self-scan would cost. Ratios are
+    exact integer round-half-away at 4 dp; NULL when a document is too
+    short to have any n-gram (no 0/0 invention). The true gram length
+    is length(tagged) - 2 (the 'k:' prefix)."""
     toks = X.tokens(dialect)
     g2 = X.ngrams(dialect, "tk", 2)
     g3 = X.ngrams(dialect, "tk", 3)
     if dialect == "spark":
         n_tok, n_uniq = "size(tk)", "size(array_distinct(tk))"
         explode = "explode"
+        tag2 = f"transform({g2}, x -> '2:' || x)"
+        tag3 = f"transform({g3}, x -> '3:' || x)"
+        both = f"concat({tag2}, {tag3})"
     else:
         n_tok, n_uniq = "len(tk)", "len(list_distinct(tk))"
         explode = "unnest"
+        tag2 = f"list_transform({g2}, x -> '2:' || x)"
+        tag3 = f"list_transform({g3}, x -> '3:' || x)"
+        both = f"list_concat({tag2}, {tag3})"
     return f"""
 WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
-c2 AS (
-  SELECT doc_id, gram, count(*) AS c
-  FROM (SELECT doc_id, {explode}({g2}) AS gram FROM t) e
+c AS (
+  SELECT doc_id, gram, count(*) AS cnt
+  FROM (SELECT doc_id, {explode}({both}) AS gram FROM t) e
   GROUP BY doc_id, gram
 ),
-a2 AS (
+a AS (
   SELECT doc_id,
-         max(c * length(gram)) AS top_chars,
-         sum(c * length(gram)) AS tot_chars
-  FROM c2 GROUP BY doc_id
-),
-c3 AS (
-  SELECT doc_id, gram, count(*) AS c
-  FROM (SELECT doc_id, {explode}({g3}) AS gram FROM t) e
-  GROUP BY doc_id, gram
-),
-a3 AS (
-  SELECT doc_id,
-         sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS dup_chars,
-         sum(c * length(gram)) AS tot_chars
-  FROM c3 GROUP BY doc_id
+    max(CASE WHEN gram LIKE '2:%'
+             THEN cnt * (length(gram) - 2) END) AS top2_chars,
+    sum(CASE WHEN gram LIKE '2:%'
+             THEN cnt * (length(gram) - 2) END) AS tot2_chars,
+    sum(CASE WHEN gram LIKE '3:%' AND cnt > 1
+             THEN cnt * (length(gram) - 2) ELSE 0 END) AS dup3_chars,
+    sum(CASE WHEN gram LIKE '3:%'
+             THEN cnt * (length(gram) - 2) END) AS tot3_chars
+  FROM c GROUP BY doc_id
 )
 SELECT t.doc_id,
   CAST({n_tok} AS BIGINT) AS n_tokens,
   {X.ratio4(dialect, f"{n_tok} - {n_uniq}", f"nullif({n_tok}, 0)")}
     AS dup_token_frac,
-  {X.ratio4(dialect, "a2.top_chars", "a2.tot_chars")} AS top_2gram_frac,
-  {X.ratio4(dialect, "a3.dup_chars", "a3.tot_chars")} AS dup_3gram_frac
+  {X.ratio4(dialect, "a.top2_chars", "a.tot2_chars")} AS top_2gram_frac,
+  {X.ratio4(dialect, "a.dup3_chars", "nullif(a.tot3_chars, 0)")}
+    AS dup_3gram_frac
 FROM t
-LEFT JOIN a2 ON a2.doc_id = t.doc_id
-LEFT JOIN a3 ON a3.doc_id = t.doc_id
+LEFT JOIN a ON a.doc_id = t.doc_id
 """
 
 
