@@ -528,14 +528,22 @@ def _robots_txt_sql() -> str:
 
     r4: every ``*`` section also carries ``crawl-delay: 1+h%3`` — the
     politeness directive :func:`fetch_schedule` parses (robots_filter's
-    rules CTE ignores it by its allow/disallow line filter).
+    rules CTE ignores it by its allow/disallow line filter) — plus REP
+    comment noise the parser must strip: a whole-line ``#`` comment, a
+    blank line, and an INLINE comment on the h%3=0 ``/doc/`` rule —
+    LOAD-BEARING: a parser that fails to strip it reads the prefix as
+    '/doc/ # no docs', matches nothing, and flips every h%3=0 page
+    from denied to allowed (the value hash catches it).
     """
     nl = "chr(10)"
     return (
         f"'user-agent: evilbot' || {nl} || 'disallow: /' || {nl}"
-        f" || 'user-agent: *' || {nl} || 'disallow: /private/'"
+        f" || 'user-agent: *' || {nl} || '# policy for everyone'"
+        f" || {nl} || {nl}"
+        f" || 'disallow: /private/'"
         f" || {nl} || 'crawl-delay: ' || CAST(1 + h % 3 AS STRING)"
-        f" || CASE WHEN h % 3 = 0 THEN {nl} || 'disallow: /doc/'"
+        f" || CASE WHEN h % 3 = 0"
+        f"         THEN {nl} || 'disallow: /doc/ # no docs'"
         f"         WHEN h % 3 = 1 THEN {nl} || 'disallow: /doc/'"
         f"              || {nl} || 'allow: /doc/1'"
         f"         ELSE '' END"
@@ -583,9 +591,12 @@ sec AS (
   SELECT h, {first_sec} AS sec FROM robots
 ),
 rules AS (
+  -- REP comments (r4): '#' starts a comment anywhere in a line — strip
+  -- it (and trailing spaces) from the value before use; whole-line
+  -- comments and blank lines never pass the directive filter
   SELECT h,
     split_part(line, ': ', 1) AS directive,
-    split_part(line, ': ', 2) AS prefix
+    rtrim(split_part(split_part(line, '#', 1), ': ', 2)) AS prefix
   FROM (SELECT h, {explode}({lines}) AS line FROM sec) e
   WHERE line LIKE 'allow: %' OR line LIKE 'disallow: %'
 ),
