@@ -105,10 +105,16 @@ def flagship(spark, sf_dir: str, cpus: int, repeat: int) -> dict:
     pages = spark.read.parquet(path)
     n_docs = pages.count()
     out = extract_df(pages, cfg)
-    t0 = time.perf_counter()
-    _consume(out)
-    wall = time.perf_counter() - t0
-    return {"docs": n_docs, "sec": round(wall, 3),
+    # best-of-2 like every per-query timing (r4): the flagship was the
+    # one single-shot number left, and single-shots record transient
+    # co-tenant spikes (documented 20x in BASELINE.md)
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _consume(out)
+        runs.append(round(time.perf_counter() - t0, 3))
+    wall = min(runs)
+    return {"docs": n_docs, "sec": wall, "runs": runs,
             "docs_per_sec": round(n_docs / wall, 1)}
 
 
