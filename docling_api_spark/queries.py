@@ -686,18 +686,25 @@ FROM b
 def anchor_text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inbound anchor-text aggregation per destination host (r4) — the
     link signal search/ranking pipelines materialize next to the link
-    graph (what OTHER pages call this host). Composed from the real
-    extraction: outlinks → absolute links → anchor tokens → per-host
-    term counts → top-3 by (count desc, token). One keyed aggregation +
-    one host-keyed window; anchors tokenize with the shared textsql
-    normalization, so the oracle reconstructs everything from the
-    generation rule.
+    graph (what pages call this host). Composed from the real
+    extraction: outlinks → hrefs RESOLVED against the page url
+    (functions/urlresolve — JVM RFC 3986 resolution, differential-
+    tested byte-equal to stdlib urljoin; relative links become
+    same-host absolutes instead of being dropped) → anchor tokens →
+    per-host term counts → top-3 by (count desc, token). One keyed
+    aggregation + one host-keyed window; anchors tokenize with the
+    shared textsql normalization, so the oracle reconstructs everything
+    from the generation rule.
 
-    Plan at scale: explode keys on (dst_host, token) — no global hot
-    key; the rank window partitions on dst_host (hosts-sized)."""
+    Plan at scale: resolution is map-side column expressions; explode
+    keys on (dst_host, token) — no global hot key; the rank window
+    partitions on dst_host (hosts-sized)."""
     from pyspark.sql.window import Window
+
+    from .functions.urlresolve import resolve_href
     links = outlinks(spark, sf_dir)
-    dst = F.regexp_extract("href", r"^https?://([^/]+)/", 1)
+    resolved = resolve_href(F.col("url"), F.col("href"))
+    dst = F.regexp_extract(resolved, r"^https?://([^/]+)/", 1)
     toks = F.expr(X.tokens("spark", col="anchor"))
     ex = (links.select(dst.alias("dst_host"),
                        F.explode(toks).alias("token"))
@@ -713,12 +720,19 @@ def anchor_text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _anchor_rollup_oracle() -> str:
+    """Both link classes of the generation rule: the absolute cross-host
+    link AND the relative '/about/{i%5}' link, which resolution turns
+    into a same-host absolute (anchor 'about {i%5}')."""
     toks = X.tokens("duck", col="anchor")
     return f"""
 WITH l AS (
   SELECT 'site' || CAST((doc_id + 1) % 97 AS VARCHAR) || '.example'
            AS dst_host,
          'site link ' || CAST(doc_id AS VARCHAR) AS anchor
+  FROM documents
+  UNION ALL
+  SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example',
+         'about ' || CAST(doc_id % 5 AS VARCHAR)
   FROM documents
 ),
 t AS (SELECT dst_host, unnest({toks}) AS token FROM l),
