@@ -740,3 +740,65 @@ def fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FETCH_SCHEDULE_ORACLE = _fetch_schedule_sql("duck")
+
+
+# ------------------------------------------------ sequence packing
+
+#: tokens per packed training sequence / deterministic shard count
+PACK_BUDGET = 256
+PACK_SHARDS = 32
+
+
+def _packing_sql(dialect: str) -> str:
+    """Training-sequence packing (r4) — the concat-and-chunk every
+    pretraining pipeline runs last: documents are laid out in a
+    deterministic order and cut into fixed token-budget sequences; each
+    document reports the sequence its first token lands in and its
+    token offset within it.
+
+    Deterministic and distributed: a GLOBAL running sum would serialize
+    on one partition, so documents are first sharded by
+    ``doc_id % PACK_SHARDS`` (pure map-side) and the running sum is a
+    per-shard window — sequence ids are ``shard * 2^32 + local_seq``,
+    unique and stable under any physical partitioning. One window
+    shuffle keyed on shard; all else map-side.
+
+    (Real pipelines pack token RANGES across document boundaries; this
+    op reports the boundary layout — first-token sequence + offset +
+    how many sequences the document spans — which is the bookkeeping
+    both layouts need.)"""
+    toks = X.tokens(dialect)
+    n_tok = ("size(tk)" if dialect == "spark" else "len(tk)")
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST({n_tok} AS BIGINT) AS n_tok
+  FROM (SELECT doc_id, {toks} AS tk FROM documents) s
+),
+c AS (
+  SELECT doc_id, shard, n_tok,
+    CAST(coalesce(sum(n_tok) OVER (
+      PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS tok_start
+  FROM t
+)
+SELECT doc_id, CAST(shard AS INT) AS shard, n_tok,
+  CAST(shard * 4294967296 + tok_start {div} {PACK_BUDGET} AS BIGINT)
+    AS seq_id,
+  CAST(tok_start % {PACK_BUDGET} AS BIGINT) AS seq_offset,
+  CAST(CASE WHEN n_tok = 0 THEN 0
+       ELSE (tok_start + n_tok - 1) {div} {PACK_BUDGET}
+            - tok_start {div} {PACK_BUDGET} + 1 END AS BIGINT)
+    AS n_seqs_spanned
+FROM c
+"""
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_packing_sql("spark"))
+
+
+PACKING_ORACLE = _packing_sql("duck")

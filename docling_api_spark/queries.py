@@ -1549,6 +1549,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": text_stats.tfidf_topterms,
         "lang_id": text_stats.lang_id,
         "fingerprints": text_stats.fingerprints,
+        # r4 late addition — NO driver row yet (the window is full of
+        # this round's fresh gates); swept green at all 3 scales,
+        # first in line for the r5 window
+        "sequence_packing": webtext.sequence_packing,
         "cosine_topk": similarity.cosine_topk,     # ⊂ ann_recall_report
         "ann_lsh": similarity.ann_lsh,             # ⊂ ann_recall_report
         "ann_ivf": similarity.ann_ivf,             # ⊂ ann_ivf_trained
@@ -1588,6 +1592,7 @@ def oracle_sql() -> dict[str, str]:
         "error_taxonomy": EXTRACT_ERROR_TAXONOMY_ORACLE,
         "crawl_snapshot_diff": webtext.SNAPSHOT_DIFF_ORACLE,
         "fetch_schedule": webtext.FETCH_SCHEDULE_ORACLE,
+        "sequence_packing": webtext.PACKING_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,
         "metrics_rollup": relational.METRICS_ROLLUP_ORACLE,

@@ -461,3 +461,29 @@ def test_ratio4_bulk_random_cross_engine(spark):
     expect = [ (2 * n * 10**4 + m) // (2 * m) / 10**4
                for n, m in sorted(pairs)]
     assert spark_res == expect
+
+
+# ----------------------------------------------------- sequence packing
+
+def test_sequence_packing_semantics():
+    """Hand-evaluated layout: per-shard running sums, budget cuts, and
+    the spanned-sequence count."""
+    con = duckdb.connect()
+    # shard = doc_id % 32; use ids in one shard (0, 32, 64) plus one in
+    # another (1). Tokens: 200, 100, 300; budget 256.
+    _docs_view(con, [(0, " ".join(["w"] * 200)),
+                     (32, " ".join(["w"] * 100)),
+                     (64, " ".join(["w"] * 300)),
+                     (1, " ".join(["w"] * 10))])
+    rows = {r[0]: r for r in
+            con.sql(webtext._packing_sql("duck")).fetchall()}
+    B = webtext.PACK_BUDGET
+    assert B == 256
+    # doc 0: starts at 0, seq 0, spans ceil((0+200)/256) - 0 = 1
+    assert rows[0][3:] == (0 * 2**32 + 0, 0, 1)
+    # doc 32: starts at 200 -> seq 0, offset 200, spans (200..299) -> 2
+    assert rows[32][3:] == (0, 200, 2)
+    # doc 64: starts at 300 -> seq 1, offset 44, spans (300..599) -> 2
+    assert rows[64][3:] == (1, 44, 2)
+    # doc 1 is shard 1: seq id namespaced by shard * 2^32
+    assert rows[1][3] == 1 * 2**32 + 0 and rows[1][4] == 0
