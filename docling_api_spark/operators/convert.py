@@ -49,13 +49,18 @@ _CHARSET_RX = re.compile(
     rb"<meta[^>]+charset\s*=\s*[\"']?([a-zA-Z0-9_\-]+)", re.IGNORECASE)
 
 #: declared-label → python codec for the charsets a crawl actually sees
-#: (whatwg: the 'latin-1' family of labels all mean windows-1252)
+#: (whatwg: the 'latin-1' family of labels all mean windows-1252; the
+#: utf-16 family of labels means utf-8 — §13.2.3.2 step "If charset is
+#: a UTF-16 encoding, set charset to UTF-8": the prescan only ever sees
+#: the label through ASCII-compatible bytes, so a visible utf-16
+#: declaration is by construction wrong. r5 ADVICE fix: the old mapping
+#: decoded even-length ASCII HTML as CJK mojibake with no error row.)
 _CHARSET_ALIASES = {
     "utf-8": "utf-8", "utf8": "utf-8",
     "iso-8859-1": "cp1252", "latin-1": "cp1252", "latin1": "cp1252",
     "windows-1252": "cp1252", "cp1252": "cp1252",
     "us-ascii": "ascii",
-    "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+    "utf-16": "utf-8", "utf-16le": "utf-8", "utf-16be": "utf-8",
 }
 
 

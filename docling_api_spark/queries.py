@@ -1121,23 +1121,27 @@ def extract_charset_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "fmt", "markdown", "error")
 
 
-#: expected decoded text per doc_id%4 class, unicode via chr() codepoints
+#: expected decoded text per doc_id%5 class, unicode via chr() codepoints
 #: (é=233 à=224 ï=239 em-dash=8212 euro=8364) — no literal-encoding
-#: ambiguity in the SQL source
+#: ambiguity in the SQL source. Class 4 (r5): a declared-utf-16 page
+#: whose bytes are utf-8 — correct output requires the whatwg utf-16→
+#: utf-8 label remap (the old alias table emitted CJK mojibake here).
 EXTRACT_CHARSET_ORACLE = """
 SELECT
   'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
     || CAST(doc_id AS VARCHAR) || '.html' AS url,
   'html' AS fmt,
   '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
-    || CASE doc_id % 4
+    || CASE doc_id % 5
        WHEN 0 THEN 'caf' || chr(233) || ' costs ' || chr(8364) || ' '
                    || CAST(doc_id AS VARCHAR)
        WHEN 1 THEN 'd' || chr(233) || 'j' || chr(224) || ' vu '
                    || CAST(doc_id AS VARCHAR)
        WHEN 2 THEN 'dash ' || chr(8212) || ' euro ' || chr(8364) || ' '
                    || CAST(doc_id AS VARCHAR)
-       ELSE 'na' || chr(239) || 've ' || CAST(doc_id AS VARCHAR)
+       WHEN 3 THEN 'na' || chr(239) || 've ' || CAST(doc_id AS VARCHAR)
+       ELSE 'r' || chr(233) || 'sum' || chr(233) || ' '
+            || CAST(doc_id AS VARCHAR)
        END AS markdown,
   CAST(NULL AS VARCHAR) AS error
 FROM documents

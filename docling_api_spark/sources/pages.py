@@ -306,7 +306,7 @@ def pages_with_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pages_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → pages in the ENCODINGS a real crawl serves
-    (r4): by ``doc_id % 4`` —
+    (r4): by ``doc_id % 5`` —
 
     - 0: utf-8, declared ``<meta charset="utf-8">`` ('café costs € i')
     - 1: declared iso-8859-1, bytes latin-1 ('déjà vu i') — whatwg
@@ -317,6 +317,10 @@ def pages_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
       is honored, not the fallback chain
     - 3: NO declaration, bytes latin-1 ('naïve i') — invalid utf-8,
       exercises the fallback chain
+    - 4 (r5, ADVICE fix): declared ``charset=utf-16`` but bytes utf-8
+      ('résumé i') — whatwg §13.2.3.2 remaps utf-16 labels to utf-8
+      (a visible utf-16 declaration is always wrong); under the old
+      alias table this page decoded as CJK mojibake with no error row
 
     mapInPandas (Python) — corpus materialization (cp1252 isn't a JVM
     F.encode charset); memoized via queries._cached_source."""
@@ -330,7 +334,7 @@ def pages_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "lang": []}
             for i, lang in zip(pdf["doc_id"].tolist(),
                                pdf["lang"].tolist()):
-                cls = i % 4
+                cls = i % 5
                 if cls == 0:
                     text, codec = f"café costs € {i}", "utf-8"
                     meta = '<meta charset="utf-8">'
@@ -342,9 +346,12 @@ def pages_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
                     text, codec = (f"dash — euro € {i}",
                                    "cp1252")
                     meta = '<meta charset="windows-1252">'
-                else:
+                elif cls == 3:
                     text, codec = f"naïve {i}", "latin-1"
                     meta = ""
+                else:
+                    text, codec = f"résumé {i}", "utf-8"
+                    meta = '<meta charset="utf-16">'
                 html = (f"<!DOCTYPE html><html><head>{meta}<title>t"
                         f"</title></head><body>{_CHROME_NAV}<main>"
                         f"<h1>Doc {i}</h1><p>{text}</p></main>"

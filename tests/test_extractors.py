@@ -270,6 +270,29 @@ def test_charset_decode_paths():
     assert "naïve" in decode_html(lie)
 
 
+def test_charset_utf16_label_means_utf8():
+    """whatwg §13.2.3.2: a meta-declared utf-16 family label must be
+    treated as utf-8 — the prescan can only read the label from
+    ASCII-compatible bytes, so a visible utf-16 declaration is always
+    wrong (r5 ADVICE fix: strict utf-16 decode of even-length ASCII
+    HTML SUCCEEDS, silently producing CJK mojibake with no error row)."""
+    from docling_api_spark.operators.convert import decode_html
+    for label in ("utf-16", "utf-16le", "utf-16be", "UTF-16"):
+        # even byte length on purpose: the old bug path decoded it
+        page = (f'<meta charset="{label}"><p>plain ascii page ok</p>'
+                "<i></i>")
+        page = page + ("x" if len(page) % 2 else "")
+        got = decode_html(page.encode("ascii"))
+        assert "plain ascii page ok" in got, (label, got[:40])
+        # utf-8 bytes under a utf-16 label decode as utf-8
+        got8 = decode_html(
+            f'<meta charset="{label}"><p>résumé</p>'.encode("utf-8"))
+        assert "résumé" in got8
+    # a REAL utf-16 page carries a BOM, which wins before the prescan
+    assert "é" in decode_html(
+        b"\xff\xfe" + '<meta charset="utf-16"><p>é</p>'.encode("utf-16-le"))
+
+
 def test_charset_decode_property():
     """Property (seeded-random, 2000 cases): text drawn from the
     declared codec's repertoire survives encode→decode_html exactly;
