@@ -233,12 +233,25 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # full record first (per-query dict grows with the registry), then a
+    # COMPACT final line repeating the flagship fields: the driver keeps a
+    # bounded tail of stdout, and in r4 the per-query dict pushed the
+    # line's head — metric/value/docs_per_sec — past the capture window
+    # (BENCH_r04.json parsed: null). The last line is small and constant-
+    # size, so the headline metric always survives tail truncation.
     print(json.dumps({
         "metric": "docs/sec end-to-end HTML/PDF->Markdown (flagship "
                   "extraction, %d docs, local[%d])" % (head["docs"], CPUS),
         "value": head["sec"], "unit": "sec",
         "docs_per_sec": head["docs_per_sec"], "docs": head["docs"],
         "queries": timings, "sf": sf_val}))
+    print(json.dumps({
+        "metric": "docs/sec end-to-end HTML/PDF->Markdown (flagship "
+                  "extraction, %d docs, local[%d])" % (head["docs"], CPUS),
+        "value": head["sec"], "unit": "sec",
+        "docs_per_sec": head["docs_per_sec"], "docs": head["docs"],
+        "sf": sf_val, "n_queries": len(timings),
+        "queries_sec_total": round(sum(timings.values()), 1)}))
     spark.stop()
 
 

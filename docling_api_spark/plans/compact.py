@@ -17,13 +17,21 @@ Contract:
 - file count = ceil(total_bytes / target_file_bytes), written via one
   repartition (a shuffle — acceptable: compaction is an offline
   maintenance pass, not a hot path);
-- swap is two renames (old → .trash, new → path) — the crash window
-  leaves either the old or the new complete directory, never a mix,
-  and .trash keeps the old files until the caller deletes them.
+- swap is two renames (old → __trash, new → path) guarded by a
+  swap-in-progress marker: a crash can never leave a MIX of old and
+  new files, but a crash between the two renames leaves NO table at
+  ``path`` (old complete in __trash, new complete in __compacting).
+  The marker (``<path>__swap_marker``, written before the first
+  rename, removed after the second) records that state so
+  :func:`recover_swap` — run automatically at the next
+  ``compact_output`` call — can roll the swap forward (new dir ready)
+  or back (only the old dir survived) without guesswork. __trash
+  keeps the old files until the caller deletes them.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import shutil
@@ -62,11 +70,48 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _marker_path(path: str) -> str:
+    return path.rstrip("/") + "__swap_marker"
+
+
+def recover_swap(path: str) -> str | None:
+    """Finish or roll back a compaction swap interrupted by a crash
+    (r5 ADVICE fix: the window between the two renames leaves no table
+    at ``path``). Keyed off the swap marker; idempotent; returns the
+    action taken ('rolled_forward' | 'rolled_back' | 'none') or None
+    when no swap was in progress."""
+    marker = _marker_path(path)
+    if not os.path.exists(marker):
+        return None
+    tmp = path.rstrip("/") + "__compacting"
+    trash = path.rstrip("/") + "__trash"
+    if os.path.exists(path):
+        # crashed before the first rename or after the second — the
+        # table is intact either way; just clear the marker
+        action = "none"
+    elif os.path.exists(tmp):
+        # between the renames with the verified new dir complete:
+        # finish the swap (old data stays in __trash as before)
+        os.rename(tmp, path)
+        action = "rolled_forward"
+    elif os.path.exists(trash):
+        # new dir lost (e.g. crash plus manual cleanup): restore old
+        os.rename(trash, path)
+        action = "rolled_back"
+    else:
+        raise RuntimeError(
+            f"swap marker {marker} present but neither {path}, {tmp} "
+            f"nor {trash} exists — manual recovery required")
+    os.remove(marker)
+    return action
+
+
 def compact_output(spark: SparkSession, path: str,
                    target_file_bytes: int = 128 * 1024 * 1024) -> dict:
     """Rewrite the parquet table at ``path`` into
     ``ceil(bytes/target)`` files; verify content; swap atomically.
     Returns {files_before, files_after, rows, bytes}."""
+    recover_swap(path)
     before = spark.read.parquet(path)
     files_before = sum(
         1 for _, _, fs in os.walk(path) for f in fs
@@ -88,8 +133,12 @@ def compact_output(spark: SparkSession, path: str,
             f"{fp_before} != {fp_after} — table left untouched")
 
     shutil.rmtree(trash, ignore_errors=True)
+    marker = _marker_path(path)
+    with open(marker, "w") as fh:
+        json.dump({"path": path, "tmp": tmp, "trash": trash}, fh)
     os.rename(path, trash)
     os.rename(tmp, path)
+    os.remove(marker)
     files_after = sum(1 for _, _, fs in os.walk(path) for f in fs
                       if f.endswith(".parquet"))
     return {"files_before": files_before, "files_after": files_after,

@@ -6,7 +6,8 @@ import shutil
 
 import pytest
 
-from docling_api_spark.plans.compact import compact_output
+from docling_api_spark.plans.compact import (compact_output,
+                                             recover_swap)
 
 
 def _write_fragmented(spark, path, n_files=40):
@@ -65,6 +66,46 @@ def test_fingerprint_catches_row_loss(spark, tmp_path):
             compact_output(spark, path, target_file_bytes=10**9)
     finally:
         C._fingerprint = orig
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+
+def test_swap_crash_window_recovery(spark, tmp_path):
+    """r5 ADVICE fix: a crash between the two swap renames leaves NO
+    table at path (old in __trash, new in __compacting). The marker
+    written before the first rename lets recover_swap roll the swap
+    forward — and the next compact_output call does so automatically."""
+    from docling_api_spark.plans import compact as C
+    path = str(tmp_path / "crash")
+    _write_fragmented(spark, path, n_files=6)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    # simulate the crash: die right after the first rename
+    orig_rename = os.rename
+    def crashing_rename(src, dst):
+        orig_rename(src, dst)
+        if dst.endswith("__trash"):
+            raise KeyboardInterrupt("simulated crash mid-swap")
+    os.rename = crashing_rename
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            compact_output(spark, path, target_file_bytes=10**9)
+    finally:
+        os.rename = orig_rename
+
+    assert not os.path.exists(path)          # the documented crash state
+    assert os.path.exists(C._marker_path(path))
+    assert recover_swap(path) == "rolled_forward"
+    assert not os.path.exists(C._marker_path(path))
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
+    assert recover_swap(path) is None         # idempotent
+
+    # roll-BACK leg: marker + only __trash present (new dir lost)
+    shutil.rmtree(path + "__trash")   # drop the interrupted run's trash
+    os.rename(path, path + "__trash")
+    with open(C._marker_path(path), "w") as fh:
+        fh.write("{}")
+    assert recover_swap(path) == "rolled_back"
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
 
 
