@@ -466,24 +466,73 @@ def test_ratio4_bulk_random_cross_engine(spark):
 # ----------------------------------------------------- sequence packing
 
 def test_sequence_packing_semantics():
-    """Hand-evaluated layout: per-shard running sums, budget cuts, and
-    the spanned-sequence count."""
+    """Hand-evaluated GLOBAL layout (r5 rework): one continuous token
+    stream in doc_id order, cut at the 256-token budget."""
     con = duckdb.connect()
-    # shard = doc_id % 32; use ids in one shard (0, 32, 64) plus one in
-    # another (1). Tokens: 200, 100, 300; budget 256.
+    # global doc_id order: 0(200 tok), 1(10), 32(100), 64(300)
     _docs_view(con, [(0, " ".join(["w"] * 200)),
                      (32, " ".join(["w"] * 100)),
                      (64, " ".join(["w"] * 300)),
                      (1, " ".join(["w"] * 10))])
     rows = {r[0]: r for r in
             con.sql(webtext._packing_sql("duck")).fetchall()}
+    assert webtext.PACK_BUDGET == 256
+    # (seq_id, seq_offset, n_seqs_spanned)
+    assert rows[0][2:] == (0, 0, 1)     # tok 0..199   -> seq 0
+    assert rows[1][2:] == (0, 200, 1)   # tok 200..209 -> seq 0
+    assert rows[32][2:] == (0, 210, 2)  # tok 210..309 -> seqs 0-1
+    assert rows[64][2:] == (1, 54, 2)   # tok 310..609 -> seqs 1-2
+
+
+def test_sequence_packing_shard_invariance():
+    """The r5 scale fix's core guarantee: shards is a pure parallelism
+    knob — range sharding preserves doc_id order, so the two-level
+    prefix sum reproduces the exact global running sum for ANY shard
+    count, including the degenerate single-shard global window."""
+    import random
+    rng = random.Random(5)
+    docs = [(i * 7 + rng.randrange(3), " ".join(["w"] * rng.randrange(0, 600)))
+            for i in range(120)]
+    docs = list({d[0]: d for d in docs}.values())  # unique doc_ids
+    con = duckdb.connect()
+    _docs_view(con, docs)
+    results = {}
+    for shards in (1, 3, 32, 1000):
+        results[shards] = sorted(
+            con.sql(webtext._packing_sql("duck", shards)).fetchall())
+    assert results[1] == results[3] == results[32] == results[1000]
+    # and the S=1 degenerate case IS the naive global cumsum: re-derive
+    # in python and compare
     B = webtext.PACK_BUDGET
-    assert B == 256
-    # doc 0: starts at 0, seq 0, spans ceil((0+200)/256) - 0 = 1
-    assert rows[0][3:] == (0 * 2**32 + 0, 0, 1)
-    # doc 32: starts at 200 -> seq 0, offset 200, spans (200..299) -> 2
-    assert rows[32][3:] == (0, 200, 2)
-    # doc 64: starts at 300 -> seq 1, offset 44, spans (300..599) -> 2
-    assert rows[64][3:] == (1, 44, 2)
-    # doc 1 is shard 1: seq id namespaced by shard * 2^32
-    assert rows[1][3] == 1 * 2**32 + 0 and rows[1][4] == 0
+    start = 0
+    expect = []
+    for doc_id, text in sorted(docs):
+        n = len(text.split()) if text else 0
+        spans = 0 if n == 0 else (start + n - 1) // B - start // B + 1
+        expect.append((doc_id, n, start // B, start % B, spans))
+        start += n
+    assert results[1] == sorted(expect)
+
+
+def test_sequence_packing_spark_plan_and_invariance(spark):
+    """Plan pin for the scale shape: the per-doc running-sum window is
+    hash-partitioned on shard (never a global sort over documents), and
+    the Spark output is identical across shard counts and equal to the
+    DuckDB oracle's."""
+    df32 = webtext.sequence_packing(spark, SF_DIR, shards=32)
+    plan = df32._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard" in plan, plan[:2000]
+    # the only SinglePartition exchange allowed is the tiny per-shard
+    # offsets window (<= shards rows), which sits under the broadcast
+    # join side — the document-sized window must be the sharded one
+    r32 = sorted(map(tuple, df32.collect()))
+    r2 = sorted(map(tuple,
+                    webtext.sequence_packing(spark, SF_DIR, shards=2)
+                    .collect()))
+    assert r32 == r2
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    oracle = sorted(tuple(int(x) for x in r) for r in
+                    con.sql(webtext._packing_sql("duck")).fetchall())
+    assert r32 == oracle
