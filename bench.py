@@ -129,7 +129,7 @@ def flagship(spark, sf_dir: str, cpus: int, repeat: int) -> dict:
 #: would time the no-op path and report a dishonest number
 _SINGLE_SHOT = {"bpe_train", "bpe_vocab", "ann_ivf_trained",
                 "host_pagerank", "streaming_curation",
-                "streaming_dedup"}
+                "streaming_dedup", "compact_roundtrip"}
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
