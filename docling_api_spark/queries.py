@@ -1149,6 +1149,49 @@ FROM documents
 
 
 _STREAM_DEDUP_CACHE: dict = {}
+_STREAM_DEDUP_STAGE: dict = {}
+
+#: one AvailableNow launch must fit ONE micro-batch for the
+#: stream==batch-min oracle to hold (within a trigger the group handler
+#: picks min(doc_id); across triggers first-arrival could beat the
+#: run's min — r4 ADVICE). Staging writes are repartition(32), so each
+#: run delivers exactly 32 new files << this cap; the link helper
+#: asserts it.
+_STREAM_MAX_FILES_PER_TRIGGER = 1000
+
+
+def _stream_dedup_staging(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized doc_id-split halves of documents (fixture plumbing for
+    streaming_dedup, pre-materializable via prewarm_fixtures so bench
+    first-pass times the stream engine, not these writes — r5)."""
+    import tempfile
+    root = _STREAM_DEDUP_STAGE.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="stream_dedup_stage_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", "text")
+        mid = docs.approxQuantile("doc_id", [0.5], 0)[0]
+        docs.where(f"doc_id <= {mid}").repartition(32) \
+            .write.parquet(root + "/h1")
+        docs.where(f"doc_id > {mid}").repartition(32) \
+            .write.parquet(root + "/h2")
+        _STREAM_DEDUP_STAGE[sf_dir] = root
+    return root
+
+
+def _link_parquet_files(src: str, dst: str, prefix: str) -> int:
+    """Hard-link src's parquet files into dst under a unique prefix
+    (zero-copy arrival of one feed increment); enforce the one-trigger
+    bound the dedup oracle relies on."""
+    import os
+    os.makedirs(dst, exist_ok=True)
+    names = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    assert len(names) <= _STREAM_MAX_FILES_PER_TRIGGER, (
+        f"{len(names)} files would split one run across micro-batches; "
+        "the stream==batch-min oracle requires one trigger per run")
+    for f in names:
+        os.link(os.path.join(src, f), os.path.join(dst, f"{prefix}_{f}"))
+    return len(names)
 
 
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1158,9 +1201,13 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     run 2 must stay silent for every key whose canonical arrived in
     run 1 (state carry-over through the checkpoint). Deterministic by
     construction: within a trigger the group handler picks min(doc_id),
-    and the doc_id-ordered split makes first-arrival == global-min, so
+    the doc_id-ordered split makes first-arrival == global-min, and
+    each run is exactly ONE trigger (32 staged files vs the 1000-file
+    trigger cap, asserted in _link_parquet_files — r4 ADVICE fix), so
     the sink equals the batch GROUP BY min — the oracle. batch_dups is
-    slicing-dependent and projected away."""
+    slicing-dependent and projected away. Feed increments arrive by
+    hard-linking memoized staging files (r5): bench first-pass times
+    the two stream launches, not fixture writes."""
     import tempfile
 
     from .streaming.dedup_stream import dedup_stream
@@ -1169,7 +1216,8 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs_schema = spark.read.parquet(
             f"{sf_dir}/documents.parquet").select("doc_id", "text").schema
         stream = (spark.readStream.schema(docs_schema)
-                  .option("maxFilesPerTrigger", 1000).parquet(inp))
+                  .option("maxFilesPerTrigger",
+                          _STREAM_MAX_FILES_PER_TRIGGER).parquet(inp))
 
         def sink(batch_df, batch_id):
             batch_df.write.mode("append").parquet(out)
@@ -1181,14 +1229,12 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _STREAM_DEDUP_CACHE.get(sf_dir)
     if root is None:
+        stage = _stream_dedup_staging(spark, sf_dir)
         root = tempfile.mkdtemp(prefix="stream_dedup_")
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-            .select("doc_id", "text")
-        mid = docs.approxQuantile("doc_id", [0.5], 0)[0]
         inp, out, ckpt = (root + "/in", root + "/out", root + "/ckpt")
-        docs.where(f"doc_id <= {mid}").write.parquet(inp)
+        _link_parquet_files(stage + "/h1", inp, "h1")
         run(inp, out, ckpt)
-        docs.where(f"doc_id > {mid}").write.mode("append").parquet(inp)
+        _link_parquet_files(stage + "/h2", inp, "h2")
         run(inp, out, ckpt)
         _STREAM_DEDUP_CACHE[sf_dir] = root
     return spark.read.parquet(root + "/out") \
@@ -1215,19 +1261,26 @@ def streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extraction rule + the shared text_stats thresholds) in SQL, so the
     value hash proves stream == batch regardless of micro-batch
     slicing. Re-runs reuse the checkpoint: no new files → no recompute
-    (the resumability contract, exercised on every driver/bench pass)."""
-    import tempfile
-
+    (the resumability contract, exercised on every driver/bench pass).
+    The landing dir is a memoized fixture (r5): prewarm_fixtures can
+    build it untimed so bench first-pass reflects the stream run only."""
     from .streaming.curation import run_curation_streaming
-    root = _STREAM_CURATION_CACHE.get(sf_dir)
-    if root is None:
-        root = tempfile.mkdtemp(prefix="stream_cur_")
-        pages_from_documents(spark, sf_dir).write.parquet(root + "/pages")
-        _STREAM_CURATION_CACHE[sf_dir] = root
+    root = _streaming_curation_landing(spark, sf_dir)
     run_curation_streaming(spark, root + "/pages", root + "/out",
                            root + "/ckpt", _CFG)
     return spark.read.parquet(root + "/out").select(
         "url", "fmt", "markdown", "error", "drop_reason", "keep")
+
+
+def _streaming_curation_landing(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+    root = _STREAM_CURATION_CACHE.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="stream_cur_")
+        pages_from_documents(spark, sf_dir).repartition(32) \
+            .write.parquet(root + "/pages")
+        _STREAM_CURATION_CACHE[sf_dir] = root
+    return root
 
 
 def _streaming_curation_oracle() -> str:
@@ -1278,20 +1331,18 @@ def compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag — the driver hash proves the swap preserved every row and the
     rewrite actually collapsed the file count. Memoized per sf_dir
     (compaction is a run-once maintenance pass; bench lists it
-    single-shot)."""
+    single-shot). The fragmented input table is a memoized staging
+    fixture hard-linked into a fresh dir per session (r5), so the timed
+    first pass is the compaction job itself, not the append writes."""
     import shutil
     import tempfile
 
     from .plans.compact import compact_output
     cached = _COMPACT_RT_CACHE.get(sf_dir)
     if cached is None:
+        stage = _compact_rt_staging(spark, sf_dir)
         root = tempfile.mkdtemp(prefix="compact_rt_") + "/table"
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-            .select("doc_id", "text")
-        docs.where("doc_id % 2 = 0").repartition(64) \
-            .write.mode("append").parquet(root)
-        docs.where("doc_id % 2 = 1").repartition(64) \
-            .write.mode("append").parquet(root)
+        _link_parquet_files(stage, root, "s")
         res = compact_output(spark, root, target_file_bytes=2**40)
         shutil.rmtree(res["trash"], ignore_errors=True)
         cached = (root, res["files_after"] < res["files_before"])
@@ -1299,6 +1350,26 @@ def compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     root, reduced = cached
     return spark.read.parquet(root).select(
         "doc_id", "text", F.lit(bool(reduced)).alias("files_reduced"))
+
+
+_COMPACT_RT_STAGE: dict = {}
+
+
+def _compact_rt_staging(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized fragmented table: two 64-file appends (the resumable-run
+    append pattern)."""
+    import tempfile
+    stage = _COMPACT_RT_STAGE.get(sf_dir)
+    if stage is None:
+        stage = tempfile.mkdtemp(prefix="compact_rt_stage_") + "/table"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", "text")
+        docs.where("doc_id % 2 = 0").repartition(64) \
+            .write.mode("append").parquet(stage)
+        docs.where("doc_id % 2 = 1").repartition(64) \
+            .write.mode("append").parquet(stage)
+        _COMPACT_RT_STAGE[sf_dir] = stage
+    return stage
 
 
 COMPACT_ROUNDTRIP_ORACLE = """
@@ -1469,6 +1540,18 @@ FROM b
 
 
 CONTENT_DENSITY_ORACLE = _content_density_oracle()
+
+
+def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
+    """Untimed fixture materialization for the run-once queries (r5,
+    VERDICT r4 #7): bench calls this before timing so the single-shot
+    first-pass numbers reflect engine work — the two stream launches,
+    the compaction rewrite — not landing-dir/staging parquet writes.
+    Correctness runs don't need it: every query still self-builds its
+    fixtures on first call."""
+    _stream_dedup_staging(spark, sf_dir)
+    _streaming_curation_landing(spark, sf_dir)
+    _compact_rt_staging(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
