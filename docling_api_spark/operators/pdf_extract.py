@@ -6,7 +6,14 @@ docling-parse backends and torch layout models (``poetry.lock:437,446,
 M4 the PDF capability is **scoped**: a deterministic reader for the fixture
 grammar produced by :mod:`.pdf_write` —
 
-- classic xref-less object scan (``N 0 obj … endobj``);
+- classic xref-less object scan (``N 0 obj … endobj``), stream-aware:
+  payloads with a direct ``/Length`` are skipped by length so binary
+  Flate bytes containing ``endobj`` cannot corrupt the scan;
+- PDF 1.5 layout (r5): ``/Type /ObjStm`` containers are decompressed
+  and their packed dict-only objects joined into the object table —
+  the layout real Common-Crawl PDFs near-universally use (binary
+  ``/Type /XRef`` streams are tolerated as ordinary stream objects;
+  the scan does not need the cross-reference table);
 - page tree: ``/Type /Catalog`` → ``/Pages`` → ``/Kids`` order;
 - content streams: plain or ``/FlateDecode``;
 - text operators: ``BT ET Tf Td TD TL T* Tm Tj TJ '``;
@@ -29,7 +36,7 @@ from __future__ import annotations
 import re
 import zlib
 
-_OBJ_RX = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
+_OBJ_START_RX = re.compile(rb"(\d+)\s+0\s+obj\b")
 _STREAM_RX = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _REF_RX = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
 _KIDS_RX = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+0\s+R)+)\s*\]")
@@ -40,10 +47,66 @@ class PdfUnsupported(Exception):
     """Input is a real PDF but outside the scoped fixture grammar."""
 
 
+_OBJSTM_N_RX = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RX = re.compile(rb"/First\s+(\d+)")
+_OBJSTM_TYPE_RX = re.compile(rb"/Type\s*/ObjStm")
+
+
 def _parse_objects(data: bytes) -> dict[int, bytes]:
+    """Top-level object scan, then PDF 1.5 ``/ObjStm`` expansion.
+
+    Stream-aware: when an object carries a stream with a direct
+    ``/Length``, the payload is skipped by length BEFORE the closing
+    ``endobj`` is searched — the old non-greedy ``(.*?)endobj`` regex
+    truncated any object whose compressed payload happened to contain
+    the 6 bytes ``endobj`` (possible for Flate content streams, near
+    certain for large ObjStm/XRef streams at corpus scale). A trailing
+    object with no ``endobj`` (truncated file) is dropped, matching the
+    old regex's behavior under the mutation-fuzz contract."""
     objs: dict[int, bytes] = {}
-    for m in _OBJ_RX.finditer(data):
-        objs[int(m.group(1))] = m.group(2)
+    pos = 0
+    while True:
+        m = _OBJ_START_RX.search(data, pos)
+        if m is None:
+            break
+        body_start = m.end()
+        em = data.find(b"endobj", body_start)
+        sm = _STREAM_START_RX.search(data, body_start)
+        if sm is not None and (em < 0 or sm.start() < em):
+            lm = _LENGTH_RX.search(data, body_start, sm.start())
+            after = sm.end() + (int(lm.group(1)) if lm else 0)
+            em = data.find(b"endobj", after)
+        if em < 0:
+            break
+        objs[int(m.group(1))] = data[body_start:em]
+        pos = em + 6
+    # PDF 1.5: unpack /Type /ObjStm containers (dict-only objects,
+    # Flate-packed; header = N pairs of "objnum offset", bodies start
+    # at /First). Top-level definitions win on a clash (setdefault) —
+    # in-spec files never clash, and the top-level object is the one a
+    # classic reader would have seen.
+    for body in [b for b in objs.values() if _OBJSTM_TYPE_RX.search(b)]:
+        nm = _OBJSTM_N_RX.search(body)
+        fm = _OBJSTM_FIRST_RX.search(body)
+        payload = _stream_of(body)
+        if nm is None or fm is None or payload is None:
+            raise PdfUnsupported("malformed /ObjStm dict")
+        count, first = int(nm.group(1)), int(fm.group(1))
+        if first > len(payload):
+            raise PdfUnsupported("/First beyond objstm payload")
+        try:
+            nums = [int(t) for t in payload[:first].split()]
+        except ValueError as e:
+            raise PdfUnsupported(f"bad objstm header: {e}") from e
+        if len(nums) < 2 * count:
+            raise PdfUnsupported("short objstm header")
+        pairs = [(nums[2 * k], nums[2 * k + 1]) for k in range(count)]
+        for k, (onum, ooff) in enumerate(pairs):
+            start = first + ooff
+            end = first + pairs[k + 1][1] if k + 1 < count else len(payload)
+            if not 0 <= start <= end <= len(payload):
+                raise PdfUnsupported("objstm offsets out of range")
+            objs.setdefault(onum, payload[start:end].strip())
     return objs
 
 
@@ -132,7 +195,13 @@ def _tokenize(stream: bytes):
             hx = re.sub(rb"\s", b"", stream[i + 1:j])
             if len(hx) % 2:
                 hx += b"0"
-            yield ("str", bytes.fromhex(hx.decode("ascii")))
+            try:
+                s = bytes.fromhex(hx.decode("ascii"))
+            except ValueError as e:
+                # non-hex chars are malformed per §7.3.4.3 — typed
+                # channel, not a stray ValueError (r5 mutation-fuzz find)
+                raise PdfUnsupported(f"bad hex string: {e}") from e
+            yield ("str", s)
             i = j + 1
         elif c == b"[":
             # collect a flat array of strings/numbers (for TJ)

@@ -37,26 +37,37 @@ def content_stream(blocks: list[tuple[float, float, float, list[str]]],
 
 
 def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
-              compress: bool = False) -> bytes:
-    """pages = list of pages; each page a list of (x, y, size, lines) blocks."""
+              compress: bool = False, xref_stream: bool = False) -> bytes:
+    """pages = list of pages; each page a list of (x, y, size, lines)
+    blocks. ``xref_stream=True`` (r5) emits the PDF 1.5 layout real
+    Common-Crawl PDFs near-universally use: all dict-only objects
+    (catalog, page tree, font, page dicts) packed Flate-compressed into
+    one ``/Type /ObjStm`` container, plus a binary ``/Type /XRef``
+    cross-reference STREAM (W [1 4 2] type/offset/gen rows) instead of
+    the classic ``xref`` table — the reference reads these via
+    docling-parse (poetry.lock:503-504)."""
     n_pages = len(pages)
-    objs: list[bytes] = []
+    dict_objs: list[tuple[int, bytes]] = []
+    stream_objs: list[tuple[int, bytes]] = []
     # obj 1: catalog, obj 2: pages, obj 3: font,
     # then per page: page obj + content obj
     first_page_id = 4
     kid_refs = " ".join(
         f"{first_page_id + 2 * i} 0 R" for i in range(n_pages))
-    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objs.append(f"<< /Type /Pages /Kids [{kid_refs}] /Count {n_pages} >>"
-                .encode("latin-1"))
-    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    dict_objs.append((1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    dict_objs.append(
+        (2, f"<< /Type /Pages /Kids [{kid_refs}] /Count {n_pages} >>"
+            .encode("latin-1")))
+    dict_objs.append(
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
     for i, page in enumerate(pages):
         page_id = first_page_id + 2 * i
         content_id = page_id + 1
-        objs.append(
-            (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-             f"/Resources << /Font << /F1 3 0 R >> >> "
-             f"/Contents {content_id} 0 R >>").encode("latin-1"))
+        dict_objs.append(
+            (page_id,
+             (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+              f"/Resources << /Font << /F1 3 0 R >> >> "
+              f"/Contents {content_id} 0 R >>").encode("latin-1")))
         cs = content_stream(page)
         if compress:
             data = zlib.compress(cs, 6)
@@ -64,18 +75,71 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
         else:
             data = cs
             head = f"<< /Length {len(data)} >>".encode()
-        objs.append(head + b"\nstream\n" + data + b"\nendstream")
+        stream_objs.append(
+            (content_id, head + b"\nstream\n" + data + b"\nendstream"))
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
-    for i, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    if not xref_stream:
+        bodies = dict(dict_objs + stream_objs)
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = [0]
+        for i in range(1, len(bodies) + 1):
+            offsets.append(len(out))
+            out += f"{i} 0 obj\n".encode() + bodies[i] + b"\nendobj\n"
+        xref_pos = len(out)
+        out += f"xref\n0 {len(bodies) + 1}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += f"{off:010d} 00000 n \n".encode()
+        out += (f"trailer\n<< /Size {len(bodies) + 1} /Root 1 0 R >>\n"
+                f"startxref\n{xref_pos}\n%%EOF\n").encode()
+        return bytes(out)
+
+    # ---- PDF 1.5 layout: ObjStm + XRef stream ----
+    # (stream-carrying objects cannot live inside an ObjStm per spec
+    # §7.5.7 — content streams stay top-level)
+    n_base = 3 + 2 * n_pages
+    objstm_id = n_base + 1
+    xref_id = n_base + 2
+    header_parts: list[str] = []
+    body_parts: list[bytes] = []
+    off = 0
+    for objnum, body in dict_objs:
+        header_parts.append(f"{objnum} {off}")
+        body_parts.append(body)
+        off += len(body) + 1          # single-space separators
+    header = (" ".join(header_parts) + " ").encode("latin-1")
+    payload = header + b" ".join(body_parts)
+    zpayload = zlib.compress(payload, 6)
+    objstm_body = (
+        f"<< /Type /ObjStm /N {len(dict_objs)} /First {len(header)} "
+        f"/Filter /FlateDecode /Length {len(zpayload)} >>"
+        .encode("latin-1") + b"\nstream\n" + zpayload + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.5\n")
+    top_level = stream_objs + [(objstm_id, objstm_body)]
+    offsets: dict[int, int] = {}
+    for objnum, body in top_level:
+        offsets[objnum] = len(out)
+        out += f"{objnum} 0 obj\n".encode() + body + b"\nendobj\n"
     xref_pos = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
-            f"startxref\n{xref_pos}\n%%EOF\n").encode()
+    # W [1 4 2]: type, offset|objstm-number, gen|index-in-objstm
+    rows = bytearray()
+    rows += bytes([0]) + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")
+    for objnum in range(1, xref_id + 1):
+        if objnum in offsets or objnum == xref_id:
+            pos = xref_pos if objnum == xref_id else offsets[objnum]
+            rows += bytes([1]) + pos.to_bytes(4, "big") + b"\x00\x00"
+        else:
+            idx = next(k for k, (num, _) in enumerate(dict_objs)
+                       if num == objnum)
+            rows += (bytes([2]) + objstm_id.to_bytes(4, "big")
+                     + idx.to_bytes(2, "big"))
+    zrows = zlib.compress(bytes(rows), 6)
+    xref_body = (
+        f"<< /Type /XRef /Size {xref_id + 1} /Root 1 0 R /W [1 4 2] "
+        f"/Index [0 {xref_id + 1}] /Filter /FlateDecode "
+        f"/Length {len(zrows)} >>".encode("latin-1")
+        + b"\nstream\n" + zrows + b"\nendstream")
+    out += f"{xref_id} 0 obj\n".encode() + xref_body + b"\nendobj\n"
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
     return bytes(out)

@@ -1557,135 +1557,113 @@ def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver's correctness gate
     evaluates exactly the first 50 entries (verified r3: CORRECTNESS_r03
-    keys == this dict's keys[0:50], in order). r4 reorders so every
-    query that has never had a driver row — the r3 webtext/bpe/pii/
-    multimodal batch — sits inside the window; queries rotated past slot
-    50 are all r3-driver-green with unchanged code, remain registered
-    here for bench + the self-sweep replica (tools/sweep_driver_canon),
-    and are each semantically subsumed by an in-window composite
-    (noted inline)."""
+    keys == this dict's keys[0:50], in order).
+
+    ROTATION POLICY (r5, replacing r4's ad-hoc subsumption notes): with
+    78 registered queries and 50 driver slots, the window ALTERNATES —
+    every query rotated out in round K is rotated back in in round K+1,
+    so no query's latest driver row is ever more than one round old.
+    Each round's window is therefore: (a) every query with no driver row
+    or whose code/corpus changed this round, (b) every query last gated
+    two rounds ago, (c) the remaining slots filled with the highest-value
+    composites from last round's window. Queries out of the window stay
+    registered for bench + the self-sweep replica
+    (tools/sweep_driver_canon) and carry an inline `# out r5 (r4-green)`
+    marker naming their last driver row.
+
+    r5 window = 26 r3-last-gated + sequence_packing (never gated; r5
+    two-level-prefix-sum rework) + compact_roundtrip (new r5) + the r5
+    code/corpus-touched set (pdf xref-stream corpus, charset utf-16
+    remap, streaming fixture pre-materialization) + 15 flagship/
+    composite re-gates. The 28 rotated out are all r4-driver-green
+    (CORRECTNESS_r04: 50/50) with unchanged code, due back in r6.
+    """
     return {
         # ---- driver window (slots 1-50) ----
-        # flagship extraction (SQL-reconstructed golden oracle)
+        # flagship + r5-touched extraction paths
         "extract_markdown": extract_markdown,
-        "extract_pdf_markdown": extract_pdf_markdown,
+        "extract_pdf_markdown": extract_pdf_markdown,      # r5: PDF 1.5 corpus slice
+        "span_pdf_detail": span_pdf_detail,                # r5: same corpus
+        "extract_charset_markdown": extract_charset_markdown,  # r5: utf-16 remap
+        "streaming_curation": streaming_curation,          # r5: fixture memo
+        "streaming_dedup": streaming_dedup,                # r5: fixture memo
+        "compact_roundtrip": compact_roundtrip,            # new r5
+        "sequence_packing": webtext.sequence_packing,      # r5 rework; first row
+        # r3-last-gated rotation (policy item (b)): every query whose
+        # latest driver row is CORRECTNESS_r03
+        "span_summary": span_summary,
+        "extract_linked_markdown": extract_linked_markdown,
+        "outlinks": outlinks,
+        "format_distribution": format_distribution,
+        "host_stats": host_stats,
+        "host_quota_sample": host_quota_sample,
+        "windowed_event_counts": relational.windowed_event_counts,
+        "sessionize_events": relational.sessionize_events,
+        "json_props_rollup": relational.json_props_rollup,
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "incremental_dedup": dedup.incremental_dedup,
+        "minhash_signatures": dedup.minhash_signatures,
+        "simhash": dedup.simhash,
+        "ngram_jaccard": dedup.ngram_jaccard,
+        "token_counts": text_stats.token_counts,
+        "quality_scores": text_stats.quality_scores,
+        "quality_model_score": text_stats.quality_model_score,
+        "token_length_hist": text_stats.token_length_hist,
+        "retention_report": text_stats.retention_report,
+        "tfidf_topterms": text_stats.tfidf_topterms,
+        "lang_id": text_stats.lang_id,
+        "fingerprints": text_stats.fingerprints,
+        "cosine_topk": similarity.cosine_topk,
+        "ann_lsh": similarity.ann_lsh,
+        "ann_ivf": similarity.ann_ivf,
+        # high-value composite re-gates (policy item (c))
         "extract_docx_markdown": extract_docx_markdown,
         "extract_pptx_markdown": extract_pptx_markdown,
         "extract_adoc_markdown": extract_adoc_markdown,
         "extract_images": extract_images,
         "span_detail": span_detail,
-        "span_pdf_detail": span_pdf_detail,
         "extract_rich_markdown": extract_rich_markdown,
-        # inbound anchor-term rollup (r4); subsumes outlinks' link
-        # parse (it consumes the same extracted links, per-term)
         "anchor_text_rollup": anchor_text_rollup,
-        "host_link_graph": host_link_graph,
-        "host_pagerank": host_pagerank,
-        "extract_quality_pipeline": extract_quality_pipeline,
-        "head_meta": head_meta,
-        "content_density": content_density,
-        "extract_scanned_markdown": extract_scanned_markdown,
-        "extract_warc_markdown": extract_warc_markdown,
-        # charset handling (r4): meta-prescan decode, value-gated
-        "extract_charset_markdown": extract_charset_markdown,
-        # sitemap ingestion (r4): URL-discovery parse round-trip
-        "sitemap_urls": sitemap_urls,
-        # A14 failure taxonomy, value-hashed (r4)
         "error_taxonomy": error_taxonomy,
-        # incremental-crawl two-snapshot diff (r4)
-        "crawl_snapshot_diff": webtext.crawl_snapshot_diff,
-        # politeness frontier: robots verdict + REP crawl-delay +
-        # priority rank → per-host fetch offsets (r4)
-        "fetch_schedule": webtext.fetch_schedule,
-        # engine mechanics as relational ops (SURVEY.md Table B)
-        "dedup_window_latest": relational.latest_event_per_user,
-        "resume_anti_join": relational.resume_anti_join,
-        "metrics_rollup": relational.metrics_rollup,
-        # training-data pipeline: dedup family
+        "crawl_curation": crawl_curation,
         "dedup_near_pipeline": dedup.dedup_near_pipeline,
-        "passage_dedup": dedup.passage_dedup,
-        # text analysis composites
         "quality_filter": text_stats.quality_filter,
         "quality_filter_neardup": text_stats.quality_filter_neardup,
-        # similarity search (trained path; brute-force/static variants
-        # are past the window, r3-green unchanged)
         "ann_ivf_trained": similarity.ann_ivf_trained,
-        "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
-        # multimodal binary plumbing
-        "media_metadata": multimodal.media_metadata,
-        "image_features": multimodal.image_features,
-        "image_metadata": multimodal.image_metadata,
-        # web-corpus curation (Gopher/CCNet-style filtering stages)
-        "repetition_scores": webtext.repetition_scores,
-        "url_canonical_dedup": webtext.url_canonical_dedup,
-        "contamination_flags": webtext.contamination_flags,
-        "dataset_split": webtext.dataset_split,
-        "lm_scores": webtext.lm_scores,
-        # distributed tokenizer training (deterministic iterative merges;
-        # the oracle replicates training engine-free and inlines the
-        # learned merge table — the ann_ivf_trained pattern)
-        "bpe_train": bpe.bpe_train,
-        "bpe_vocab": bpe.bpe_vocab,
-        "bpe_segment_counts": bpe.bpe_segment_counts,
-        # PII scrubbing (regex parity gated across Java regex / RE2)
-        "pii_scrub": pii.pii_scrub,
-        "stratified_sample": webtext.stratified_sample,
-        "normalize_text": webtext.normalize_text,
-        "robots_filter": webtext.robots_filter,
-        # end-to-end crawl-curation composite (r4): value-checks the
-        # five-stage composition per-stage gates cannot see
-        "crawl_curation": crawl_curation,
-        # streaming path surfaced in the driver contract (r4): the
-        # AvailableNow extract+gate sink, value-hashed vs a batch oracle
-        "streaming_curation": streaming_curation,
-        # stateful streaming keep-set across two checkpointed runs (r4)
-        "streaming_dedup": streaming_dedup,
-        # compaction maintenance op under the value gate (r5): the hash
-        # proves row preservation through the two-rename swap
-        "compact_roundtrip": compact_roundtrip,
-        # ANN index-quality gate (r4): recall@k of sign-LSH vs exact
-        # top-k — subsumes ann_lsh AND cosine_topk (embeds both)
         "ann_recall_report": similarity.ann_recall_report,
-        # ---- past the driver window (slots 51+): r3-driver-green,
-        # code unchanged; covered by bench + self-sweep ----
-        "span_summary": span_summary,              # ⊂ span_detail
-        "extract_linked_markdown": extract_linked_markdown,  # ⊂ outlinks
-        "outlinks": outlinks,  # ⊂ host_link_graph + anchor_text_rollup
-        # ⊂ extract_markdown (same corpus, fmt column value-hashed
-        # per url there; this is just its histogram)
-        "format_distribution": format_distribution,
-        # ⊂ host_link_graph / anchor_text_rollup (host rollups over
-        # the same extraction, both in-window)
-        "host_stats": host_stats,
-        "host_quota_sample": host_quota_sample,    # ⊂ host_stats
-        "windowed_event_counts": relational.windowed_event_counts,
-        "sessionize_events": relational.sessionize_events,
-        "json_props_rollup": relational.json_props_rollup,
-        "dedup_exact": dedup.dedup_exact,  # ⊂ quality_filter (md5 window)
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,  # ⊂ near_pipeline
-        # new-batch-vs-known-corpus decision ⊂ streaming_dedup's
-        # driver-gated state carry-over; scale-fix plan tests remain
-        "incremental_dedup": dedup.incremental_dedup,
-        "minhash_signatures": dedup.minhash_signatures,  # ⊂ near_pipeline
-        "simhash": dedup.simhash,
-        "ngram_jaccard": dedup.ngram_jaccard,      # ⊂ near_pipeline
-        "token_counts": text_stats.token_counts,   # ⊂ quality_filter
-        "quality_scores": text_stats.quality_scores,  # ⊂ quality_filter
-        "quality_model_score": text_stats.quality_model_score,
-        "token_length_hist": text_stats.token_length_hist,
-        # ⊂ quality_filter_neardup (this is its groupBy rollup; the
-        # row-level filter it aggregates stays in-window)
-        "retention_report": text_stats.retention_report,
-        "tfidf_topterms": text_stats.tfidf_topterms,
-        "lang_id": text_stats.lang_id,
-        "fingerprints": text_stats.fingerprints,
-        # r4 late addition — NO driver row yet (the window is full of
-        # this round's fresh gates); swept green at all 3 scales,
-        # first in line for the r5 window
-        "sequence_packing": webtext.sequence_packing,
-        "cosine_topk": similarity.cosine_topk,     # ⊂ ann_recall_report
-        "ann_lsh": similarity.ann_lsh,             # ⊂ ann_recall_report
-        "ann_ivf": similarity.ann_ivf,             # ⊂ ann_ivf_trained
+        "bpe_train": bpe.bpe_train,
+        "pii_scrub": pii.pii_scrub,
+        # ---- past the driver window (slots 51+): all r4-driver-green
+        # (CORRECTNESS_r04 50/50), code unchanged since; due back r6 ----
+        "host_link_graph": host_link_graph,                # out r5 (r4-green)
+        "host_pagerank": host_pagerank,                    # out r5 (r4-green)
+        "extract_quality_pipeline": extract_quality_pipeline,  # out r5 (r4-green)
+        "head_meta": head_meta,                            # out r5 (r4-green)
+        "content_density": content_density,                # out r5 (r4-green)
+        "extract_scanned_markdown": extract_scanned_markdown,  # out r5 (r4-green)
+        "extract_warc_markdown": extract_warc_markdown,    # out r5 (r4-green)
+        "sitemap_urls": sitemap_urls,                      # out r5 (r4-green)
+        "crawl_snapshot_diff": webtext.crawl_snapshot_diff,  # out r5 (r4-green)
+        "fetch_schedule": webtext.fetch_schedule,          # out r5 (r4-green)
+        "dedup_window_latest": relational.latest_event_per_user,  # out r5 (r4-green)
+        "resume_anti_join": relational.resume_anti_join,   # out r5 (r4-green)
+        "metrics_rollup": relational.metrics_rollup,       # out r5 (r4-green)
+        "passage_dedup": dedup.passage_dedup,              # out r5 (r4-green)
+        "dedup_embedding_cosine": similarity.dedup_embedding_cosine,  # out r5 (r4-green)
+        "media_metadata": multimodal.media_metadata,       # out r5 (r4-green)
+        "image_features": multimodal.image_features,       # out r5 (r4-green)
+        "image_metadata": multimodal.image_metadata,       # out r5 (r4-green)
+        "repetition_scores": webtext.repetition_scores,    # out r5 (r4-green)
+        "url_canonical_dedup": webtext.url_canonical_dedup,  # out r5 (r4-green)
+        "contamination_flags": webtext.contamination_flags,  # out r5 (r4-green)
+        "dataset_split": webtext.dataset_split,            # out r5 (r4-green)
+        "lm_scores": webtext.lm_scores,                    # out r5 (r4-green)
+        "bpe_vocab": bpe.bpe_vocab,                        # out r5 (r4-green)
+        "bpe_segment_counts": bpe.bpe_segment_counts,      # out r5 (r4-green)
+        "stratified_sample": webtext.stratified_sample,    # out r5 (r4-green)
+        "normalize_text": webtext.normalize_text,          # out r5 (r4-green)
+        "robots_filter": webtext.robots_filter,            # out r5 (r4-green)
     }
 
 

@@ -244,6 +244,26 @@ def pdf_heading_levels(i: int) -> Fixture:
     return Fixture("pdf_heading_levels", content, "pdf", "pdf", golden)
 
 
+def pdf_objstm_xref(i: int) -> Fixture:
+    """PDF 1.5 layout (r5 grammar notch): every dict-only object
+    (catalog, page tree, font, page dicts) Flate-packed into a
+    ``/Type /ObjStm`` container plus a binary ``/Type /XRef``
+    cross-reference stream — the layout real Common-Crawl PDFs
+    near-universally use (the reference reads it via docling-parse,
+    poetry.lock:503-504). Alternates plain/Flate content streams so
+    both combine with the 1.5 container layout."""
+    pages = [[
+        (72, 730, 24, [f"Bulletin {i}"]),
+        (72, 690, 12, ["Modern layout body line one,", "and line two."]),
+        (72, 640, 12, ["A closing note."]),
+    ]]
+    content = write_pdf(pages, compress=(i % 2 == 0), xref_stream=True)
+    golden = (f"# Bulletin {i}\n\n"
+              "Modern layout body line one, and line two.\n\n"
+              "A closing note.")
+    return Fixture("pdf_objstm_xref", content, "pdf", "pdf", golden)
+
+
 def pdf_two_column(i: int) -> Fixture:
     pages = [[
         (72, 720, 24, [f"Paper {i}"]),
@@ -352,7 +372,7 @@ FIXTURE_CLASSES = [
     html_boilerplate, html_entities_whitespace, xhtml_decl,
     html_no_doctype_fragment, md_passthrough, asciidoc_basic,
     pdf_text_simple, pdf_text_multipage, pdf_two_column,
-    pdf_heading_levels,
+    pdf_heading_levels, pdf_objstm_xref,
     docx_basic, pptx_basic, image_png_stub, unsupported_bin, broken_html,
 ]
 

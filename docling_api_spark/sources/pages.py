@@ -655,7 +655,13 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                 else:
                     blocks.append((72.0, para_y - 40.0, 11.0, [ref_line]))
                     doc_pages = [blocks]
-                htmls[j] = write_pdf(doc_pages, compress=i % 2 == 0)
+                # r5: every third PDF uses the PDF 1.5 ObjStm+XRef-
+                # stream layout (i%3 decorrelates from the i%20 two-
+                # page rule, so 1.5 covers both single- and two-page
+                # shapes); markdown is layout-invariant, so the driver
+                # oracle is unchanged
+                htmls[j] = write_pdf(doc_pages, compress=i % 2 == 0,
+                                     xref_stream=i % 3 == 0)
                 urls[j] = url[: -len(".html")] + ".pdf"
             out = pdf.copy()
             out["url"] = pd.Series(urls, index=pdf.index)

@@ -321,3 +321,93 @@ def test_charset_decode_property():
         blob = bytes(rng.randrange(256)
                      for _ in range(rng.randrange(0, 300)))
         decode_html(blob)  # must never raise
+
+
+def test_pdf15_objstm_xref_layout_invariant():
+    """PDF 1.5 (ObjStm container + binary XRef stream) extracts byte-
+    identically to the classic-xref layout for every compress combo —
+    the markdown is a function of the page content only, never the
+    file layout (r5 grammar notch; corpus class pdf_objstm_xref and
+    the i%3==0 slice of the driver PDF corpus use this layout)."""
+    from docling_api_spark.operators.pdf_extract import extract_pdf
+    from docling_api_spark.operators.pdf_write import write_pdf
+    pages = [[(72.0, 730.0, 24.0, ["Spec 7"]),
+              (72.0, 690.0, 18.0, ["Overview"]),
+              (72.0, 620.0, 11.0, ["Body one.", "Body two."])],
+             [(72.0, 730.0, 14.0, ["Part b"]),
+              (72.0, 690.0, 11.0, ["(ref 7\\3)"])]]
+    expect = extract_pdf(write_pdf(pages))
+    assert "# Spec 7" in expect and "(ref 7\\3)" in expect
+    for compress in (False, True):
+        got = extract_pdf(write_pdf(pages, compress=compress,
+                                    xref_stream=True))
+        assert got == expect, compress
+    # and the 1.5 file really is 1.5-shaped (no classic xref table)
+    pdf15 = write_pdf(pages, xref_stream=True)
+    assert pdf15.startswith(b"%PDF-1.5")
+    assert b"/Type /ObjStm" in pdf15 and b"/Type /XRef" in pdf15
+    assert b"\nxref\n" not in pdf15 and b"trailer" not in pdf15
+
+
+def test_pdf_object_scan_survives_endobj_in_stream_payload():
+    """A content stream whose PAYLOAD contains the bytes ``endobj`` /
+    ``N 0 obj`` must not derail the object scan: the stream-aware
+    scanner skips payloads by direct /Length before searching for the
+    object end (the old non-greedy ``(.*?)endobj`` regex truncated the
+    object here and silently extracted partial text)."""
+    from docling_api_spark.operators.pdf_extract import extract_pdf
+    from docling_api_spark.operators.pdf_write import write_pdf
+    tricky = "before endobj after 9 0 obj done"
+    pdf = write_pdf([[(72.0, 700.0, 11.0, [tricky])]])
+    assert extract_pdf(pdf) == tricky
+
+
+def test_pdf15_reader_robust_under_mutation():
+    """The ObjStm/XRef decode path fails only via PdfUnsupported (or
+    parses cleanly) under byte mutation and truncation — same poison-
+    document contract as the classic-layout mutation test."""
+    import random
+    import time
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         extract_pdf)
+    from docling_api_spark.operators.pdf_write import write_pdf
+
+    base = [write_pdf([[(72.0, 720.0, 18.0, [f"Doc {i}"]),
+                        (72.0, 680.0, 11.0, ["hello world " * 10])]],
+                      compress=bool(i % 2), xref_stream=True)
+            for i in range(2)]
+    rng = random.Random(20260817)
+    t0 = time.perf_counter()
+    for _ in range(500):
+        raw = bytearray(rng.choice(base))
+        for _ in range(rng.randint(1, 12)):
+            op = rng.random()
+            if op < 0.4 and raw:
+                raw[rng.randrange(len(raw))] = rng.randrange(256)
+            elif op < 0.7 and raw:
+                del raw[rng.randrange(len(raw))]
+            else:
+                raw.insert(rng.randrange(len(raw) + 1), rng.randrange(256))
+        try:
+            extract_pdf(bytes(raw))
+        except PdfUnsupported:
+            pass
+    for frac in range(0, len(base[0]), 61):
+        try:
+            extract_pdf(base[0][:frac])
+        except PdfUnsupported:
+            pass
+    assert time.perf_counter() - t0 < 20
+
+
+def test_pdf_hex_string_nonhex_is_typed_error():
+    """Non-hex chars inside a <…> hex string are malformed per PDF
+    32000 §7.3.4.3 and must surface as PdfUnsupported, not a stray
+    ValueError escaping bytes.fromhex (r5 mutation-fuzz find)."""
+    import pytest
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         _tokenize)
+    with pytest.raises(PdfUnsupported):
+        list(_tokenize(b"<12g4> Tj"))
