@@ -143,3 +143,47 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
     out += f"{xref_id} 0 obj\n".encode() + xref_body + b"\nendobj\n"
     out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
     return bytes(out)
+
+
+def append_update(pdf: bytes,
+                  page_index: int,
+                  blocks: list[tuple[float, float, float, list[str]]],
+                  compress: bool = False) -> bytes:
+    """Append an incremental-update revision (PDF 32000 §7.5.6) that
+    REPLACES page ``page_index``'s content stream: the original bytes
+    are untouched (the defining property of incremental save — how
+    Acrobat, signing tools and most editors write changes), followed by
+    the replacement object, a one-entry classic xref subsection, and a
+    trailer chained to the previous one via ``/Prev``.
+
+    Real-corpus relevance: a reader that resolves objects from the
+    FIRST definition (or ignores updates) silently extracts the stale
+    pre-edit text — the reader's last-definition-wins object scan is
+    what makes the update visible. Works on both the classic and the
+    ``xref_stream=True`` base layouts (object numbering is shared)."""
+    import re as _re
+    content_id = 5 + 2 * page_index
+    cs = content_stream(blocks)
+    if compress:
+        data = zlib.compress(cs, 6)
+        head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
+    else:
+        data = cs
+        head = f"<< /Length {len(data)} >>".encode()
+    prevs = _re.findall(rb"startxref\s+(\d+)", pdf)
+    if not prevs:
+        raise ValueError("base pdf has no startxref to chain /Prev to")
+    prev = int(prevs[-1])
+    sizes = _re.findall(rb"/Size\s+(\d+)", pdf)
+    size = max([int(s) for s in sizes] + [content_id + 1])
+    out = bytearray(pdf)
+    if not out.endswith(b"\n"):
+        out += b"\n"
+    obj_off = len(out)
+    out += (f"{content_id} 0 obj\n".encode() + head
+            + b"\nstream\n" + data + b"\nendstream\nendobj\n")
+    xref_pos = len(out)
+    out += (f"xref\n{content_id} 1\n{obj_off:010d} 00000 n \n"
+            f"trailer\n<< /Size {size} /Root 1 0 R /Prev {prev} >>\n"
+            f"startxref\n{xref_pos}\n%%EOF\n").encode()
+    return bytes(out)

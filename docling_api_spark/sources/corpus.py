@@ -20,7 +20,7 @@ import zipfile
 import io
 from dataclasses import dataclass
 
-from ..operators.pdf_write import write_pdf
+from ..operators.pdf_write import append_update, write_pdf
 
 EPOCH = datetime.datetime(2025, 1, 1, 0, 0, 0)  # FIXTURES.md §1, never wall clock
 LANGS = ("en", "fr", "de", "es", "it", "pt")     # reference OCR set, service.py:37
@@ -264,6 +264,24 @@ def pdf_objstm_xref(i: int) -> Fixture:
     return Fixture("pdf_objstm_xref", content, "pdf", "pdf", golden)
 
 
+def pdf_incremental_update(i: int) -> Fixture:
+    """Incremental-save revision (r5, PDF 32000 §7.5.6): base document
+    plus an appended update section replacing page 0's content stream,
+    chained via /Prev — how Acrobat/signing tools/most editors save
+    changes. Extraction must return the UPDATED text; a first-
+    definition-wins reader silently extracts the stale pre-edit body.
+    Cycles all four base layouts (classic/1.5 × plain/Flate)."""
+    stale = [(72, 730, 24, [f"Notice {i}"]),
+             (72, 690, 12, ["Stale pre-edit body."])]
+    final = [(72, 730, 24, [f"Notice {i}"]),
+             (72, 690, 12, ["Revised body, second save."])]
+    base = write_pdf([stale], compress=(i % 2 == 0),
+                     xref_stream=(i % 4 < 2))
+    content = append_update(base, 0, final, compress=(i % 2 == 1))
+    golden = f"# Notice {i}\n\nRevised body, second save."
+    return Fixture("pdf_incremental_update", content, "pdf", "pdf", golden)
+
+
 def pdf_two_column(i: int) -> Fixture:
     pages = [[
         (72, 720, 24, [f"Paper {i}"]),
@@ -372,7 +390,7 @@ FIXTURE_CLASSES = [
     html_boilerplate, html_entities_whitespace, xhtml_decl,
     html_no_doctype_fragment, md_passthrough, asciidoc_basic,
     pdf_text_simple, pdf_text_multipage, pdf_two_column,
-    pdf_heading_levels, pdf_objstm_xref,
+    pdf_heading_levels, pdf_objstm_xref, pdf_incremental_update,
     docx_basic, pptx_basic, image_png_stub, unsupported_bin, broken_html,
 ]
 

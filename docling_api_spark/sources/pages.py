@@ -660,8 +660,24 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                 # page rule, so 1.5 covers both single- and two-page
                 # shapes); markdown is layout-invariant, so the driver
                 # oracle is unchanged
-                htmls[j] = write_pdf(doc_pages, compress=i % 2 == 0,
-                                     xref_stream=i % 3 == 0)
+                if i % 7 == 4:
+                    # incremental-save slice (r5): the base revision
+                    # carries STALE page-0 text; an appended update
+                    # (§7.5.6, /Prev-chained) replaces it with the
+                    # real blocks — the oracle expects the UPDATED
+                    # text, so a first-definition-wins reader fails
+                    # the value gate
+                    from ..operators.pdf_write import append_update
+                    stale = [(72.0, 730.0, 24.0, [f"Doc {i} STALE"]),
+                             (72.0, 690.0, 11.0, ["pre-edit text"])]
+                    base = write_pdf(
+                        [stale] + doc_pages[1:],
+                        compress=i % 2 == 0, xref_stream=i % 3 == 0)
+                    htmls[j] = append_update(
+                        base, 0, doc_pages[0], compress=i % 2 == 0)
+                else:
+                    htmls[j] = write_pdf(doc_pages, compress=i % 2 == 0,
+                                         xref_stream=i % 3 == 0)
                 urls[j] = url[: -len(".html")] + ".pdf"
             out = pdf.copy()
             out["url"] = pd.Series(urls, index=pdf.index)

@@ -411,3 +411,28 @@ def test_pdf_hex_string_nonhex_is_typed_error():
                                                          _tokenize)
     with pytest.raises(PdfUnsupported):
         list(_tokenize(b"<12g4> Tj"))
+
+
+def test_pdf_incremental_update_last_definition_wins():
+    """An appended incremental-save revision (§7.5.6) replaces a page's
+    content; extraction must return the UPDATED text on every base
+    layout, and the base bytes must be a strict prefix (the defining
+    property of incremental save)."""
+    from docling_api_spark.operators.pdf_extract import extract_pdf
+    from docling_api_spark.operators.pdf_write import (append_update,
+                                                       write_pdf)
+    stale = [(72.0, 730.0, 24.0, ["Doc 4 STALE"]),
+             (72.0, 690.0, 11.0, ["pre-edit text"])]
+    final = [(72.0, 730.0, 24.0, ["Doc 4"]),
+             (72.0, 690.0, 11.0, ["post-edit text"])]
+    p2 = [(72.0, 730.0, 14.0, ["Part b"]),
+          (72.0, 690.0, 11.0, ["page two body"])]
+    for xs in (False, True):
+        for c in (False, True):
+            base = write_pdf([stale, p2], compress=c, xref_stream=xs)
+            upd = append_update(base, 0, final, compress=c)
+            assert upd.startswith(base)
+            assert extract_pdf(base).startswith("# Doc 4 STALE")
+            got = extract_pdf(upd)
+            assert got == ("# Doc 4\n\npost-edit text\n\n"
+                           "### Part b\n\npage two body"), (xs, c, got)
