@@ -14,6 +14,13 @@ grammar produced by :mod:`.pdf_write` —
   the layout real Common-Crawl PDFs near-universally use (binary
   ``/Type /XRef`` streams are tolerated as ordinary stream objects;
   the scan does not need the cross-reference table);
+- incremental-update revisions (r5): appended §7.5.6 update sections
+  resolve last-definition-wins, so edited/re-saved documents extract
+  the post-edit text;
+- font encodings (r5): default latin-1; ``/WinAnsiEncoding`` (cp1252,
+  the dominant real-PDF single-byte encoding; the five holes fall back
+  per byte); encoding dicts with ``/Differences`` glyph-name remaps
+  over an AGL subset (unknown glyph names scope out);
 - page tree: ``/Type /Catalog`` → ``/Pages`` → ``/Kids`` order;
 - content streams: plain or ``/FlateDecode``;
 - text operators: ``BT ET Tf Td TD TL T* Tm Tj TJ '``;
@@ -249,8 +256,12 @@ def _tokenize(stream: bytes):
             i = j
 
 
-def _extract_items(stream: bytes, page_no: int) -> list[tuple]:
-    """→ [(page, x, y, size, text)]"""
+def _extract_items(stream: bytes, page_no: int,
+                   decode=None) -> list[tuple]:
+    """→ [(page, x, y, size, text)]; ``decode`` maps string-operand
+    bytes to text per the page font's /Encoding (default latin-1)."""
+    if decode is None:
+        decode = _decode_latin1
     items: list[tuple] = []
     stack: list = []
     x = y = 0.0
@@ -296,7 +307,7 @@ def _extract_items(stream: bytes, page_no: int) -> list[tuple]:
                 ly -= leading
                 x, y = lx, ly
             if stack and stack[-1][0] == "str":
-                txt = stack[-1][1].decode("latin-1")
+                txt = decode(stack[-1][1])
                 if in_text and txt:
                     items.append((page_no, x, y, size, txt))
         elif op == b"TJ":
@@ -304,7 +315,7 @@ def _extract_items(stream: bytes, page_no: int) -> list[tuple]:
                 parts = []
                 for k, v in stack[-1][1]:
                     if k == "str":
-                        parts.append(v.decode("latin-1"))
+                        parts.append(decode(v))
                     elif k == "num" and v <= -180:
                         parts.append(" ")  # large negative kern ≈ word gap
                 txt = "".join(parts)
@@ -314,7 +325,109 @@ def _extract_items(stream: bytes, page_no: int) -> list[tuple]:
     return items
 
 
-def _page_streams(data: bytes) -> list[bytes]:
+#: AGL (Adobe Glyph List) subset — the glyph names /Differences arrays
+#: actually use for Western-European text; outside this subset the
+#: reader scopes out via PdfUnsupported (the honest .notdef).
+_AGL = {
+    "Euro": "€", "oe": "œ", "OE": "Œ",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "perthousand": "‰", "trademark": "™",
+    "florin": "ƒ", "circumflex": "ˆ", "tilde": "˜",
+    "scaron": "š", "Scaron": "Š", "zcaron": "ž",
+    "Zcaron": "Ž", "ydieresis": "ÿ", "Ydieresis": "Ÿ",
+    "eacute": "é", "egrave": "è", "ecircumflex": "ê",
+    "edieresis": "ë", "agrave": "à", "acircumflex": "â",
+    "adieresis": "ä", "aring": "å", "Aring": "Å",
+    "ae": "æ", "AE": "Æ", "ccedilla": "ç",
+    "Ccedilla": "Ç", "udieresis": "ü", "ugrave": "ù",
+    "ucircumflex": "û", "odieresis": "ö",
+    "ocircumflex": "ô", "oslash": "ø", "Oslash": "Ø",
+    "ntilde": "ñ", "Ntilde": "Ñ", "idieresis": "ï",
+    "icircumflex": "î", "germandbls": "ß",
+    "thorn": "þ", "Thorn": "Þ", "eth": "ð",
+    "Eth": "Ð", "mu": "µ", "degree": "°",
+    "section": "§", "copyright": "©", "registered": "®",
+    "sterling": "£", "yen": "¥", "cent": "¢",
+    "guillemotleft": "«", "guillemotright": "»",
+    "questiondown": "¿", "exclamdown": "¡",
+}
+
+_DIFF_RX = re.compile(rb"/Differences\s*\[(.*?)\]", re.DOTALL)
+_DIFF_TOK_RX = re.compile(rb"(\d+)|/([A-Za-z0-9.]+)")
+_ENC_REF_RX = re.compile(rb"/Encoding\s+(\d+)\s+0\s+R")
+
+#: the five cp1252 holes — WinAnsi leaves them undefined; fall back to
+#: the latin-1 codepoint rather than crash (real readers show .notdef)
+_CP1252_HOLES = frozenset((0x81, 0x8D, 0x8F, 0x90, 0x9D))
+
+
+def _decode_latin1(b: bytes) -> str:
+    return b.decode("latin-1")
+
+
+def _decode_winansi(b: bytes) -> str:
+    try:
+        return b.decode("cp1252")
+    except UnicodeDecodeError:
+        return "".join(
+            bytes([c]).decode("latin-1" if c in _CP1252_HOLES else "cp1252")
+            for c in b)
+
+
+def _font_decoder(objs: dict[int, bytes], page_body: bytes):
+    """Per-page string decoder from the page's ``/F1`` font's
+    ``/Encoding`` (r5): absent → latin-1 (the fixture default and a
+    fair StandardEncoding stand-in for the scoped grammar);
+    ``/WinAnsiEncoding`` → cp1252; an encoding DICT (direct or
+    indirect) with ``/Differences`` → the base map overridden at the
+    listed codes by AGL glyph values — consecutive names increment the
+    code per §9.6.6.3. Glyph names outside the AGL subset scope out
+    via PdfUnsupported (the honest .notdef)."""
+    font_ref = None
+    for name, ref in _REF_RX.findall(page_body):
+        if name == b"F1":
+            font_ref = int(ref)
+    fobj = objs.get(font_ref, b"") if font_ref is not None else b""
+    enc = fobj
+    m = _ENC_REF_RX.search(fobj)
+    if m:
+        enc = objs.get(int(m.group(1)), b"")
+    if b"/Differences" in enc:
+        base = (_decode_winansi if b"/WinAnsiEncoding" in enc
+                else _decode_latin1)
+        dm = _DIFF_RX.search(enc)
+        if dm is None:
+            raise PdfUnsupported("malformed /Differences array")
+        table: dict[int, str] = {}
+        code = None
+        for num, glyph in _DIFF_TOK_RX.findall(dm.group(1)):
+            if num:
+                code = int(num)
+                continue
+            if code is None or code > 255:
+                raise PdfUnsupported("malformed /Differences code")
+            gname = glyph.decode("latin-1")
+            if gname not in _AGL:
+                raise PdfUnsupported(
+                    f"glyph outside AGL subset: {gname}")
+            table[code] = _AGL[gname]
+            code += 1
+
+        def dec(b: bytes, _base=base, _t=table) -> str:
+            return "".join(
+                _t[c] if c in _t else _base(bytes([c])) for c in b)
+        return dec
+    if b"/WinAnsiEncoding" in enc:
+        return _decode_winansi
+    return _decode_latin1
+
+
+def _page_streams(data: bytes) -> list[tuple[bytes, object]]:
+    """→ [(content_stream_bytes, string_decoder)] in /Kids order."""
     objs = _parse_objects(data)
     if b"/Encrypt" in data[:2048] or any(b"/Encrypt" in o[:200] for o in objs.values()):
         raise PdfUnsupported("encrypted pdf")
@@ -337,18 +450,19 @@ def _page_streams(data: bytes) -> list[bytes]:
             if b"/Type" in body and b"/Page" in body and b"/Pages" not in body)
     if not page_ids:
         raise PdfUnsupported("no pages found")
-    streams: list[bytes] = []
+    streams: list[tuple[bytes, object]] = []
     for pid in page_ids:
         body = objs.get(pid, b"")
+        dec = _font_decoder(objs, body)
         cid = None
         for name, ref in _REF_RX.findall(body):
             if name == b"Contents":
                 cid = int(ref)
         if cid is None:
-            streams.append(b"")
+            streams.append((b"", dec))
             continue
         s = _stream_of(objs.get(cid, b""))
-        streams.append(s or b"")
+        streams.append((s or b"", dec))
     return streams
 
 
@@ -364,8 +478,8 @@ def extract_pdf(content: bytes) -> str:
         raise PdfUnsupported("not a pdf header")
     streams = _page_streams(content)
     all_items: list[tuple] = []
-    for pno, s in enumerate(streams):
-        all_items.extend(_extract_items(s, pno))
+    for pno, (s, dec) in enumerate(streams):
+        all_items.extend(_extract_items(s, pno, dec))
     if not all_items:
         return ""
     # reading order: page, column (two-column split at half width), top-down, left-right

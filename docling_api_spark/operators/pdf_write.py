@@ -17,27 +17,77 @@ def _escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _text_encoder(font_encoding):
+    """str→bytes for content-stream string operands. ``None`` →
+    latin-1 (the classic fixture default); ``"winansi"`` → cp1252;
+    a dict ``{code: glyph_name}`` → those chars map to the REMAPPED
+    code (base WinAnsi for the rest) and the font must carry the
+    matching /Differences array — a reader that ignores Differences
+    decodes the base-encoding char at that code, visibly wrong."""
+    if font_encoding is None:
+        return lambda s: s.encode("latin-1")
+    if font_encoding == "winansi":
+        return lambda s: s.encode("cp1252")
+    from .pdf_extract import _AGL
+    rev = {_AGL[g]: code for code, g in font_encoding.items()}
+    taken = set(font_encoding)
+
+    def enc(s: str) -> bytes:
+        out = bytearray()
+        for ch in s:
+            if ch in rev:
+                out.append(rev[ch])
+                continue
+            b = ch.encode("cp1252")
+            if len(b) == 1 and b[0] in taken:
+                # the base char at a remapped code no longer exists in
+                # this font — emitting it would decode as the glyph
+                raise ValueError(
+                    f"char {ch!r} unencodable: code {b[0]:#x} is "
+                    f"remapped by /Differences")
+            out += b
+        return bytes(out)
+    return enc
+
+
+def _font_body(font_encoding) -> bytes:
+    base = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+    if font_encoding is None:
+        return (base + " >>").encode("latin-1")
+    if font_encoding == "winansi":
+        return (base + " /Encoding /WinAnsiEncoding >>").encode("latin-1")
+    diffs = " ".join(f"{code} /{name}"
+                     for code, name in sorted(font_encoding.items()))
+    return (base + " /Encoding << /Type /Encoding"
+            " /BaseEncoding /WinAnsiEncoding"
+            f" /Differences [ {diffs} ] >> >>").encode("latin-1")
+
+
 def content_stream(blocks: list[tuple[float, float, float, list[str]]],
-                   leading: float = 14.0) -> bytes:
+                   leading: float = 14.0, encode=None) -> bytes:
     """blocks = [(x, y, font_size, lines)] — y is the baseline of the first
-    line; subsequent lines step down by ``leading``."""
-    parts = ["BT"]
+    line; subsequent lines step down by ``leading``. ``encode`` maps each
+    escaped string operand to bytes (default latin-1)."""
+    if encode is None:
+        encode = lambda s: s.encode("latin-1")  # noqa: E731
+    parts = [b"BT"]
     for x, y, size, lines in blocks:
-        parts.append(f"/F1 {size:g} Tf")
+        parts.append(f"/F1 {size:g} Tf".encode("latin-1"))
         cy = y
         for i, line in enumerate(lines):
             if i == 0:
-                parts.append(f"1 0 0 1 {x:g} {cy:g} Tm")
+                parts.append(f"1 0 0 1 {x:g} {cy:g} Tm".encode("latin-1"))
             else:
                 cy -= leading
-                parts.append(f"1 0 0 1 {x:g} {cy:g} Tm")
-            parts.append(f"({_escape(line)}) Tj")
-    parts.append("ET")
-    return "\n".join(parts).encode("latin-1")
+                parts.append(f"1 0 0 1 {x:g} {cy:g} Tm".encode("latin-1"))
+            parts.append(b"(" + encode(_escape(line)) + b") Tj")
+    parts.append(b"ET")
+    return b"\n".join(parts)
 
 
 def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
-              compress: bool = False, xref_stream: bool = False) -> bytes:
+              compress: bool = False, xref_stream: bool = False,
+              font_encoding=None) -> bytes:
     """pages = list of pages; each page a list of (x, y, size, lines)
     blocks. ``xref_stream=True`` (r5) emits the PDF 1.5 layout real
     Common-Crawl PDFs near-universally use: all dict-only objects
@@ -45,7 +95,12 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
     one ``/Type /ObjStm`` container, plus a binary ``/Type /XRef``
     cross-reference STREAM (W [1 4 2] type/offset/gen rows) instead of
     the classic ``xref`` table — the reference reads these via
-    docling-parse (poetry.lock:503-504)."""
+    docling-parse (poetry.lock:503-504). ``font_encoding`` (r5):
+    None → latin-1 strings, ``"winansi"`` → /Encoding /WinAnsiEncoding
+    + cp1252 strings, a ``{code: glyph_name}`` dict → a /Differences
+    array over /WinAnsiEncoding with string bytes remapped to match
+    (see :func:`_text_encoder`)."""
+    encode = _text_encoder(font_encoding)
     n_pages = len(pages)
     dict_objs: list[tuple[int, bytes]] = []
     stream_objs: list[tuple[int, bytes]] = []
@@ -58,8 +113,7 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
     dict_objs.append(
         (2, f"<< /Type /Pages /Kids [{kid_refs}] /Count {n_pages} >>"
             .encode("latin-1")))
-    dict_objs.append(
-        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+    dict_objs.append((3, _font_body(font_encoding)))
     for i, page in enumerate(pages):
         page_id = first_page_id + 2 * i
         content_id = page_id + 1
@@ -68,7 +122,7 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
              (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
               f"/Resources << /Font << /F1 3 0 R >> >> "
               f"/Contents {content_id} 0 R >>").encode("latin-1")))
-        cs = content_stream(page)
+        cs = content_stream(page, encode=encode)
         if compress:
             data = zlib.compress(cs, 6)
             head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
@@ -148,7 +202,7 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
 def append_update(pdf: bytes,
                   page_index: int,
                   blocks: list[tuple[float, float, float, list[str]]],
-                  compress: bool = False) -> bytes:
+                  compress: bool = False, font_encoding=None) -> bytes:
     """Append an incremental-update revision (PDF 32000 §7.5.6) that
     REPLACES page ``page_index``'s content stream: the original bytes
     are untouched (the defining property of incremental save — how
@@ -163,7 +217,7 @@ def append_update(pdf: bytes,
     ``xref_stream=True`` base layouts (object numbering is shared)."""
     import re as _re
     content_id = 5 + 2 * page_index
-    cs = content_stream(blocks)
+    cs = content_stream(blocks, encode=_text_encoder(font_encoding))
     if compress:
         data = zlib.compress(cs, 6)
         head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()

@@ -160,7 +160,10 @@ SELECT
                  || CAST(doc_id % 3 AS VARCHAR) || ' b'
             ELSE '' END
     || chr(10) || chr(10) || '(ref ' || CAST(doc_id AS VARCHAR)
-    || chr(92) || CAST(doc_id % 7 AS VARCHAR) || ')' AS markdown,
+    || chr(92) || CAST(doc_id % 7 AS VARCHAR) || ')'
+    || CASE WHEN doc_id % 30 = 24
+            THEN ' “prix” ' || CAST(doc_id % 50 AS VARCHAR) || ' €'
+            ELSE '' END AS markdown,
   CAST(NULL AS VARCHAR) AS error
 FROM documents
 WHERE doc_id % 10 = 4
@@ -889,7 +892,10 @@ WITH o AS (
     'Part ' || CAST(doc_id % 3 AS VARCHAR) AS r3,
     'Part ' || CAST(doc_id % 3 AS VARCHAR) || ' b' AS r4,
     '(ref ' || CAST(doc_id AS VARCHAR) || chr(92)
-      || CAST(doc_id % 7 AS VARCHAR) || ')' AS rl,
+      || CAST(doc_id % 7 AS VARCHAR) || ')'
+      || CASE WHEN doc_id % 30 = 24
+              THEN ' “prix” ' || CAST(doc_id % 50 AS VARCHAR) || ' €'
+              ELSE '' END AS rl,
     CASE WHEN doc_id % 20 = 14 THEN 1 ELSE 0 END AS pg2,
     CASE WHEN length(trim(text)) > 0 THEN 1 ELSE 0 END AS nb
   FROM documents WHERE doc_id % 10 = 4

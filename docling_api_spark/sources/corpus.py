@@ -282,6 +282,43 @@ def pdf_incremental_update(i: int) -> Fixture:
     return Fixture("pdf_incremental_update", content, "pdf", "pdf", golden)
 
 
+def pdf_winansi(i: int) -> Fixture:
+    """/WinAnsiEncoding font (r5): string bytes are cp1252, carrying
+    chars latin-1 lacks (€, curly quotes, ellipsis) — the dominant
+    single-byte encoding in real Western-European PDFs. A latin-1-only
+    reader yields mojibake for the 0x80-0x9F band."""
+    txt = f"Facture {i % 50} — total “{i % 9} €”, c’est fini…"
+    pages = [[
+        (72, 730, 24, [f"Facture {i}"]),
+        (72, 690, 12, [txt]),
+    ]]
+    content = write_pdf(pages, compress=(i % 2 == 0),
+                        xref_stream=(i % 4 < 2), font_encoding="winansi")
+    golden = f"# Facture {i}\n\n{txt}"
+    return Fixture("pdf_winansi", content, "pdf", "pdf", golden)
+
+
+_DIFF_MAP = {0xE9: "Euro", 0xEA: "quotedblleft", 0xEB: "quotedblright",
+             0xEC: "emdash"}
+
+
+def pdf_differences(i: int) -> Fixture:
+    """/Differences font encoding (r5): codes 0xE9-0xEC — which HAVE
+    base cp1252 meanings (é ê ë ì) — are remapped to Euro/quotes/emdash
+    glyph names, so a reader that ignores the Differences array decodes
+    visibly wrong chars (the embedded-subset-font pattern real PDF
+    generators emit)."""
+    txt = f"Quote {i % 9}: “sum {i % 50} €” — done"
+    pages = [[
+        (72, 730, 24, [f"Rapport {i}"]),
+        (72, 690, 12, [txt]),
+    ]]
+    content = write_pdf(pages, compress=(i % 2 == 1),
+                        xref_stream=(i % 4 >= 2), font_encoding=_DIFF_MAP)
+    golden = f"# Rapport {i}\n\n{txt}"
+    return Fixture("pdf_differences", content, "pdf", "pdf", golden)
+
+
 def pdf_two_column(i: int) -> Fixture:
     pages = [[
         (72, 720, 24, [f"Paper {i}"]),
@@ -391,6 +428,7 @@ FIXTURE_CLASSES = [
     html_no_doctype_fragment, md_passthrough, asciidoc_basic,
     pdf_text_simple, pdf_text_multipage, pdf_two_column,
     pdf_heading_levels, pdf_objstm_xref, pdf_incremental_update,
+    pdf_winansi, pdf_differences,
     docx_basic, pptx_basic, image_png_stub, unsupported_bin, broken_html,
 ]
 

@@ -642,7 +642,22 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                 # (pdf_write._escape / pdf_extract._ESCAPES) is driver
                 # value-gated, not just unit-tested. 40pt below the last
                 # body line (> 1.5×size → its own block).
-                ref_line = f"(ref {i}\\{i % 7})"
+                # r5 encoding slice (i%30==24, every third PDF): the
+                # ref paragraph gains chars OUTSIDE latin-1 (€ and
+                # curly quotes) and the font declares /WinAnsiEncoding
+                # — or, alternating by i//30, a /Differences array
+                # remapping codes 0xE9-0xEB (which HAVE base cp1252
+                # meanings, so ignoring the table yields visibly wrong
+                # chars). Both decode to identical text, so one oracle
+                # branch covers both.
+                enc = None
+                tail = ""
+                if i % 30 == 24:
+                    tail = " “prix” %d €" % (i % 50)
+                    enc = ("winansi" if (i // 30) % 2 == 0 else
+                           {0xE9: "Euro", 0xEA: "quotedblleft",
+                            0xEB: "quotedblright"})
+                ref_line = f"(ref {i}\\{i % 7}){tail}"
                 para_y = 620.0 - 14.0 * max(0, len(lines) - 1)
                 if i % 20 == 14:
                     # two-page fixture: the reference paragraph moves to
@@ -672,12 +687,15 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                              (72.0, 690.0, 11.0, ["pre-edit text"])]
                     base = write_pdf(
                         [stale] + doc_pages[1:],
-                        compress=i % 2 == 0, xref_stream=i % 3 == 0)
+                        compress=i % 2 == 0, xref_stream=i % 3 == 0,
+                        font_encoding=enc)
                     htmls[j] = append_update(
-                        base, 0, doc_pages[0], compress=i % 2 == 0)
+                        base, 0, doc_pages[0], compress=i % 2 == 0,
+                        font_encoding=enc)
                 else:
                     htmls[j] = write_pdf(doc_pages, compress=i % 2 == 0,
-                                         xref_stream=i % 3 == 0)
+                                         xref_stream=i % 3 == 0,
+                                         font_encoding=enc)
                 urls[j] = url[: -len(".html")] + ".pdf"
             out = pdf.copy()
             out["url"] = pd.Series(urls, index=pdf.index)

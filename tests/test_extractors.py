@@ -436,3 +436,51 @@ def test_pdf_incremental_update_last_definition_wins():
             got = extract_pdf(upd)
             assert got == ("# Doc 4\n\npost-edit text\n\n"
                            "### Part b\n\npage two body"), (xs, c, got)
+
+
+def test_pdf_winansi_and_differences_encodings():
+    """Font /Encoding handling (r5): /WinAnsiEncoding decodes the
+    cp1252 0x80-0x9F band (€, curly quotes) a latin-1 reader turns to
+    mojibake; a /Differences array over codes WITH base meanings
+    (0xE9 é etc.) must win over the base map; glyph names outside the
+    AGL subset scope out via PdfUnsupported."""
+    import pytest
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         _decode_winansi,
+                                                         extract_pdf)
+    from docling_api_spark.operators.pdf_write import write_pdf
+    txt = "Price: 42 € — “fair”, n’est-ce pas…"
+    for c in (False, True):
+        for xs in (False, True):
+            pdf = write_pdf([[(72.0, 730.0, 24.0, ["Facture 9"]),
+                              (72.0, 690.0, 11.0, [txt])]],
+                            compress=c, xref_stream=xs,
+                            font_encoding="winansi")
+            assert extract_pdf(pdf) == f"# Facture 9\n\n{txt}", (c, xs)
+    diff = {0xE9: "Euro", 0xEA: "quotedblleft", 0xEB: "quotedblright"}
+    txt2 = "Total € is “large”"
+    pdf = write_pdf([[(72.0, 690.0, 11.0, [txt2])]], font_encoding=diff)
+    assert extract_pdf(pdf) == txt2
+    # the table is load-bearing: base-winansi decode of the same bytes
+    # yields the (wrong) base chars
+    import re
+    m = re.search(rb"stream\r?\n(.*?)\r?\nendstream", pdf, re.DOTALL)
+    raw = re.search(rb"\((.*?)\) Tj", m.group(1), re.DOTALL).group(1)
+    assert _decode_winansi(raw) == "Total é is êlargeë"
+    # writer guard: base char at a remapped code is unencodable
+    with pytest.raises(ValueError):
+        write_pdf([[(72.0, 690.0, 11.0, ["café"])]], font_encoding=diff)
+    # reader scope: unknown glyph name is a typed error
+    bad = pdf.replace(b"/Euro", b"/Zyzzy")
+    with pytest.raises(PdfUnsupported):
+        extract_pdf(bad)
+
+
+def test_pdf_winansi_cp1252_holes_fall_back():
+    """The five cp1252 holes (0x81 8D 8F 90 9D) decode via latin-1
+    instead of crashing — real readers show .notdef, we keep the
+    codepoint (total-function contract)."""
+    from docling_api_spark.operators.pdf_extract import _decode_winansi
+    assert _decode_winansi(bytes([0x81, 0x41, 0x9D])) == "\x81A\x9d"
+    assert _decode_winansi("€œ".encode("cp1252")) == "€œ"
