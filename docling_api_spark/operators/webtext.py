@@ -837,3 +837,57 @@ def sequence_packing(spark: SparkSession, sf_dir: str,
 
 
 PACKING_ORACLE = _packing_sql("duck")
+
+
+# ------------------------------------------------- domain mixture
+
+def _mixture_sql(dialect: str) -> str:
+    """Domain-mixture report (r5) — the corpus-composition step every
+    pretraining pipeline runs before sampling: per-domain (``source``)
+    document/token totals, the domain's token share, and the sampling
+    weight that would rebalance the corpus to a UNIFORM per-domain
+    token budget (weight ∝ total/(n_domains·domain_tokens); a domain
+    at exactly its uniform share gets weight 1.0). Shares and weights
+    are exact integer arithmetic in parts-per-million — no float
+    division, so engine and oracle agree to the last digit.
+
+    Plan at 100 TB: one hash aggregate keyed on ``source`` (domains
+    ≪ docs, partial aggregation map-side), then a broadcast of the
+    one-row global total — the corpus never shuffles twice. Weighted
+    SAMPLING itself is a downstream map (rand() < weight·rate), kept
+    out of the report so the gate stays deterministic."""
+    toks = X.tokens(dialect)
+    n_tok = ("size(tk)" if dialect == "spark" else "len(tk)")
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""
+WITH t AS (
+  SELECT source, CAST({n_tok} AS BIGINT) AS n_tok
+  FROM (SELECT source, {toks} AS tk FROM documents) src
+),
+d AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS domain_tokens
+  FROM t GROUP BY source
+),
+g AS (
+  SELECT CAST(sum(domain_tokens) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS nd
+  FROM d
+)
+SELECT d.source, d.n_docs, d.domain_tokens,
+  CAST(CASE WHEN g.tot = 0 THEN 0
+       ELSE (1000000 * d.domain_tokens) {div} g.tot END AS BIGINT)
+    AS token_share_ppm,
+  CAST(CASE WHEN d.domain_tokens = 0 THEN 0
+       ELSE (1000000 * g.tot) {div} (g.nd * d.domain_tokens) END
+    AS BIGINT) AS weight_ppm
+FROM d, g
+"""
+
+
+def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_mixture_sql("spark"))
+
+
+MIXTURE_ORACLE = _mixture_sql("duck")

@@ -1566,7 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys == this dict's keys[0:50], in order).
 
     ROTATION POLICY (r5, replacing r4's ad-hoc subsumption notes): with
-    78 registered queries and 50 driver slots, the window ALTERNATES —
+    79 registered queries and 50 driver slots, the window ALTERNATES —
     every query rotated out in round K is rotated back in in round K+1,
     so no query's latest driver row is ever more than one round old.
     Each round's window is therefore: (a) every query with no driver row
@@ -1578,11 +1578,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     marker naming their last driver row.
 
     r5 window = 26 r3-last-gated + sequence_packing (never gated; r5
-    two-level-prefix-sum rework) + compact_roundtrip (new r5) + the r5
-    code/corpus-touched set (pdf xref-stream corpus, charset utf-16
-    remap, streaming fixture pre-materialization) + 15 flagship/
-    composite re-gates. The 28 rotated out are all r4-driver-green
-    (CORRECTNESS_r04: 50/50) with unchanged code, due back in r6.
+    two-level-prefix-sum rework) + compact_roundtrip and domain_mixture
+    (new r5) + the r5 code/corpus-touched set (pdf 1.5/incremental/
+    encoding corpus, charset utf-16 remap, streaming fixture
+    pre-materialization) + 14 flagship/composite re-gates. The 29
+    rotated out are all r4-driver-green (CORRECTNESS_r04: 50/50) with
+    unchanged code, due back in r6.
     """
     return {
         # ---- driver window (slots 1-50) ----
@@ -1639,9 +1640,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": similarity.ann_ivf_trained,
         "ann_recall_report": similarity.ann_recall_report,
         "bpe_train": bpe.bpe_train,
-        "pii_scrub": pii.pii_scrub,
+        # corpus-composition report (new r5): per-domain token shares
+        # + uniform-rebalance sampling weights, integer-exact ppm
+        "domain_mixture": webtext.domain_mixture,
         # ---- past the driver window (slots 51+): all r4-driver-green
         # (CORRECTNESS_r04 50/50), code unchanged since; due back r6 ----
+        "pii_scrub": pii.pii_scrub,                        # out r5 (r4-green)
         "host_link_graph": host_link_graph,                # out r5 (r4-green)
         "host_pagerank": host_pagerank,                    # out r5 (r4-green)
         "extract_quality_pipeline": extract_quality_pipeline,  # out r5 (r4-green)
@@ -1708,6 +1712,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_snapshot_diff": webtext.SNAPSHOT_DIFF_ORACLE,
         "fetch_schedule": webtext.FETCH_SCHEDULE_ORACLE,
         "sequence_packing": webtext.PACKING_ORACLE,
+        "domain_mixture": webtext.MIXTURE_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,
         "metrics_rollup": relational.METRICS_ROLLUP_ORACLE,

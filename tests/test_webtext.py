@@ -536,3 +536,35 @@ def test_sequence_packing_spark_plan_and_invariance(spark):
     oracle = sorted(tuple(int(x) for x in r) for r in
                     con.sql(webtext._packing_sql("duck")).fetchall())
     assert r32 == oracle
+
+
+def test_domain_mixture_hand_layout(spark):
+    """Hand-evaluated mixture: two domains with a 3:1 token split under
+    a uniform target — shares 750000/250000 ppm, weights DIV-floored
+    from (1e6*tot)/(nd*dom). Zero-token domains get weight 0, not a
+    division error."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["a b c", "d e f", "g h i", "j k l", ""],
+        "lang": ["en"] * 5,
+        "source": ["big", "big", "big", "small", "empty"],
+        "n_chars": [5, 5, 5, 5, 0],
+    })
+    import os
+    import tempfile
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.mode("overwrite") \
+        .parquet(os.path.join(d, "documents.parquet"))
+    from docling_api_spark.operators.webtext import domain_mixture
+    rows = {r["source"]: r.asDict()
+            for r in domain_mixture(spark, d).collect()}
+    assert rows["big"]["domain_tokens"] == 9
+    assert rows["big"]["token_share_ppm"] == 750000
+    # weight = (1e6 * 12) DIV (3 * 9) = 444444
+    assert rows["big"]["weight_ppm"] == 444444
+    assert rows["small"]["token_share_ppm"] == 250000
+    # (1e6 * 12) DIV (3 * 3) = 1333333
+    assert rows["small"]["weight_ppm"] == 1333333
+    assert rows["empty"]["domain_tokens"] == 0
+    assert rows["empty"]["weight_ppm"] == 0
