@@ -20,7 +20,10 @@ grammar produced by :mod:`.pdf_write` —
 - font encodings (r5): default latin-1; ``/WinAnsiEncoding`` (cp1252,
   the dominant real-PDF single-byte encoding; the five holes fall back
   per byte); encoding dicts with ``/Differences`` glyph-name remaps
-  over an AGL subset (unknown glyph names scope out);
+  over an AGL subset (unknown glyph names scope out); ``/ToUnicode``
+  CMaps for one-byte codes (bfchar incl. multi-char ligature dsts,
+  scalar bfrange — the embedded-subset-font pattern where only the
+  CMap recovers text; array-form bfrange scopes out);
 - page tree: ``/Type /Catalog`` → ``/Pages`` → ``/Kids`` order;
 - content streams: plain or ``/FlateDecode``;
 - text operators: ``BT ET Tf Td TD TL T* Tm Tj TJ '``;
@@ -31,8 +34,8 @@ grammar produced by :mod:`.pdf_write` —
 - headings by Tf font size (the size-driven hierarchy reference-class
   PDFs carry): ≥20 → ``#``, ≥16 → ``##``, ≥13 → ``###``, else paragraph.
 
-Everything outside this grammar (encryption, other filters, CMaps,
-embedded fonts needing ToUnicode, image-only pages) raises
+Everything outside this grammar (encryption, other filters, multi-byte
+CID CMaps, image-only pages) raises
 :class:`PdfUnsupported` → the caller maps it to the
 ``pdf_unsupported_feature`` failure-code row — mirroring how the reference
 converts docling failures into error rows (``service.py:83-85``).
@@ -378,20 +381,88 @@ def _decode_winansi(b: bytes) -> str:
             for c in b)
 
 
+_TOUNICODE_RX = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+_BFCHAR_RX = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RX = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEXGRP_RX = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _parse_cmap(data: bytes) -> dict[int, str]:
+    """ToUnicode CMap → {byte code: text} (r5). Supports the two
+    §9.10.3 mapping operators for ONE-byte codes: ``bfchar`` pairs
+    (dst = UTF-16BE hex, possibly multi-char — ligature expansion) and
+    ``bfrange`` triples with a scalar dst start (the last-byte
+    increment rule). Array-form bfrange and multi-byte codespaces are
+    outside the scoped grammar → PdfUnsupported."""
+    table: dict[int, str] = {}
+    for m in _BFCHAR_RX.finditer(data):
+        hx = _HEXGRP_RX.findall(m.group(1))
+        if len(hx) % 2:
+            raise PdfUnsupported("odd bfchar entry count")
+        for src, dst in zip(hx[0::2], hx[1::2]):
+            code = int(src, 16)
+            if code > 255:
+                raise PdfUnsupported("multi-byte ToUnicode code")
+            if len(dst) % 4:
+                raise PdfUnsupported("bfchar dst not UTF-16BE")
+            try:
+                table[code] = bytes.fromhex(
+                    dst.decode("ascii")).decode("utf-16-be")
+            except UnicodeDecodeError as e:
+                raise PdfUnsupported(f"bad bfchar dst: {e}") from e
+    for m in _BFRANGE_RX.finditer(data):
+        body = m.group(1)
+        if b"[" in body:
+            raise PdfUnsupported("array-form bfrange unsupported")
+        hx = _HEXGRP_RX.findall(body)
+        if len(hx) % 3:
+            raise PdfUnsupported("bfrange expects triples")
+        for lo, hi, dst in zip(hx[0::3], hx[1::3], hx[2::3]):
+            lo_i, hi_i, start = int(lo, 16), int(hi, 16), int(dst, 16)
+            if hi_i > 255 or lo_i > hi_i or len(dst) != 4:
+                raise PdfUnsupported("bad bfrange bounds")
+            if start + (hi_i - lo_i) > 0xFFFF:
+                raise PdfUnsupported("bfrange beyond BMP")
+            for k in range(hi_i - lo_i + 1):
+                table[lo_i + k] = chr(start + k)
+    return table
+
+
 def _font_decoder(objs: dict[int, bytes], page_body: bytes):
-    """Per-page string decoder from the page's ``/F1`` font's
-    ``/Encoding`` (r5): absent → latin-1 (the fixture default and a
-    fair StandardEncoding stand-in for the scoped grammar);
-    ``/WinAnsiEncoding`` → cp1252; an encoding DICT (direct or
-    indirect) with ``/Differences`` → the base map overridden at the
-    listed codes by AGL glyph values — consecutive names increment the
-    code per §9.6.6.3. Glyph names outside the AGL subset scope out
-    via PdfUnsupported (the honest .notdef)."""
+    """Per-page string decoder from the page's ``/F1`` font (r5):
+    a ``/ToUnicode`` CMap, when present, is authoritative for text
+    extraction (§9.10.2 — the embedded-subset-font pattern where byte
+    codes are arbitrary and only the CMap recovers text); unmapped
+    codes fall back to the font's ``/Encoding`` chain: absent →
+    latin-1 (the fixture default and a fair StandardEncoding stand-in
+    for the scoped grammar); ``/WinAnsiEncoding`` → cp1252; an
+    encoding DICT (direct or indirect) with ``/Differences`` → the
+    base map overridden at the listed codes by AGL glyph values —
+    consecutive names increment the code per §9.6.6.3. Glyph names
+    outside the AGL subset scope out via PdfUnsupported (the honest
+    .notdef)."""
     font_ref = None
     for name, ref in _REF_RX.findall(page_body):
         if name == b"F1":
             font_ref = int(ref)
     fobj = objs.get(font_ref, b"") if font_ref is not None else b""
+    tm = _TOUNICODE_RX.search(fobj)
+    if tm:
+        payload = _stream_of(objs.get(int(tm.group(1)), b""))
+        if payload is None:
+            raise PdfUnsupported("missing ToUnicode stream")
+        cmap = _parse_cmap(payload)
+        base = _encoding_decoder(objs, fobj)
+
+        def dec(b: bytes, _t=cmap, _base=base) -> str:
+            return "".join(
+                _t[c] if c in _t else _base(bytes([c])) for c in b)
+        return dec
+    return _encoding_decoder(objs, fobj)
+
+
+def _encoding_decoder(objs: dict[int, bytes], fobj: bytes):
+    """The /Encoding-chain part of :func:`_font_decoder` (no CMap)."""
     enc = fobj
     m = _ENC_REF_RX.search(fobj)
     if m:

@@ -23,11 +23,44 @@ def _text_encoder(font_encoding):
     a dict ``{code: glyph_name}`` → those chars map to the REMAPPED
     code (base WinAnsi for the rest) and the font must carry the
     matching /Differences array — a reader that ignores Differences
-    decodes the base-encoding char at that code, visibly wrong."""
+    decodes the base-encoding char at that code, visibly wrong;
+    ``("tounicode", {code: text})`` → those texts (single chars or
+    multi-char ligatures) map to control-code bytes only a /ToUnicode
+    CMap can recover — the embedded-subset-font pattern."""
     if font_encoding is None:
         return lambda s: s.encode("latin-1")
     if font_encoding == "winansi":
         return lambda s: s.encode("cp1252")
+    if isinstance(font_encoding, tuple) and font_encoding[0] == "tounicode":
+        mapping = font_encoding[1]
+        for code in mapping:
+            # codes must be control bytes (no ASCII/parens/CR/LF
+            # collisions inside literal strings)
+            if not 1 <= code <= 0x1F or code in (0x0A, 0x0D):
+                raise ValueError(
+                    f"tounicode fixture code {code:#x} must be a "
+                    "control byte (not CR/LF)")
+        rev = {s: c for c, s in mapping.items()}
+        keys = sorted(rev, key=len, reverse=True)
+
+        def enc_tu(s: str) -> bytes:
+            out = bytearray()
+            i = 0
+            while i < len(s):
+                for k in keys:
+                    if s.startswith(k, i):
+                        out.append(rev[k])
+                        i += len(k)
+                        break
+                else:
+                    ch = s[i]
+                    if ord(ch) >= 128:
+                        raise ValueError(
+                            f"char {ch!r} not in ToUnicode map")
+                    out += ch.encode("ascii")
+                    i += 1
+            return bytes(out)
+        return enc_tu
     from .pdf_extract import _AGL
     rev = {_AGL[g]: code for code, g in font_encoding.items()}
     taken = set(font_encoding)
@@ -50,8 +83,32 @@ def _text_encoder(font_encoding):
     return enc
 
 
-def _font_body(font_encoding) -> bytes:
+def _tounicode_stream(mapping: dict[int, str], compress: bool) -> bytes:
+    """A §9.10.3 ToUnicode CMap stream body: one-byte codespace,
+    bfchar entries with UTF-16BE destinations."""
+    lines = [f"<{c:02X}> <{s.encode('utf-16-be').hex().upper()}>"
+             for c, s in sorted(mapping.items())]
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        "/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        f"{len(lines)} beginbfchar\n" + "\n".join(lines) + "\nendbfchar\n"
+        "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    ).encode("latin-1")
+    if compress:
+        data = zlib.compress(cmap, 6)
+        head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
+    else:
+        data = cmap
+        head = f"<< /Length {len(data)} >>".encode()
+    return head + b"\nstream\n" + data + b"\nendstream"
+
+
+def _font_body(font_encoding, tounicode_id: int | None = None) -> bytes:
     base = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+    if tounicode_id is not None:
+        return (base + f" /ToUnicode {tounicode_id} 0 R >>"
+                ).encode("latin-1")
     if font_encoding is None:
         return (base + " >>").encode("latin-1")
     if font_encoding == "winansi":
@@ -102,10 +159,15 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
     (see :func:`_text_encoder`)."""
     encode = _text_encoder(font_encoding)
     n_pages = len(pages)
+    tounicode = (font_encoding[1]
+                 if isinstance(font_encoding, tuple)
+                 and font_encoding[0] == "tounicode" else None)
+    # obj 1: catalog, obj 2: pages, obj 3: font, then per page:
+    # page obj + content obj; the optional ToUnicode CMap stream
+    # takes the next id after the pages
+    tounicode_id = 3 + 2 * n_pages + 1 if tounicode is not None else None
     dict_objs: list[tuple[int, bytes]] = []
     stream_objs: list[tuple[int, bytes]] = []
-    # obj 1: catalog, obj 2: pages, obj 3: font,
-    # then per page: page obj + content obj
     first_page_id = 4
     kid_refs = " ".join(
         f"{first_page_id + 2 * i} 0 R" for i in range(n_pages))
@@ -113,7 +175,10 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
     dict_objs.append(
         (2, f"<< /Type /Pages /Kids [{kid_refs}] /Count {n_pages} >>"
             .encode("latin-1")))
-    dict_objs.append((3, _font_body(font_encoding)))
+    dict_objs.append((3, _font_body(font_encoding, tounicode_id)))
+    if tounicode is not None:
+        stream_objs.append(
+            (tounicode_id, _tounicode_stream(tounicode, compress)))
     for i, page in enumerate(pages):
         page_id = first_page_id + 2 * i
         content_id = page_id + 1
@@ -150,8 +215,8 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
 
     # ---- PDF 1.5 layout: ObjStm + XRef stream ----
     # (stream-carrying objects cannot live inside an ObjStm per spec
-    # §7.5.7 — content streams stay top-level)
-    n_base = 3 + 2 * n_pages
+    # §7.5.7 — content streams and the ToUnicode CMap stay top-level)
+    n_base = 3 + 2 * n_pages + (1 if tounicode is not None else 0)
     objstm_id = n_base + 1
     xref_id = n_base + 2
     header_parts: list[str] = []

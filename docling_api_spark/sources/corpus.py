@@ -319,6 +319,25 @@ def pdf_differences(i: int) -> Fixture:
     return Fixture("pdf_differences", content, "pdf", "pdf", golden)
 
 
+def pdf_tounicode(i: int) -> Fixture:
+    """/ToUnicode CMap font (r5): string bytes are arbitrary control
+    codes only the embedded CMap (§9.10.3 bfchar, UTF-16BE dsts, incl.
+    a multi-char ligature) can recover — the embedded-subset-font
+    pattern ubiquitous in generator-produced real PDFs. Without the
+    CMap the text is literal control-code garbage."""
+    tu = ("tounicode", {0x01: "é", 0x02: "€", 0x03: "ffi",
+                        0x04: "“", 0x05: "”"})
+    txt = f"Office memo {i % 9}: caché “sum {i % 50} €” ffi"
+    pages = [[
+        (72, 730, 24, [f"Memo {i}"]),
+        (72, 690, 12, [txt]),
+    ]]
+    content = write_pdf(pages, compress=(i % 2 == 0),
+                        xref_stream=(i % 4 >= 2), font_encoding=tu)
+    golden = f"# Memo {i}\n\n{txt}"
+    return Fixture("pdf_tounicode", content, "pdf", "pdf", golden)
+
+
 def pdf_two_column(i: int) -> Fixture:
     pages = [[
         (72, 720, 24, [f"Paper {i}"]),
@@ -428,7 +447,7 @@ FIXTURE_CLASSES = [
     html_no_doctype_fragment, md_passthrough, asciidoc_basic,
     pdf_text_simple, pdf_text_multipage, pdf_two_column,
     pdf_heading_levels, pdf_objstm_xref, pdf_incremental_update,
-    pdf_winansi, pdf_differences,
+    pdf_winansi, pdf_differences, pdf_tounicode,
     docx_basic, pptx_basic, image_png_stub, unsupported_bin, broken_html,
 ]
 

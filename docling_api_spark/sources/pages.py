@@ -644,19 +644,25 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                 # body line (> 1.5×size → its own block).
                 # r5 encoding slice (i%30==24, every third PDF): the
                 # ref paragraph gains chars OUTSIDE latin-1 (€ and
-                # curly quotes) and the font declares /WinAnsiEncoding
-                # — or, alternating by i//30, a /Differences array
-                # remapping codes 0xE9-0xEB (which HAVE base cp1252
-                # meanings, so ignoring the table yields visibly wrong
-                # chars). Both decode to identical text, so one oracle
-                # branch covers both.
+                # curly quotes) and the font alternates by i//30 among
+                # /WinAnsiEncoding, a /Differences array remapping
+                # codes 0xE9-0xEB (which HAVE base cp1252 meanings, so
+                # ignoring the table yields visibly wrong chars), and
+                # a /ToUnicode CMap mapping control-code bytes (the
+                # embedded-subset-font pattern — unreadable without
+                # the CMap). All three decode to identical text, so
+                # one oracle branch covers them.
                 enc = None
                 tail = ""
                 if i % 30 == 24:
                     tail = " “prix” %d €" % (i % 50)
-                    enc = ("winansi" if (i // 30) % 2 == 0 else
-                           {0xE9: "Euro", 0xEA: "quotedblleft",
-                            0xEB: "quotedblright"})
+                    enc = [
+                        "winansi",
+                        {0xE9: "Euro", 0xEA: "quotedblleft",
+                         0xEB: "quotedblright"},
+                        ("tounicode",
+                         {0x01: "€", 0x04: "“", 0x05: "”"}),
+                    ][(i // 30) % 3]
                 ref_line = f"(ref {i}\\{i % 7}){tail}"
                 para_y = 620.0 - 14.0 * max(0, len(lines) - 1)
                 if i % 20 == 14:

@@ -484,3 +484,41 @@ def test_pdf_winansi_cp1252_holes_fall_back():
     from docling_api_spark.operators.pdf_extract import _decode_winansi
     assert _decode_winansi(bytes([0x81, 0x41, 0x9D])) == "\x81A\x9d"
     assert _decode_winansi("€œ".encode("cp1252")) == "€œ"
+
+
+def test_pdf_tounicode_cmap():
+    """/ToUnicode CMaps (r5): bfchar with UTF-16BE dsts (incl. a
+    multi-char ligature expansion), bfrange with the last-byte
+    increment rule, CMap authority over the base encoding, and typed
+    scoping of the array-form bfrange."""
+    import pytest
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         _parse_cmap,
+                                                         extract_pdf)
+    from docling_api_spark.operators.pdf_write import write_pdf
+    tu = ("tounicode", {0x01: "é", 0x02: "€", 0x03: "ffi",
+                        0x04: "“", 0x05: "”"})
+    txt = "Office € caché “quoted” ffi"
+    for c in (False, True):
+        for xs in (False, True):
+            pdf = write_pdf([[(72.0, 730.0, 24.0, ["CMap 1"]),
+                              (72.0, 690.0, 11.0, [txt])]],
+                            compress=c, xref_stream=xs, font_encoding=tu)
+            assert extract_pdf(pdf) == f"# CMap 1\n\n{txt}", (c, xs)
+    # the bytes on the wire are control codes — 'Office' collapses to
+    # 'O\x03ce' via the ligature — so the CMap is load-bearing
+    import re
+    pdf = write_pdf([[(72.0, 690.0, 11.0, [txt])]], font_encoding=tu)
+    m = re.search(rb"stream\r?\n(.*?)\r?\nendstream", pdf, re.DOTALL)
+    raw = re.search(rb"\((.*?)\) Tj", m.group(1), re.DOTALL).group(1)
+    assert raw.startswith(b"O\x03ce ")
+    # bfrange: consecutive codes, incremented dst
+    assert _parse_cmap(b"1 beginbfrange\n<41> <43> <00E9>\nendbfrange") \
+        == {0x41: "é", 0x42: "ê", 0x43: "ë"}
+    with pytest.raises(PdfUnsupported):
+        _parse_cmap(b"beginbfrange\n<41> <42> [<00E9> <00EA>]\nendbfrange")
+    # writer guard: codes must be control bytes
+    with pytest.raises(ValueError):
+        write_pdf([[(72.0, 690.0, 11.0, ["x"])]],
+                  font_encoding=("tounicode", {0x41: "€"}))
