@@ -121,10 +121,13 @@ def _font_body(font_encoding, tounicode_id: int | None = None) -> bytes:
 
 
 def content_stream(blocks: list[tuple[float, float, float, list[str]]],
-                   leading: float = 14.0, encode=None) -> bytes:
+                   leading: float = 14.0, encode=None,
+                   hex_strings: bool = False) -> bytes:
     """blocks = [(x, y, font_size, lines)] — y is the baseline of the first
     line; subsequent lines step down by ``leading``. ``encode`` maps each
-    escaped string operand to bytes (default latin-1)."""
+    escaped string operand to bytes (default latin-1). ``hex_strings``
+    emits ``<...> Tj`` instead of literal strings — what real generators
+    write for subset-encoded (ToUnicode) fonts; hex needs no escaping."""
     if encode is None:
         encode = lambda s: s.encode("latin-1")  # noqa: E731
     parts = [b"BT"]
@@ -137,7 +140,12 @@ def content_stream(blocks: list[tuple[float, float, float, list[str]]],
             else:
                 cy -= leading
                 parts.append(f"1 0 0 1 {x:g} {cy:g} Tm".encode("latin-1"))
-            parts.append(b"(" + encode(_escape(line)) + b") Tj")
+            if hex_strings:
+                parts.append(
+                    b"<" + encode(line).hex().upper().encode("ascii")
+                    + b"> Tj")
+            else:
+                parts.append(b"(" + encode(_escape(line)) + b") Tj")
     parts.append(b"ET")
     return b"\n".join(parts)
 
@@ -187,7 +195,10 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
              (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
               f"/Resources << /Font << /F1 3 0 R >> >> "
               f"/Contents {content_id} 0 R >>").encode("latin-1")))
-        cs = content_stream(page, encode=encode)
+        # subset-encoded (ToUnicode) fonts get hex strings — the shape
+        # real generators emit for arbitrary byte codes
+        cs = content_stream(page, encode=encode,
+                            hex_strings=tounicode is not None)
         if compress:
             data = zlib.compress(cs, 6)
             head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
@@ -282,7 +293,10 @@ def append_update(pdf: bytes,
     ``xref_stream=True`` base layouts (object numbering is shared)."""
     import re as _re
     content_id = 5 + 2 * page_index
-    cs = content_stream(blocks, encode=_text_encoder(font_encoding))
+    cs = content_stream(
+        blocks, encode=_text_encoder(font_encoding),
+        hex_strings=isinstance(font_encoding, tuple)
+        and font_encoding[0] == "tounicode")
     if compress:
         data = zlib.compress(cs, 6)
         head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()

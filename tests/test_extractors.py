@@ -506,12 +506,14 @@ def test_pdf_tounicode_cmap():
                               (72.0, 690.0, 11.0, [txt])]],
                             compress=c, xref_stream=xs, font_encoding=tu)
             assert extract_pdf(pdf) == f"# CMap 1\n\n{txt}", (c, xs)
-    # the bytes on the wire are control codes — 'Office' collapses to
+    # the bytes on the wire are HEX STRINGS of control codes (what real
+    # generators emit for subset fonts) — 'Office' collapses to
     # 'O\x03ce' via the ligature — so the CMap is load-bearing
     import re
     pdf = write_pdf([[(72.0, 690.0, 11.0, [txt])]], font_encoding=tu)
     m = re.search(rb"stream\r?\n(.*?)\r?\nendstream", pdf, re.DOTALL)
-    raw = re.search(rb"\((.*?)\) Tj", m.group(1), re.DOTALL).group(1)
+    hx = re.search(rb"<([0-9A-F]+)> Tj", m.group(1)).group(1)
+    raw = bytes.fromhex(hx.decode("ascii"))
     assert raw.startswith(b"O\x03ce ")
     # bfrange: consecutive codes, incremented dst
     assert _parse_cmap(b"1 beginbfrange\n<41> <43> <00E9>\nendbfrange") \
