@@ -23,7 +23,11 @@ grammar produced by :mod:`.pdf_write` —
   over an AGL subset (unknown glyph names scope out); ``/ToUnicode``
   CMaps for one-byte codes (bfchar incl. multi-char ligature dsts,
   scalar bfrange — the embedded-subset-font pattern where only the
-  CMap recovers text; array-form bfrange scopes out);
+  CMap recovers text; array-form bfrange scopes out); Type0/Identity-H
+  composite fonts (r5) — TWO-byte glyph-id codes with no base
+  encoding, decoded solely through a 2-byte-codespace ToUnicode CMap
+  (the dominant real-PDF text model; Identity-V and other CID
+  encodings scope out);
 - page tree: ``/Type /Catalog`` → ``/Pages`` → ``/Kids`` order;
 - content streams: plain or ``/FlateDecode``;
 - text operators: ``BT ET Tf Td TD TL T* Tm Tj TJ '``;
@@ -382,18 +386,22 @@ def _decode_winansi(b: bytes) -> str:
 
 
 _TOUNICODE_RX = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+_TYPE0_RX = re.compile(rb"/Subtype\s*/Type0\b")
 _BFCHAR_RX = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
 _BFRANGE_RX = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
 _HEXGRP_RX = re.compile(rb"<([0-9A-Fa-f]+)>")
 
 
-def _parse_cmap(data: bytes) -> dict[int, str]:
-    """ToUnicode CMap → {byte code: text} (r5). Supports the two
-    §9.10.3 mapping operators for ONE-byte codes: ``bfchar`` pairs
-    (dst = UTF-16BE hex, possibly multi-char — ligature expansion) and
-    ``bfrange`` triples with a scalar dst start (the last-byte
-    increment rule). Array-form bfrange and multi-byte codespaces are
-    outside the scoped grammar → PdfUnsupported."""
+def _parse_cmap(data: bytes, two_byte: bool = False) -> dict[int, str]:
+    """ToUnicode CMap → {code: text} (r5). Supports the two §9.10.3
+    mapping operators: ``bfchar`` pairs (dst = UTF-16BE hex, possibly
+    multi-char — ligature expansion) and ``bfrange`` triples with a
+    scalar dst start (the last-byte increment rule). ``two_byte``
+    raises the code bound to 0xFFFF for Type0/Identity-H fonts (r5 —
+    where the 2-byte code IS the glyph id and only the CMap recovers
+    text). Array-form bfrange is outside the scoped grammar →
+    PdfUnsupported."""
+    max_code = 0xFFFF if two_byte else 0xFF
     table: dict[int, str] = {}
     for m in _BFCHAR_RX.finditer(data):
         hx = _HEXGRP_RX.findall(m.group(1))
@@ -401,8 +409,8 @@ def _parse_cmap(data: bytes) -> dict[int, str]:
             raise PdfUnsupported("odd bfchar entry count")
         for src, dst in zip(hx[0::2], hx[1::2]):
             code = int(src, 16)
-            if code > 255:
-                raise PdfUnsupported("multi-byte ToUnicode code")
+            if code > max_code:
+                raise PdfUnsupported("ToUnicode code beyond codespace")
             if len(dst) % 4:
                 raise PdfUnsupported("bfchar dst not UTF-16BE")
             try:
@@ -419,7 +427,7 @@ def _parse_cmap(data: bytes) -> dict[int, str]:
             raise PdfUnsupported("bfrange expects triples")
         for lo, hi, dst in zip(hx[0::3], hx[1::3], hx[2::3]):
             lo_i, hi_i, start = int(lo, 16), int(hi, 16), int(dst, 16)
-            if hi_i > 255 or lo_i > hi_i or len(dst) != 4:
+            if hi_i > max_code or lo_i > hi_i or len(dst) != 4:
                 raise PdfUnsupported("bad bfrange bounds")
             if start + (hi_i - lo_i) > 0xFFFF:
                 raise PdfUnsupported("bfrange beyond BMP")
@@ -446,6 +454,33 @@ def _font_decoder(objs: dict[int, bytes], page_body: bytes):
         if name == b"F1":
             font_ref = int(ref)
     fobj = objs.get(font_ref, b"") if font_ref is not None else b""
+    if _TYPE0_RX.search(fobj):
+        # Type0 composite font (r5): 2-byte codes ARE glyph ids
+        # (Identity-H); there is no base single-byte encoding to fall
+        # back to — ToUnicode is the only route to text, exactly as in
+        # real generator-produced PDFs
+        if b"/Identity-H" not in fobj:
+            raise PdfUnsupported("non-Identity-H CID encoding")
+        tm0 = _TOUNICODE_RX.search(fobj)
+        if tm0 is None:
+            raise PdfUnsupported("Type0 font without ToUnicode")
+        payload = _stream_of(objs.get(int(tm0.group(1)), b""))
+        if payload is None:
+            raise PdfUnsupported("missing ToUnicode stream")
+        cmap2 = _parse_cmap(payload, two_byte=True)
+
+        def dec_cid(b: bytes, _t=cmap2) -> str:
+            if len(b) % 2:
+                raise PdfUnsupported("odd-length CID string")
+            out = []
+            for i in range(0, len(b), 2):
+                code = (b[i] << 8) | b[i + 1]
+                if code not in _t:
+                    raise PdfUnsupported(
+                        f"CID {code:#06x} not in ToUnicode")
+                out.append(_t[code])
+            return "".join(out)
+        return dec_cid
     tm = _TOUNICODE_RX.search(fobj)
     if tm:
         payload = _stream_of(objs.get(int(tm.group(1)), b""))

@@ -31,6 +31,37 @@ def _text_encoder(font_encoding):
         return lambda s: s.encode("latin-1")
     if font_encoding == "winansi":
         return lambda s: s.encode("cp1252")
+    if isinstance(font_encoding, tuple) and font_encoding[0] == "cid":
+        # Type0/Identity-H: 2-byte codes; ASCII rides an identity
+        # bfrange, extras get codes >= 0x100 recovered only via the
+        # ToUnicode CMap
+        mapping = font_encoding[1]
+        for code in mapping:
+            if not 0x100 <= code <= 0xFFFF:
+                raise ValueError(
+                    f"cid fixture code {code:#x} must be >= 0x100 "
+                    "(ASCII rides the identity bfrange)")
+        rev_cid = {s: c for c, s in mapping.items()}
+        keys_cid = sorted(rev_cid, key=len, reverse=True)
+
+        def enc_cid(s: str) -> bytes:
+            out = bytearray()
+            i = 0
+            while i < len(s):
+                for k in keys_cid:
+                    if s.startswith(k, i):
+                        out += rev_cid[k].to_bytes(2, "big")
+                        i += len(k)
+                        break
+                else:
+                    ch = s[i]
+                    if not 0x20 <= ord(ch) <= 0x7E:
+                        raise ValueError(
+                            f"char {ch!r} not in CID map")
+                    out += ord(ch).to_bytes(2, "big")
+                    i += 1
+            return bytes(out)
+        return enc_cid
     if isinstance(font_encoding, tuple) and font_encoding[0] == "tounicode":
         mapping = font_encoding[1]
         for code in mapping:
@@ -83,16 +114,24 @@ def _text_encoder(font_encoding):
     return enc
 
 
-def _tounicode_stream(mapping: dict[int, str], compress: bool) -> bytes:
-    """A §9.10.3 ToUnicode CMap stream body: one-byte codespace,
-    bfchar entries with UTF-16BE destinations."""
-    lines = [f"<{c:02X}> <{s.encode('utf-16-be').hex().upper()}>"
+def _tounicode_stream(mapping: dict[int, str], compress: bool,
+                      two_byte: bool = False) -> bytes:
+    """A §9.10.3 ToUnicode CMap stream body: bfchar entries with
+    UTF-16BE destinations. ``two_byte`` (Type0/Identity-H) switches to
+    the <0000><FFFF> codespace, 4-hex-digit srcs, and prepends the
+    ASCII identity bfrange real generators emit."""
+    w = 4 if two_byte else 2
+    lines = [f"<{c:0{w}X}> <{s.encode('utf-16-be').hex().upper()}>"
              for c, s in sorted(mapping.items())]
+    space = ("<0000> <FFFF>" if two_byte else "<00> <FF>")
+    ranges = ("1 beginbfrange\n<0020> <007E> <0020>\nendbfrange\n"
+              if two_byte else "")
     cmap = (
         "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
         "/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
-        "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
-        f"{len(lines)} beginbfchar\n" + "\n".join(lines) + "\nendbfchar\n"
+        f"1 begincodespacerange\n{space}\nendcodespacerange\n"
+        + ranges
+        + f"{len(lines)} beginbfchar\n" + "\n".join(lines) + "\nendbfchar\n"
         "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
     ).encode("latin-1")
     if compress:
@@ -104,7 +143,20 @@ def _tounicode_stream(mapping: dict[int, str], compress: bool) -> bytes:
     return head + b"\nstream\n" + data + b"\nendstream"
 
 
-def _font_body(font_encoding, tounicode_id: int | None = None) -> bytes:
+_CID_DESCENDANT = (
+    b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Helvetica"
+    b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+    b" /Supplement 0 >> /CIDToGIDMap /Identity >>")
+
+
+def _font_body(font_encoding, tounicode_id: int | None = None,
+               descendant_id: int | None = None) -> bytes:
+    if descendant_id is not None:
+        # Type0 composite font (r5): Identity-H, 2-byte codes
+        return (f"<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica"
+                f" /Encoding /Identity-H"
+                f" /DescendantFonts [{descendant_id} 0 R]"
+                f" /ToUnicode {tounicode_id} 0 R >>").encode("latin-1")
     base = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
     if tounicode_id is not None:
         return (base + f" /ToUnicode {tounicode_id} 0 R >>"
@@ -167,13 +219,15 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
     (see :func:`_text_encoder`)."""
     encode = _text_encoder(font_encoding)
     n_pages = len(pages)
-    tounicode = (font_encoding[1]
-                 if isinstance(font_encoding, tuple)
-                 and font_encoding[0] == "tounicode" else None)
+    kind = (font_encoding[0]
+            if isinstance(font_encoding, tuple) else None)
+    tounicode = font_encoding[1] if kind in ("tounicode", "cid") else None
     # obj 1: catalog, obj 2: pages, obj 3: font, then per page:
-    # page obj + content obj; the optional ToUnicode CMap stream
-    # takes the next id after the pages
+    # page obj + content obj; the optional ToUnicode CMap stream takes
+    # the next id after the pages, the CID descendant font dict the
+    # one after that
     tounicode_id = 3 + 2 * n_pages + 1 if tounicode is not None else None
+    descendant_id = 3 + 2 * n_pages + 2 if kind == "cid" else None
     dict_objs: list[tuple[int, bytes]] = []
     stream_objs: list[tuple[int, bytes]] = []
     first_page_id = 4
@@ -183,10 +237,14 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
     dict_objs.append(
         (2, f"<< /Type /Pages /Kids [{kid_refs}] /Count {n_pages} >>"
             .encode("latin-1")))
-    dict_objs.append((3, _font_body(font_encoding, tounicode_id)))
+    dict_objs.append(
+        (3, _font_body(font_encoding, tounicode_id, descendant_id)))
     if tounicode is not None:
         stream_objs.append(
-            (tounicode_id, _tounicode_stream(tounicode, compress)))
+            (tounicode_id, _tounicode_stream(
+                tounicode, compress, two_byte=kind == "cid")))
+    if descendant_id is not None:
+        dict_objs.append((descendant_id, _CID_DESCENDANT))
     for i, page in enumerate(pages):
         page_id = first_page_id + 2 * i
         content_id = page_id + 1
@@ -227,7 +285,8 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
     # ---- PDF 1.5 layout: ObjStm + XRef stream ----
     # (stream-carrying objects cannot live inside an ObjStm per spec
     # §7.5.7 — content streams and the ToUnicode CMap stay top-level)
-    n_base = 3 + 2 * n_pages + (1 if tounicode is not None else 0)
+    n_base = (3 + 2 * n_pages + (1 if tounicode is not None else 0)
+              + (1 if descendant_id is not None else 0))
     objstm_id = n_base + 1
     xref_id = n_base + 2
     header_parts: list[str] = []
@@ -296,7 +355,7 @@ def append_update(pdf: bytes,
     cs = content_stream(
         blocks, encode=_text_encoder(font_encoding),
         hex_strings=isinstance(font_encoding, tuple)
-        and font_encoding[0] == "tounicode")
+        and font_encoding[0] in ("tounicode", "cid"))
     if compress:
         data = zlib.compress(cs, 6)
         head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()

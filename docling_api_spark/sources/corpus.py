@@ -338,6 +338,26 @@ def pdf_tounicode(i: int) -> Fixture:
     return Fixture("pdf_tounicode", content, "pdf", "pdf", golden)
 
 
+def pdf_cid_identity(i: int) -> Fixture:
+    """Type0/Identity-H CID font (r5): TWO-byte codes are glyph ids
+    with no base encoding at all — the dominant text model in real
+    generator-produced PDFs (every embedded TrueType/OpenType subset).
+    ASCII rides the identity bfrange; € / curly quotes / the ffi
+    ligature live at codes ≥ 0x1000 recoverable only through the
+    2-byte ToUnicode CMap. Hex-string operands, 4 hex digits/glyph."""
+    cid = ("cid", {0x1001: "€", 0x1002: "“", 0x1003: "”",
+                   0x1004: "é", 0x1005: "ffi"})
+    txt = f"Office file {i % 9}: caché “sum {i % 50} €” ffi"
+    pages = [[
+        (72, 730, 24, [f"File {i}"]),
+        (72, 690, 12, [txt]),
+    ]]
+    content = write_pdf(pages, compress=(i % 2 == 1),
+                        xref_stream=(i % 4 < 2), font_encoding=cid)
+    golden = f"# File {i}\n\n{txt}"
+    return Fixture("pdf_cid_identity", content, "pdf", "pdf", golden)
+
+
 def pdf_two_column(i: int) -> Fixture:
     pages = [[
         (72, 720, 24, [f"Paper {i}"]),
@@ -447,7 +467,7 @@ FIXTURE_CLASSES = [
     html_no_doctype_fragment, md_passthrough, asciidoc_basic,
     pdf_text_simple, pdf_text_multipage, pdf_two_column,
     pdf_heading_levels, pdf_objstm_xref, pdf_incremental_update,
-    pdf_winansi, pdf_differences, pdf_tounicode,
+    pdf_winansi, pdf_differences, pdf_tounicode, pdf_cid_identity,
     docx_basic, pptx_basic, image_png_stub, unsupported_bin, broken_html,
 ]
 

@@ -662,7 +662,9 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                          0xEB: "quotedblright"},
                         ("tounicode",
                          {0x01: "€", 0x04: "“", 0x05: "”"}),
-                    ][(i // 30) % 3]
+                        ("cid",
+                         {0x1001: "€", 0x1002: "“", 0x1003: "”"}),
+                    ][(i // 30) % 4]
                 ref_line = f"(ref {i}\\{i % 7}){tail}"
                 para_y = 620.0 - 14.0 * max(0, len(lines) - 1)
                 if i % 20 == 14:

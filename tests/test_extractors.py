@@ -524,3 +524,42 @@ def test_pdf_tounicode_cmap():
     with pytest.raises(ValueError):
         write_pdf([[(72.0, 690.0, 11.0, ["x"])]],
                   font_encoding=("tounicode", {0x41: "€"}))
+
+
+def test_pdf_cid_identity_h_font():
+    """Type0/Identity-H (r5): 2-byte codes are glyph ids with NO base
+    encoding — ToUnicode is the only route to text (9.10.2). ASCII
+    rides the identity bfrange; extras live at codes ≥0x1000. Unmapped
+    CIDs, odd-length CID strings, non-Identity-H encodings, and Type0
+    without ToUnicode all scope out via the typed channel."""
+    import re
+
+    import pytest
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         extract_pdf)
+    from docling_api_spark.operators.pdf_write import write_pdf
+    cid = ("cid", {0x1001: "€", 0x1002: "“", 0x1003: "”",
+                   0x1004: "é", 0x1005: "ffi"})
+    txt = "Office report: caché “sum 42 €” ffi done"
+    for c in (False, True):
+        for xs in (False, True):
+            pdf = write_pdf([[(72.0, 730.0, 24.0, ["CID 1"]),
+                              (72.0, 690.0, 11.0, [txt])]],
+                            compress=c, xref_stream=xs, font_encoding=cid)
+            assert extract_pdf(pdf) == f"# CID 1\n\n{txt}", (c, xs)
+    # wire: 4 hex digits per glyph; 'A b €' -> 0041 0062 0020 1001
+    pdf = write_pdf([[(72.0, 690.0, 11.0, ["Ab €"])]], font_encoding=cid)
+    m = re.search(rb"stream\r?\n(.*?)\r?\nendstream", pdf, re.DOTALL)
+    assert re.search(rb"<([0-9A-F]+)> Tj", m.group(1)).group(1) \
+        == b"0041006200201001"
+    # unmapped CID is a typed error, not mojibake
+    with pytest.raises(PdfUnsupported):
+        extract_pdf(pdf.replace(b"<0041", b"<9941"))
+    # vertical/other CID encodings scope out
+    with pytest.raises(PdfUnsupported):
+        extract_pdf(pdf.replace(b"/Identity-H", b"/Identity-V"))
+    # writer guard: custom codes must stay out of the identity range
+    with pytest.raises(ValueError):
+        write_pdf([[(72.0, 690.0, 11.0, ["x"])]],
+                  font_encoding=("cid", {0x41: "€"}))
