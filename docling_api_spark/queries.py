@@ -1025,26 +1025,33 @@ def error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "fmt", "markdown", "error")
 
 
+#: r5: taxonomy widened %6 → %8 — classes 6 (malformed /ObjStm dict)
+#: and 7 (CID missing from its ToUnicode CMap) break inside the new
+#: grammar paths and must fail typed, never raise or emit mojibake
 EXTRACT_ERROR_TAXONOMY_ORACLE = """
 SELECT
   'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
     || CAST(doc_id AS VARCHAR)
-    || CASE doc_id % 6 WHEN 2 THEN '.xyz' WHEN 3 THEN '.pdf'
-            WHEN 4 THEN '.png' WHEN 5 THEN '.docx' ELSE '.html' END
+    || CASE doc_id % 8 WHEN 2 THEN '.xyz' WHEN 3 THEN '.pdf'
+            WHEN 4 THEN '.png' WHEN 5 THEN '.docx'
+            WHEN 6 THEN '.pdf' WHEN 7 THEN '.pdf' ELSE '.html' END
     AS url,
-  CASE doc_id % 6 WHEN 0 THEN 'html' WHEN 3 THEN 'pdf'
+  CASE doc_id % 8 WHEN 0 THEN 'html' WHEN 3 THEN 'pdf'
        WHEN 4 THEN 'image' WHEN 5 THEN 'docx'
+       WHEN 6 THEN 'pdf' WHEN 7 THEN 'pdf'
        ELSE CAST(NULL AS VARCHAR) END AS fmt,
-  CASE WHEN doc_id % 6 = 0
+  CASE WHEN doc_id % 8 = 0
        THEN '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
             || text
        ELSE CAST(NULL AS VARCHAR) END AS markdown,
-  CASE doc_id % 6
+  CASE doc_id % 8
        WHEN 1 THEN 'empty_document'
        WHEN 2 THEN 'unsupported_format'
        WHEN 3 THEN 'pdf_unsupported_feature'
        WHEN 4 THEN 'ocr_not_supported'
        WHEN 5 THEN 'parse_error'
+       WHEN 6 THEN 'pdf_unsupported_feature'
+       WHEN 7 THEN 'pdf_unsupported_feature'
        ELSE CAST(NULL AS VARCHAR) END AS error
 FROM documents
 """

@@ -380,6 +380,14 @@ def pages_broken(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 4: photographic PNG             → ``ocr_not_supported``
     - 5: valid zip, docx content-type, no word/document.xml
                                       → ``parse_error``
+    - 6 (r5): PDF 1.5 with a malformed /ObjStm container dict
+                                      → ``pdf_unsupported_feature``
+    - 7 (r5): Type0/Identity-H PDF whose content references a CID
+      missing from its ToUnicode CMap → ``pdf_unsupported_feature``
+
+    (6/7 share class 3's error CODE but break in the r5 grammar's new
+    decode paths — the gate proves those paths fail TYPED through the
+    full Spark pipeline, never raise, never emit mojibake rows.)
 
     mapInPandas (corpus materialization; the zip/PNG writers are
     Python). Deterministic: zip entries pin date_time."""
@@ -388,6 +396,7 @@ def pages_broken(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
+    from ..operators.pdf_write import write_pdf
     from ..operators.png_write import picture_png
 
     def broken_docx() -> bytes:
@@ -401,6 +410,20 @@ def pages_broken(spark: SparkSession, sf_dir: str) -> DataFrame:
         return buf.getvalue()
 
     _DOCX = broken_docx()
+    # class 6: a valid PDF 1.5 file whose ObjStm dict loses /First —
+    # the container unpack must fail typed (malformed /ObjStm dict)
+    _PDF_OBJSTM_BAD = write_pdf(
+        [[(72.0, 730.0, 24.0, ["Broken"]),
+          (72.0, 690.0, 11.0, ["container probe"])]],
+        compress=True, xref_stream=True).replace(b"/First", b"/Fifst")
+    assert b"/Fifst" in _PDF_OBJSTM_BAD
+    # class 7: Identity-H content referencing CID 0x9958 which the
+    # CMap does not map (heading 'X' = <0058> corrupted)
+    _PDF_CID_BAD = write_pdf(
+        [[(72.0, 730.0, 24.0, ["X"])]],
+        font_encoding=("cid", {0x1001: "€"})
+    ).replace(b"<0058>", b"<9958>")
+    assert b"<9958>" in _PDF_CID_BAD
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     def render(batches):
@@ -410,7 +433,7 @@ def pages_broken(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, t, lg in zip(pdf["doc_id"].tolist(),
                                 pdf["text"].tolist(),
                                 pdf["lang"].tolist()):
-                cls = i % 6
+                cls = i % 8
                 t = t or ""
                 if cls == 0:
                     ext, body = ".html", (
@@ -426,8 +449,12 @@ def pages_broken(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ext, body = ".pdf", b"%PDF-1.4\n no objects here"
                 elif cls == 4:
                     ext, body = ".png", picture_png(f"photo-{i}")
-                else:
+                elif cls == 5:
                     ext, body = ".docx", _DOCX
+                elif cls == 6:
+                    ext, body = ".pdf", _PDF_OBJSTM_BAD
+                else:
+                    ext, body = ".pdf", _PDF_CID_BAD
                 rows["url"].append(
                     f"https://site{i % 97}.example/doc/{i}{ext}")
                 rows["warc_ts"].append(pd.Timestamp(
