@@ -28,8 +28,15 @@ grammar produced by :mod:`.pdf_write` —
   encoding, decoded solely through a 2-byte-codespace ToUnicode CMap
   (the dominant real-PDF text model; Identity-V and other CID
   encodings scope out);
-- page tree: ``/Type /Catalog`` → ``/Pages`` → ``/Kids`` order;
-- content streams: plain or ``/FlateDecode``;
+- page tree (r5 notch 6): ``/Type /Catalog`` → ``/Pages`` → ``/Kids``,
+  flat or NESTED (§7.7.3.2 — intermediate ``/Pages`` nodes walked
+  depth-first in /Kids order; cycle/depth guards scope out typed);
+  ``/Resources`` inherits from the nearest ancestor per §7.7.3.4, so
+  fonts declared once on the root node reach every leaf;
+- content streams: plain or ``/FlateDecode``; ``/Contents`` scalar ref
+  or ARRAY (§7.8.2 — the array's streams are concatenated with
+  whitespace BEFORE tokenization: BT/ET and text state cross stream
+  boundaries in real writer output);
 - text operators: ``BT ET Tf Td TD TL T* Tm Tj TJ '``;
 - literal ``(…)`` strings with escapes and ``<…>`` hex strings;
 - layout: items carry ``(page, x, y, font_size)``; reading order =
@@ -532,34 +539,83 @@ def _encoding_decoder(objs: dict[int, bytes], fobj: bytes):
     return _decode_latin1
 
 
+_CONTENTS_ARR_RX = re.compile(
+    rb"/Contents\s*\[((?:\s*\d+\s+0\s+R)+)\s*\]")
+#: \b keeps 'Pages' from matching: a real leaf is /Type /Page
+_TYPE_PAGES_RX = re.compile(rb"/Type\s*/Pages\b")
+_MAX_TREE_DEPTH = 64
+
+
+def _walk_page_tree(objs: dict[int, bytes], node_id: int,
+                    visited: set[int], inherited: bytes,
+                    depth: int = 0) -> list[tuple[int, bytes]]:
+    """Depth-first §7.7.3.2 page-tree walk → ``[(leaf_id,
+    effective_body)]`` in document order. Intermediate ``/Pages``
+    nodes (anything carrying /Kids) recurse; inheritable attributes
+    (§7.7.3.4 — here /Resources, the one the scoped grammar needs for
+    fonts) flow down: a leaf without its own /Resources gets the
+    nearest ancestor's body appended so the /F1 lookup sees the
+    inherited font. Cycles and runaway depth scope out typed."""
+    if depth > _MAX_TREE_DEPTH:
+        raise PdfUnsupported("page tree too deep")
+    if node_id in visited:
+        raise PdfUnsupported("page tree cycle")
+    visited.add(node_id)
+    body = objs.get(node_id, b"")
+    km = _KIDS_RX.search(body)
+    if km is not None:
+        if b"/Resources" in body:
+            inherited = body
+        leaves: list[tuple[int, bytes]] = []
+        for r in _NUM_REF_RX.findall(km.group(1)):
+            leaves.extend(_walk_page_tree(
+                objs, int(r), visited, inherited, depth + 1))
+        return leaves
+    if b"/Resources" not in body and inherited:
+        body = body + b" " + inherited
+    return [(node_id, body)]
+
+
 def _page_streams(data: bytes) -> list[tuple[bytes, object]]:
-    """→ [(content_stream_bytes, string_decoder)] in /Kids order."""
+    """→ [(content_stream_bytes, string_decoder)] in page-tree order."""
     objs = _parse_objects(data)
     if b"/Encrypt" in data[:2048] or any(b"/Encrypt" in o[:200] for o in objs.values()):
         raise PdfUnsupported("encrypted pdf")
-    pages_obj = None
+    root_id = None
     for body in objs.values():
         if b"/Type" in body and b"/Catalog" in body:
-            m = _REF_RX.search(body)
             for name, ref in _REF_RX.findall(body):
                 if name == b"Pages":
-                    pages_obj = objs.get(int(ref))
+                    root_id = int(ref)
             break
-    page_ids: list[int] = []
-    if pages_obj is not None:
-        m = _KIDS_RX.search(pages_obj)
-        if m:
-            page_ids = [int(r) for r in _NUM_REF_RX.findall(m.group(1))]
-    if not page_ids:  # fallback: any /Type /Page objects in numeric order
-        page_ids = sorted(
-            k for k, body in objs.items()
-            if b"/Type" in body and b"/Page" in body and b"/Pages" not in body)
-    if not page_ids:
+    leaves: list[tuple[int, bytes]] = []
+    if root_id is not None and root_id in objs:
+        leaves = _walk_page_tree(objs, root_id, set(), b"")
+        # a /Kids-less /Pages node comes back as a "leaf" — drop it
+        # (checked against the ORIGINAL body: inheritance may have
+        # appended an ancestor /Pages dict to real leaves)
+        leaves = [(pid, body) for pid, body in leaves
+                  if not _TYPE_PAGES_RX.search(objs.get(pid, b""))]
+    if not leaves:  # fallback: any /Type /Page objects in numeric order
+        leaves = [(k, objs[k]) for k in sorted(objs)
+                  if b"/Type" in objs[k] and b"/Page" in objs[k]
+                  and b"/Pages" not in objs[k]]
+    if not leaves:
         raise PdfUnsupported("no pages found")
     streams: list[tuple[bytes, object]] = []
-    for pid in page_ids:
-        body = objs.get(pid, b"")
+    for pid, body in leaves:
         dec = _font_decoder(objs, body)
+        am = _CONTENTS_ARR_RX.search(body)
+        if am is not None:
+            # §7.8.2: the page content is the CONCATENATION of the
+            # array's streams with whitespace between — BT/ET and the
+            # text state routinely cross the stream boundary in real
+            # writer output, so the pieces must be joined BEFORE
+            # tokenization, never tokenized stream-by-stream
+            parts = [_stream_of(objs.get(int(r), b"")) or b""
+                     for r in _NUM_REF_RX.findall(am.group(1))]
+            streams.append((b"\n".join(parts), dec))
+            continue
         cid = None
         for name, ref in _REF_RX.findall(body):
             if name == b"Contents":

@@ -202,9 +202,30 @@ def content_stream(blocks: list[tuple[float, float, float, list[str]]],
     return b"\n".join(parts)
 
 
+def _split_stream(cs: bytes, k: int) -> list[bytes]:
+    """Split a serialized content stream into ``k`` pieces at newline
+    boundaries nearest the equal-size marks — the shape real writers
+    produce when they flush buffers or when tools prepend/append
+    streams: ``BT``/``ET`` and the text state routinely CROSS the
+    stream boundary, and §7.8.2 says the page content is the
+    concatenation of the streams (with whitespace between)."""
+    if k <= 1 or len(cs) < 2 * k:
+        return [cs]
+    cuts = [0]
+    for j in range(1, k):
+        want = (len(cs) * j) // k
+        cut = cs.find(b"\n", want)
+        if cut < 0 or cut + 1 <= cuts[-1]:
+            continue
+        cuts.append(cut + 1)
+    cuts.append(len(cs))
+    return [cs[a:b] for a, b in zip(cuts, cuts[1:]) if b > a]
+
+
 def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
               compress: bool = False, xref_stream: bool = False,
-              font_encoding=None) -> bytes:
+              font_encoding=None, split_contents: int = 1,
+              nested_kids: bool = False) -> bytes:
     """pages = list of pages; each page a list of (x, y, size, lines)
     blocks. ``xref_stream=True`` (r5) emits the PDF 1.5 layout real
     Common-Crawl PDFs near-universally use: all dict-only objects
@@ -216,7 +237,23 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
     None → latin-1 strings, ``"winansi"`` → /Encoding /WinAnsiEncoding
     + cp1252 strings, a ``{code: glyph_name}`` dict → a /Differences
     array over /WinAnsiEncoding with string bytes remapped to match
-    (see :func:`_text_encoder`)."""
+    (see :func:`_text_encoder`).
+
+    r5 notch 6 — ``split_contents=k`` splits each page's content into
+    k separately-compressed streams referenced by an ARRAY
+    ``/Contents [c1 0 R … ck 0 R]`` (§7.8.2 — ubiquitous in real PDFs;
+    BT/ET and text state cross the stream boundaries);
+    ``nested_kids=True`` builds a page TREE (root /Pages → two
+    intermediate /Pages nodes → leaf pages, §7.7.3.2 — how real
+    writers balance large documents) and moves ``/Resources`` to the
+    ROOT node so leaf pages INHERIT the font (§7.7.3.4) — a reader
+    that does not walk the tree or inherit resources extracts nothing
+    or mojibake. The two flags use their own object numbering;
+    ``append_update`` bases must not use them (its content-id formula
+    assumes the classic layout)."""
+    if split_contents > 1 or nested_kids:
+        return _write_pdf_tree(pages, compress, xref_stream,
+                               font_encoding, split_contents, nested_kids)
     encode = _text_encoder(font_encoding)
     n_pages = len(pages)
     kind = (font_encoding[0]
@@ -267,26 +304,133 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
             (content_id, head + b"\nstream\n" + data + b"\nendstream"))
 
     if not xref_stream:
-        bodies = dict(dict_objs + stream_objs)
-        out = bytearray(b"%PDF-1.4\n")
-        offsets = [0]
-        for i in range(1, len(bodies) + 1):
-            offsets.append(len(out))
-            out += f"{i} 0 obj\n".encode() + bodies[i] + b"\nendobj\n"
-        xref_pos = len(out)
-        out += f"xref\n0 {len(bodies) + 1}\n".encode()
-        out += b"0000000000 65535 f \n"
-        for off in offsets[1:]:
-            out += f"{off:010d} 00000 n \n".encode()
-        out += (f"trailer\n<< /Size {len(bodies) + 1} /Root 1 0 R >>\n"
-                f"startxref\n{xref_pos}\n%%EOF\n").encode()
-        return bytes(out)
+        return _serialize_classic(dict_objs, stream_objs)
+    return _serialize_xref_stream(dict_objs, stream_objs)
 
+
+def _write_pdf_tree(pages, compress: bool, xref_stream: bool,
+                    font_encoding, split_contents: int,
+                    nested_kids: bool) -> bytes:
+    """The ``split_contents``/``nested_kids`` layout of
+    :func:`write_pdf` (r5 notch 6). Own object numbering: 1 catalog,
+    2 root /Pages, 3 font, [4,5 intermediate /Pages when nested],
+    then per page the leaf dict + its k content streams, then the
+    optional ToUnicode CMap and CID descendant. When nested,
+    ``/Resources`` lives ONLY on the root node (§7.7.3.4 inheritance —
+    leaf pages carry none, so a non-inheriting reader finds no /F1)."""
+    encode = _text_encoder(font_encoding)
+    n_pages = len(pages)
+    kind = (font_encoding[0]
+            if isinstance(font_encoding, tuple) else None)
+    tounicode = font_encoding[1] if kind in ("tounicode", "cid") else None
+    nested = nested_kids and n_pages >= 2
+    next_id = 6 if nested else 4
+    node_ids = [4, 5] if nested else []
+    page_ids: list[int] = []
+    page_chunks: list[tuple[list[int], list[bytes]]] = []
+    for p in pages:
+        pid = next_id
+        next_id += 1
+        cs = content_stream(p, encode=encode,
+                            hex_strings=tounicode is not None)
+        chunks = _split_stream(cs, split_contents)
+        cids = list(range(next_id, next_id + len(chunks)))
+        next_id += len(chunks)
+        page_ids.append(pid)
+        page_chunks.append((cids, chunks))
+    tounicode_id = descendant_id = None
+    if tounicode is not None:
+        tounicode_id = next_id
+        next_id += 1
+    if kind == "cid":
+        descendant_id = next_id
+        next_id += 1
+    res = "/Resources << /Font << /F1 3 0 R >> >> "
+    dict_objs: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>")]
+    stream_objs: list[tuple[int, bytes]] = []
+    if nested:
+        half = (n_pages + 1) // 2
+        groups = [page_ids[:half], page_ids[half:]]
+        kid_refs = " ".join(f"{n} 0 R" for n in node_ids)
+        dict_objs.append(
+            (2, (f"<< /Type /Pages /Kids [{kid_refs}] /Count {n_pages} "
+                 f"{res}>>").encode("latin-1")))
+        for nid, grp in zip(node_ids, groups):
+            refs = " ".join(f"{p} 0 R" for p in grp)
+            dict_objs.append(
+                (nid, (f"<< /Type /Pages /Parent 2 0 R /Kids [{refs}] "
+                       f"/Count {len(grp)} >>").encode("latin-1")))
+        page_res = ""  # inherited from the root node
+        parent_of = {p: nid for nid, grp in zip(node_ids, groups)
+                     for p in grp}
+    else:
+        kid_refs = " ".join(f"{p} 0 R" for p in page_ids)
+        dict_objs.append(
+            (2, f"<< /Type /Pages /Kids [{kid_refs}] /Count {n_pages} >>"
+                .encode("latin-1")))
+        page_res = res
+        parent_of = {p: 2 for p in page_ids}
+    dict_objs.append(
+        (3, _font_body(font_encoding, tounicode_id, descendant_id)))
+    if tounicode is not None:
+        stream_objs.append(
+            (tounicode_id, _tounicode_stream(
+                tounicode, compress, two_byte=kind == "cid")))
+    if descendant_id is not None:
+        dict_objs.append((descendant_id, _CID_DESCENDANT))
+    for pid, (cids, chunks) in zip(page_ids, page_chunks):
+        if len(cids) == 1:
+            contents = f"/Contents {cids[0]} 0 R"
+        else:
+            contents = ("/Contents ["
+                        + " ".join(f"{c} 0 R" for c in cids) + "]")
+        dict_objs.append(
+            (pid, (f"<< /Type /Page /Parent {parent_of[pid]} 0 R "
+                   f"/MediaBox [0 0 612 792] {page_res}{contents} >>"
+                   ).encode("latin-1")))
+        for cid, chunk in zip(cids, chunks):
+            if compress:
+                data = zlib.compress(chunk, 6)
+                head = (f"<< /Length {len(data)} /Filter /FlateDecode >>"
+                        ).encode()
+            else:
+                data = chunk
+                head = f"<< /Length {len(data)} >>".encode()
+            stream_objs.append(
+                (cid, head + b"\nstream\n" + data + b"\nendstream"))
+    if not xref_stream:
+        return _serialize_classic(dict_objs, stream_objs)
+    return _serialize_xref_stream(dict_objs, stream_objs)
+
+
+def _serialize_classic(dict_objs: list[tuple[int, bytes]],
+                       stream_objs: list[tuple[int, bytes]]) -> bytes:
+    """Classic PDF 1.4 serialization: sequential objects + xref table.
+    Object ids must be contiguous 1..N (both layout builders allocate
+    them that way)."""
+    bodies = dict(dict_objs + stream_objs)
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i in range(1, len(bodies) + 1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + bodies[i] + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(bodies) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(bodies) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def _serialize_xref_stream(dict_objs: list[tuple[int, bytes]],
+                           stream_objs: list[tuple[int, bytes]]) -> bytes:
     # ---- PDF 1.5 layout: ObjStm + XRef stream ----
     # (stream-carrying objects cannot live inside an ObjStm per spec
     # §7.5.7 — content streams and the ToUnicode CMap stay top-level)
-    n_base = (3 + 2 * n_pages + (1 if tounicode is not None else 0)
-              + (1 if descendant_id is not None else 0))
+    n_base = max(n for n, _ in dict_objs + stream_objs)
     objstm_id = n_base + 1
     xref_id = n_base + 2
     header_parts: list[str] = []

@@ -358,6 +358,31 @@ def pdf_cid_identity(i: int) -> Fixture:
     return Fixture("pdf_cid_identity", content, "pdf", "pdf", golden)
 
 
+def pdf_split_tree(i: int) -> Fixture:
+    """Array /Contents + nested page tree (r5 notch 6): each page's
+    content is split across MULTIPLE streams referenced by
+    ``/Contents [c1 0 R …]`` (§7.8.2 — BT/ET and the text state cross
+    the stream boundaries, so a reader that tokenizes streams
+    individually loses state), and the page tree has intermediate
+    ``/Pages`` nodes with ``/Resources`` declared ONLY on the root
+    (§7.7.3.4 inheritance). WinAnsi font makes both failure modes
+    text-visible: a flat-Kids reader extracts nothing, a
+    non-inheriting reader decodes € and curly quotes as mojibake.
+    Cycles split counts 2-4 and all four base layouts."""
+    txt = f"Synthèse {i % 9} — “total {i % 50} €”"
+    p1 = [(72, 730, 24, [f"Dossier {i}"]),
+          (72, 690, 12, [txt, "Ligne deux."])]
+    p2 = [(72, 730, 16, ["Annexe"]),
+          (72, 690, 12, ["Corps de page deux."])]
+    content = write_pdf([p1, p2], compress=(i % 2 == 0),
+                        xref_stream=(i % 4 < 2),
+                        split_contents=2 + i % 3, nested_kids=True,
+                        font_encoding="winansi")
+    golden = (f"# Dossier {i}\n\n{txt} Ligne deux.\n\n"
+              "## Annexe\n\nCorps de page deux.")
+    return Fixture("pdf_split_tree", content, "pdf", "pdf", golden)
+
+
 def pdf_two_column(i: int) -> Fixture:
     pages = [[
         (72, 720, 24, [f"Paper {i}"]),
@@ -468,6 +493,7 @@ FIXTURE_CLASSES = [
     pdf_text_simple, pdf_text_multipage, pdf_two_column,
     pdf_heading_levels, pdf_objstm_xref, pdf_incremental_update,
     pdf_winansi, pdf_differences, pdf_tounicode, pdf_cid_identity,
+    pdf_split_tree,
     docx_basic, pptx_basic, image_png_stub, unsupported_bin, broken_html,
 ]
 

@@ -728,9 +728,21 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                         base, 0, doc_pages[0], compress=i % 2 == 0,
                         font_encoding=enc)
                 else:
+                    # r5 notch 6: docs with i%5 in {2,4} split each
+                    # page's content across 3 streams (/Contents
+                    # ARRAY, §7.8.2 — BT/ET cross stream boundaries);
+                    # two-page docs (i%20==14, always i%5==4) also get
+                    # a NESTED page tree with /Resources inherited
+                    # from the root node (§7.7.3.4). Markdown is
+                    # layout-invariant, so the driver oracle is
+                    # unchanged — a reader that misses the array or
+                    # the tree extracts nothing and fails the hash.
                     htmls[j] = write_pdf(doc_pages, compress=i % 2 == 0,
                                          xref_stream=i % 3 == 0,
-                                         font_encoding=enc)
+                                         font_encoding=enc,
+                                         split_contents=(
+                                             3 if i % 5 in (2, 4) else 1),
+                                         nested_kids=i % 20 == 14)
                 urls[j] = url[: -len(".html")] + ".pdf"
             out = pdf.copy()
             out["url"] = pd.Series(urls, index=pdf.index)

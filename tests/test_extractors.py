@@ -563,3 +563,158 @@ def test_pdf_cid_identity_h_font():
     with pytest.raises(ValueError):
         write_pdf([[(72.0, 690.0, 11.0, ["x"])]],
                   font_encoding=("cid", {0x41: "€"}))
+
+
+def test_pdf_split_contents_layout_invariant():
+    """Array /Contents (r5 notch 6): the page content split across k
+    separately-compressed streams extracts byte-identically to the
+    single-stream layout for every (k, compress, xref_stream) combo —
+    §7.8.2 says the page content is the concatenation, so markdown is
+    a function of the content only, never the stream packaging."""
+    import itertools
+    import re
+
+    from docling_api_spark.operators.pdf_extract import extract_pdf
+    from docling_api_spark.operators.pdf_write import write_pdf
+    pages = [[(72.0, 730.0, 24.0, ["Split 7"]),
+              (72.0, 690.0, 11.0, ["Body line one.", "and line two."]),
+              (72.0, 620.0, 11.0, ["(ref 7\\3) closing."])]]
+    expect = extract_pdf(write_pdf(pages))
+    assert "# Split 7" in expect and "(ref 7\\3)" in expect
+    for k, comp, xs in itertools.product((2, 3, 5), (False, True),
+                                         (False, True)):
+        pdf = write_pdf(pages, compress=comp, xref_stream=xs,
+                        split_contents=k)
+        assert extract_pdf(pdf) == expect, (k, comp, xs)
+    # the file really carries an ARRAY with k refs
+    pdf = write_pdf(pages, split_contents=3)
+    m = re.search(rb"/Contents \[([^\]]+)\]", pdf)
+    assert m and len(re.findall(rb"\d+ 0 R", m.group(1))) == 3
+
+
+def test_pdf_split_state_crosses_stream_boundary():
+    """The split places BT and the text state in one stream and later
+    Tj operands in another — a reader that tokenizes the array's
+    streams individually (resetting state per stream) loses text; the
+    concatenate-then-tokenize rule recovers everything."""
+    import re
+
+    from docling_api_spark.operators.pdf_extract import extract_pdf
+    from docling_api_spark.operators.pdf_write import write_pdf
+    pages = [[(72.0, 730.0, 24.0, ["Heading line"]),
+              (72.0, 690.0, 11.0, ["aa " * 30]),
+              (72.0, 650.0, 11.0, ["bb " * 30])]]
+    pdf = write_pdf(pages, split_contents=4)
+    refs = re.search(rb"/Contents \[([^\]]+)\]", pdf).group(1)
+    n_streams = len(re.findall(rb"\d+ 0 R", refs))
+    assert n_streams >= 3
+    chunks = [m.group(1) for m in re.finditer(
+        rb"stream\r?\n(.*?)\r?\nendstream", pdf, re.DOTALL)]
+    # BT opens in the first chunk only; later chunks carry naked Tj ops
+    assert b"BT" in chunks[0] and b"ET" not in chunks[0]
+    assert any(b"Tj" in c and b"BT" not in c for c in chunks[1:])
+    got = extract_pdf(pdf)
+    assert "Heading line" in got and "aa aa" in got and "bb bb" in got
+
+
+def test_pdf_nested_tree_inherits_resources():
+    """Nested page tree (r5 notch 6): /Resources declared ONLY on the
+    root /Pages node must reach the leaves (§7.7.3.4) — the fixture
+    font is WinAnsi, so a non-inheriting reader (falling back to the
+    latin-1 default) would decode € / curly quotes as mojibake, and a
+    flat-Kids reader would find no pages at all."""
+    import itertools
+    import re
+
+    from docling_api_spark.operators.pdf_extract import extract_pdf
+    from docling_api_spark.operators.pdf_write import write_pdf
+    txt = "Synthèse — “total 42 €”"
+    pages = [[(72.0, 730.0, 24.0, ["Dossier 9"]),
+              (72.0, 690.0, 12.0, [txt])],
+             [(72.0, 730.0, 16.0, ["Annexe"]),
+              (72.0, 690.0, 12.0, ["Corps deux."])]]
+    expect = extract_pdf(write_pdf(pages, font_encoding="winansi"))
+    assert "€" in expect and "## Annexe" in expect
+    for comp, xs, k in itertools.product((False, True), (False, True),
+                                         (1, 3)):
+        pdf = write_pdf(pages, compress=comp, xref_stream=xs,
+                        split_contents=k, nested_kids=True,
+                        font_encoding="winansi")
+        assert extract_pdf(pdf) == expect, (comp, xs, k)
+    # shape: intermediate /Pages nodes exist; leaf dicts carry NO
+    # /Resources (inheritance is load-bearing, not decorative)
+    pdf = write_pdf(pages, nested_kids=True, font_encoding="winansi")
+    nodes = re.findall(rb"<< /Type /Pages /Parent[^>]*>>", pdf)
+    assert len(nodes) == 2
+    leaves = re.findall(rb"<< /Type /Page /Parent[^>]*?>>", pdf)
+    assert leaves and all(b"/Resources" not in l for l in leaves)
+    assert pdf.count(b"/Resources") == 1  # root only
+
+
+def test_pdf_page_tree_cycle_and_depth_are_typed():
+    """A self-referencing /Pages node and a runaway-deep tree scope
+    out via PdfUnsupported — never an infinite loop or recursion
+    crash (poison-document contract for the r5 tree walk)."""
+    import pytest
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         extract_pdf)
+
+    def obj(n, body):
+        return f"{n} 0 obj\n{body}\nendobj\n".encode()
+
+    cyc = (b"%PDF-1.4\n"
+           + obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+           + obj(2, "<< /Type /Pages /Kids [2 0 R] /Count 1 >>")
+           + b"%%EOF\n")
+    with pytest.raises(PdfUnsupported, match="cycle"):
+        extract_pdf(cyc)
+    deep = bytearray(b"%PDF-1.4\n")
+    deep += obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    n_nodes = 80
+    for k in range(2, 2 + n_nodes):
+        deep += obj(k, f"<< /Type /Pages /Kids [{k + 1} 0 R] /Count 1 >>")
+    deep += obj(2 + n_nodes, "<< /Type /Page /Parent 81 0 R >>")
+    with pytest.raises(PdfUnsupported, match="deep"):
+        extract_pdf(bytes(deep))
+
+
+def test_pdf_split_tree_reader_robust_under_mutation():
+    """Same poison-document contract as the classic and 1.5 mutation
+    tests, over the split-contents + nested-tree layout."""
+    import random
+    import time
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         extract_pdf)
+    from docling_api_spark.operators.pdf_write import write_pdf
+
+    base = [write_pdf([[(72.0, 720.0, 18.0, [f"Doc {i}"]),
+                        (72.0, 680.0, 11.0, ["hello world " * 10])],
+                       [(72.0, 680.0, 11.0, ["page two body"])]],
+                      compress=bool(i % 2), xref_stream=bool(i // 2),
+                      split_contents=3, nested_kids=True,
+                      font_encoding="winansi")
+            for i in range(4)]
+    rng = random.Random(20260818)
+    t0 = time.perf_counter()
+    for _ in range(500):
+        raw = bytearray(rng.choice(base))
+        for _ in range(rng.randint(1, 12)):
+            op = rng.random()
+            if op < 0.4 and raw:
+                raw[rng.randrange(len(raw))] = rng.randrange(256)
+            elif op < 0.7 and raw:
+                del raw[rng.randrange(len(raw))]
+            else:
+                raw.insert(rng.randrange(len(raw) + 1), rng.randrange(256))
+        try:
+            extract_pdf(bytes(raw))
+        except PdfUnsupported:
+            pass
+    for frac in range(0, len(base[0]), 61):
+        try:
+            extract_pdf(base[0][:frac])
+        except PdfUnsupported:
+            pass
+    assert time.perf_counter() - t0 < 20
