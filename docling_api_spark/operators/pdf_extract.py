@@ -138,27 +138,77 @@ _STREAM_START_RX = re.compile(rb"stream\r?\n")
 _LENGTH_RX = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 
 
+#: /Filter value: a single name or an ARRAY of names applied in order
+#: (§7.4 — e.g. [/ASCII85Decode /FlateDecode]: a85 transport coding
+#: wrapped around Flate compression, common in PostScript-derived PDFs)
+_FILTER_RX = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_FILTER_NAME_RX = re.compile(rb"/([A-Za-z0-9]+)")
+
+
+def _apply_filter(name: bytes, raw: bytes) -> bytes:
+    if name == b"FlateDecode":
+        try:
+            return zlib.decompress(raw)
+        except zlib.error as e:
+            raise PdfUnsupported(f"bad flate stream: {e}") from e
+    if name == b"ASCIIHexDecode":
+        # §7.4.2: whitespace ignored, '>' is EOD, odd digit count
+        # implies a trailing 0
+        hx = re.sub(rb"\s", b"", raw)
+        end = hx.find(b">")
+        if end >= 0:
+            hx = hx[:end]
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            return bytes.fromhex(hx.decode("ascii"))
+        except (ValueError, UnicodeDecodeError) as e:
+            raise PdfUnsupported(f"bad ascii-hex stream: {e}") from e
+    if name == b"ASCII85Decode":
+        # §7.4.3: whitespace ignored, '~>' is EOD; a leading '<~'
+        # (PostScript framing some writers emit) is tolerated
+        body = re.sub(rb"\s", b"", raw)
+        if body.startswith(b"<~"):
+            body = body[2:]
+        end = body.find(b"~>")
+        if end >= 0:
+            body = body[:end]
+        import base64
+        try:
+            return base64.a85decode(body)
+        except ValueError as e:
+            raise PdfUnsupported(f"bad ascii85 stream: {e}") from e
+    raise PdfUnsupported(
+        f"unsupported stream filter: {name.decode('latin-1')}")
+
+
 def _stream_of(obj: bytes) -> bytes | None:
     """Stream payload of an object. Sliced by /Length when the dict
     carries a direct one (the spec's rule — an r3 sweep find: binary
     Flate data ending in 0x0D loses that byte to the ``\\r?\\n
     endstream`` regex, truncating 1-in-~256 compressed streams);
-    delimiter-regex fallback only for indirect /Length refs."""
+    delimiter-regex fallback only for indirect /Length refs. Filters
+    (r5 notch 7): the /Filter entry — a single name or an array
+    applied in ORDER per §7.4 — over Flate / ASCIIHex / ASCII85;
+    anything else scopes out typed."""
     lm = _LENGTH_RX.search(obj)
     sm = _STREAM_START_RX.search(obj)
     if lm and sm:
         raw = obj[sm.end():sm.end() + int(lm.group(1))]
+        dict_part = obj[:sm.start()]
     else:
         m = _STREAM_RX.search(obj)
         if m is None:
             return None
         raw = m.group(1)
-    if b"/FlateDecode" in obj:
-        try:
-            return zlib.decompress(raw)
-        except zlib.error as e:
-            raise PdfUnsupported(f"bad flate stream: {e}") from e
-    if b"/Filter" in obj:
+        sm2 = _STREAM_START_RX.search(obj)
+        dict_part = obj[:sm2.start()] if sm2 else obj
+    fm = _FILTER_RX.search(dict_part)
+    if fm is not None:
+        for name in _FILTER_NAME_RX.findall(fm.group(1)):
+            raw = _apply_filter(name, raw)
+        return raw
+    if b"/Filter" in dict_part:
         raise PdfUnsupported("unsupported stream filter")
     return raw
 

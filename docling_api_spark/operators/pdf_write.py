@@ -202,6 +202,38 @@ def content_stream(blocks: list[tuple[float, float, float, list[str]]],
     return b"\n".join(parts)
 
 
+def _encode_stream(data: bytes, compress: bool,
+                   stream_filter: str | None = None) -> tuple[bytes, bytes]:
+    """→ (dict_head, payload) for a content stream. ``stream_filter``
+    (r5 notch 7) overrides the plain/Flate choice: ``"ahx"`` →
+    /ASCIIHexDecode (hex + '>' EOD), ``"a85"`` → /ASCII85Decode
+    (ascii85 + '~>' EOD), ``"a85+flate"`` → the §7.4 filter ARRAY
+    ``[/ASCII85Decode /FlateDecode]`` — ascii85 transport coding
+    wrapped around Flate, the chain PostScript-derived real PDFs
+    carry (decode order = array order: a85 first, then inflate)."""
+    import base64
+    if stream_filter is None:
+        if compress:
+            z = zlib.compress(data, 6)
+            return (f"<< /Length {len(z)} /Filter /FlateDecode >>"
+                    .encode(), z)
+        return f"<< /Length {len(data)} >>".encode(), data
+    if stream_filter == "ahx":
+        enc = data.hex().upper().encode("ascii") + b">"
+        return (f"<< /Length {len(enc)} /Filter /ASCIIHexDecode >>"
+                .encode(), enc)
+    if stream_filter == "a85":
+        enc = base64.a85encode(data) + b"~>"
+        return (f"<< /Length {len(enc)} /Filter /ASCII85Decode >>"
+                .encode(), enc)
+    if stream_filter == "a85+flate":
+        enc = base64.a85encode(zlib.compress(data, 6)) + b"~>"
+        return (f"<< /Length {len(enc)} "
+                f"/Filter [/ASCII85Decode /FlateDecode] >>"
+                .encode(), enc)
+    raise ValueError(f"unknown stream_filter {stream_filter!r}")
+
+
 def _split_stream(cs: bytes, k: int) -> list[bytes]:
     """Split a serialized content stream into ``k`` pieces at newline
     boundaries nearest the equal-size marks — the shape real writers
@@ -225,7 +257,8 @@ def _split_stream(cs: bytes, k: int) -> list[bytes]:
 def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
               compress: bool = False, xref_stream: bool = False,
               font_encoding=None, split_contents: int = 1,
-              nested_kids: bool = False) -> bytes:
+              nested_kids: bool = False,
+              stream_filter: str | None = None) -> bytes:
     """pages = list of pages; each page a list of (x, y, size, lines)
     blocks. ``xref_stream=True`` (r5) emits the PDF 1.5 layout real
     Common-Crawl PDFs near-universally use: all dict-only objects
@@ -250,10 +283,16 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
     that does not walk the tree or inherit resources extracts nothing
     or mojibake. The two flags use their own object numbering;
     ``append_update`` bases must not use them (its content-id formula
-    assumes the classic layout)."""
+    assumes the classic layout). ``stream_filter`` (r5 notch 7)
+    replaces the plain/Flate choice for CONTENT streams with
+    /ASCIIHexDecode, /ASCII85Decode, or the [/ASCII85Decode
+    /FlateDecode] chain (see :func:`_encode_stream`); the ToUnicode
+    CMap and ObjStm containers keep their own Flate coding — real
+    files routinely mix filters per stream."""
     if split_contents > 1 or nested_kids:
         return _write_pdf_tree(pages, compress, xref_stream,
-                               font_encoding, split_contents, nested_kids)
+                               font_encoding, split_contents,
+                               nested_kids, stream_filter)
     encode = _text_encoder(font_encoding)
     n_pages = len(pages)
     kind = (font_encoding[0]
@@ -294,12 +333,7 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
         # real generators emit for arbitrary byte codes
         cs = content_stream(page, encode=encode,
                             hex_strings=tounicode is not None)
-        if compress:
-            data = zlib.compress(cs, 6)
-            head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
-        else:
-            data = cs
-            head = f"<< /Length {len(data)} >>".encode()
+        head, data = _encode_stream(cs, compress, stream_filter)
         stream_objs.append(
             (content_id, head + b"\nstream\n" + data + b"\nendstream"))
 
@@ -310,7 +344,8 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
 
 def _write_pdf_tree(pages, compress: bool, xref_stream: bool,
                     font_encoding, split_contents: int,
-                    nested_kids: bool) -> bytes:
+                    nested_kids: bool,
+                    stream_filter: str | None = None) -> bytes:
     """The ``split_contents``/``nested_kids`` layout of
     :func:`write_pdf` (r5 notch 6). Own object numbering: 1 catalog,
     2 root /Pages, 3 font, [4,5 intermediate /Pages when nested],
@@ -390,13 +425,7 @@ def _write_pdf_tree(pages, compress: bool, xref_stream: bool,
                    f"/MediaBox [0 0 612 792] {page_res}{contents} >>"
                    ).encode("latin-1")))
         for cid, chunk in zip(cids, chunks):
-            if compress:
-                data = zlib.compress(chunk, 6)
-                head = (f"<< /Length {len(data)} /Filter /FlateDecode >>"
-                        ).encode()
-            else:
-                data = chunk
-                head = f"<< /Length {len(data)} >>".encode()
+            head, data = _encode_stream(chunk, compress, stream_filter)
             stream_objs.append(
                 (cid, head + b"\nstream\n" + data + b"\nendstream"))
     if not xref_stream:

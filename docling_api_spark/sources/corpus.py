@@ -383,6 +383,27 @@ def pdf_split_tree(i: int) -> Fixture:
     return Fixture("pdf_split_tree", content, "pdf", "pdf", golden)
 
 
+def pdf_filter_chains(i: int) -> Fixture:
+    """Stream filters beyond Flate (r5 notch 7): /ASCIIHexDecode
+    ('>' EOD, odd-digit pad), /ASCII85Decode ('~>' EOD), and the §7.4
+    filter ARRAY ``[/ASCII85Decode /FlateDecode]`` applied in order —
+    ascii85 transport coding wrapped around Flate, the chain
+    PostScript-derived real PDFs carry. A Flate-only reader scopes
+    every one of these out (or worse, inflates garbage)."""
+    filt = ("ahx", "a85", "a85+flate")[i % 3]
+    pages = [[
+        (72, 730, 24, [f"Archive {i}"]),
+        (72, 690, 12, ["Filtered body line one,", "and line two."]),
+        (72, 640, 12, [f"(ref {i}\\{i % 7}) closing."]),
+    ]]
+    content = write_pdf(pages, xref_stream=(i % 4 < 2),
+                        stream_filter=filt)
+    golden = (f"# Archive {i}\n\n"
+              "Filtered body line one, and line two.\n\n"
+              f"(ref {i}\\{i % 7}) closing.")
+    return Fixture("pdf_filter_chains", content, "pdf", "pdf", golden)
+
+
 def pdf_two_column(i: int) -> Fixture:
     pages = [[
         (72, 720, 24, [f"Paper {i}"]),
@@ -493,7 +514,7 @@ FIXTURE_CLASSES = [
     pdf_text_simple, pdf_text_multipage, pdf_two_column,
     pdf_heading_levels, pdf_objstm_xref, pdf_incremental_update,
     pdf_winansi, pdf_differences, pdf_tounicode, pdf_cid_identity,
-    pdf_split_tree,
+    pdf_split_tree, pdf_filter_chains,
     docx_basic, pptx_basic, image_png_stub, unsupported_bin, broken_html,
 ]
 

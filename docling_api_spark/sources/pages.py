@@ -737,12 +737,20 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                     # layout-invariant, so the driver oracle is
                     # unchanged — a reader that misses the array or
                     # the tree extracts nothing and fails the hash.
+                    # r5 notch 7: docs with i%11==6 swap the content
+                    # stream's plain/Flate coding for ASCIIHex,
+                    # ASCII85, or the [/ASCII85Decode /FlateDecode]
+                    # chain (alternating by i//11) — layout-invariant,
+                    # so the oracle is again unchanged
+                    filt = (("ahx", "a85", "a85+flate")[(i // 11) % 3]
+                            if i % 11 == 6 else None)
                     htmls[j] = write_pdf(doc_pages, compress=i % 2 == 0,
                                          xref_stream=i % 3 == 0,
                                          font_encoding=enc,
                                          split_contents=(
                                              3 if i % 5 in (2, 4) else 1),
-                                         nested_kids=i % 20 == 14)
+                                         nested_kids=i % 20 == 14,
+                                         stream_filter=filt)
                 urls[j] = url[: -len(".html")] + ".pdf"
             out = pdf.copy()
             out["url"] = pd.Series(urls, index=pdf.index)

@@ -718,3 +718,83 @@ def test_pdf_split_tree_reader_robust_under_mutation():
         except PdfUnsupported:
             pass
     assert time.perf_counter() - t0 < 20
+
+
+def test_pdf_filter_chains():
+    """Stream filters beyond Flate (r5 notch 7): ASCIIHexDecode ('>'
+    EOD, odd-digit pad), ASCII85Decode ('~>' EOD, optional PostScript
+    '<~' prefix), and the §7.4 filter ARRAY [/ASCII85Decode
+    /FlateDecode] applied in array order. Layout-invariant; malformed
+    payloads and unknown filters scope out typed."""
+    import itertools
+
+    import pytest
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         extract_pdf)
+    from docling_api_spark.operators.pdf_write import write_pdf
+    pages = [[(72.0, 730.0, 24.0, ["Archive 3"]),
+              (72.0, 690.0, 11.0, ["Filtered body.", "(ref 3\\3)"])]]
+    expect = extract_pdf(write_pdf(pages))
+    for filt, xs, k, nk in itertools.product(
+            ("ahx", "a85", "a85+flate"), (False, True), (1, 3),
+            (False, True)):
+        pdf = write_pdf(pages, xref_stream=xs, split_contents=k,
+                        nested_kids=nk, stream_filter=filt)
+        assert extract_pdf(pdf) == expect, (filt, xs, k, nk)
+    # wire shapes
+    assert b"/Filter /ASCIIHexDecode" in write_pdf(
+        pages, stream_filter="ahx")
+    a85 = write_pdf(pages, stream_filter="a85")
+    assert b"/Filter /ASCII85Decode" in a85 and b"~>" in a85
+    chain = write_pdf(pages, stream_filter="a85+flate")
+    assert b"/Filter [/ASCII85Decode /FlateDecode]" in chain
+    # ascii-hex: odd digit count pads a trailing 0 per §7.4.2;
+    # whitespace inside the coded data is ignored
+    ahx = write_pdf(pages, stream_filter="ahx")
+    import re
+    m = re.search(rb"stream\r?\n([0-9A-F]+)>", ahx)
+    assert m is not None
+    # corrupt ascii85 payload → typed, not a stray ValueError
+    bad = a85.replace(b"~>", b"\x00\x01~>", 1)
+    with pytest.raises(PdfUnsupported):
+        extract_pdf(bad)
+    # unknown filter name → typed
+    lzw = write_pdf(pages).replace(
+        b"<< /Length", b"<< /Filter /LZWDecode /Length", 1)
+    with pytest.raises(PdfUnsupported, match="LZWDecode"):
+        extract_pdf(lzw)
+
+
+def test_pdf_filter_chain_reader_robust_under_mutation():
+    """Poison-document contract over the filtered layouts (ahx / a85 /
+    a85+flate × classic/1.5)."""
+    import random
+    import time
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         extract_pdf)
+    from docling_api_spark.operators.pdf_write import write_pdf
+
+    base = [write_pdf([[(72.0, 720.0, 18.0, [f"Doc {i}"]),
+                        (72.0, 680.0, 11.0, ["hello world " * 10])]],
+                      xref_stream=bool(i % 2),
+                      stream_filter=("ahx", "a85", "a85+flate")[i % 3])
+            for i in range(6)]
+    rng = random.Random(20260819)
+    t0 = time.perf_counter()
+    for _ in range(500):
+        raw = bytearray(rng.choice(base))
+        for _ in range(rng.randint(1, 12)):
+            op = rng.random()
+            if op < 0.4 and raw:
+                raw[rng.randrange(len(raw))] = rng.randrange(256)
+            elif op < 0.7 and raw:
+                del raw[rng.randrange(len(raw))]
+            else:
+                raw.insert(rng.randrange(len(raw) + 1), rng.randrange(256))
+        try:
+            extract_pdf(bytes(raw))
+        except PdfUnsupported:
+            pass
+    assert time.perf_counter() - t0 < 20
