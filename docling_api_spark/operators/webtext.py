@@ -891,3 +891,105 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIXTURE_ORACLE = _mixture_sql("duck")
+
+
+# -------------------------------------- DSIR importance weighting
+
+#: hashed n-gram feature buckets (DSIR uses 10^4; 64 keeps the driver
+#: fixture's buckets well-populated — the plan is bucket-count-invariant)
+_DSIR_BUCKETS = 64
+#: a source is "target domain" iff its md5 bucket mod this is 0 (~1/5 of
+#: domains) — a deterministic stand-in for "the curated high-quality set"
+_DSIR_TARGET_MOD = 5
+
+
+def _dsir_sql(dialect: str) -> str:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed n-gram features are
+    under a TARGET domain's bag-of-ngrams model than under the raw
+    corpus's own model; resampling by these weights shifts the corpus
+    toward the target distribution without training a classifier.
+
+    - Features: unigrams + word-2-grams, md5-hashed into
+      ``_DSIR_BUCKETS`` buckets (both gram sizes ride ONE explode via
+      array concat, the repetition_scores trick).
+    - Models: add-one-smoothed bucket frequencies, target slice
+      (sources whose md5 bucket ≡ 0 mod ``_DSIR_TARGET_MOD``) vs the
+      full raw corpus.
+    - Weight: log w(x) = Σ_b c_b(x)·(ln p̂_t[b] − ln q̂_r[b]).
+
+    Cross-engine determinism: each per-bucket ln() is quantized to
+    integer micros SEPARATELY (one transcendental per rounding — the
+    lm_scores contract), the delta and the per-doc sum are then exact
+    BIGINT arithmetic, and ``micros/1e6`` maps to the identical nearest
+    double in both engines. ``logw_micros`` is the hash-stable column;
+    ``log_weight`` is the human-facing double.
+
+    Plan at 100 TB: one explode feeding a (doc_id, bucket)-keyed hash
+    aggregate (partial aggregation map-side; every key contains doc_id,
+    no hot key). The two models are ≤``_DSIR_BUCKETS``-row aggregates;
+    the scoring join is an explicit-hint BROADCAST of the 64-row model
+    (the hint comment is inert in DuckDB), so the corpus-sized feats
+    table never re-shuffles for the join — only the final per-doc agg
+    exchanges on doc_id. The reference has no selection layer at all
+    (document_converter/route.py converts whatever it is handed); this
+    is the task brief's training-data-curation extension."""
+    toks = X.tokens(dialect)
+    g2 = X.ngrams(dialect, "tk", 2)
+    h = X.md5_int(dialect, "gram")
+    hsrc = X.md5_int(dialect, "source")
+    B = _DSIR_BUCKETS
+    if dialect == "spark":
+        explode, cat = "explode", "concat"
+    else:
+        explode, cat = "unnest", "list_concat"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         ({hsrc} % {_DSIR_TARGET_MOD}) = 0 AS in_target,
+         {toks} AS tk
+  FROM documents
+),
+t2 AS (SELECT doc_id, in_target, {cat}(tk, {g2}) AS grams FROM t),
+gx AS (SELECT doc_id, in_target, {explode}(grams) AS gram FROM t2),
+feats AS (
+  SELECT doc_id, in_target, {h} % {B} AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM gx GROUP BY doc_id, in_target, bucket
+),
+raw AS (SELECT bucket, sum(c) AS rc FROM feats GROUP BY bucket),
+tgt AS (SELECT bucket, sum(c) AS tc
+        FROM feats WHERE in_target GROUP BY bucket),
+tot AS (
+  SELECT (SELECT CAST(sum(rc) AS DOUBLE) FROM raw) AS rtot,
+         (SELECT CAST(coalesce(sum(tc), 0) AS DOUBLE) FROM tgt) AS ttot
+),
+model AS (
+  SELECT raw.bucket,
+         CAST(ROUND(ln((coalesce(tgt.tc, 0) + 1.0) / (tot.ttot + {B}.0))
+                    * 1000000.0, 0) AS BIGINT)
+       - CAST(ROUND(ln((raw.rc + 1.0) / (tot.rtot + {B}.0))
+                    * 1000000.0, 0) AS BIGINT) AS dln_micros
+  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot
+),
+agg AS (
+  SELECT /*+ BROADCAST(m) */ f.doc_id,
+         sum(f.c) AS n, sum(f.c * m.dln_micros) AS s
+  FROM feats f JOIN model m ON f.bucket = m.bucket
+  GROUP BY f.doc_id
+)
+SELECT t.doc_id, t.in_target,
+  CAST(coalesce(agg.n, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(agg.s, 0) AS BIGINT) AS logw_micros,
+  CAST(coalesce(agg.s, 0) AS DOUBLE) / 1000000.0 AS log_weight
+FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id
+"""
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    return spark.sql(_dsir_sql("spark"))
+
+
+DSIR_ORACLE = _dsir_sql("duck")

@@ -1573,7 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys == this dict's keys[0:50], in order).
 
     ROTATION POLICY (r5, replacing r4's ad-hoc subsumption notes): with
-    79 registered queries and 50 driver slots, the window ALTERNATES —
+    80 registered queries and 50 driver slots, the window ALTERNATES —
     every query rotated out in round K is rotated back in in round K+1,
     so no query's latest driver row is ever more than one round old.
     Each round's window is therefore: (a) every query with no driver row
@@ -1585,10 +1585,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     marker naming their last driver row.
 
     r5 window = 26 r3-last-gated + sequence_packing (never gated; r5
-    two-level-prefix-sum rework) + compact_roundtrip and domain_mixture
-    (new r5) + the r5 code/corpus-touched set (pdf 1.5/incremental/
-    encoding corpus, charset utf-16 remap, streaming fixture
-    pre-materialization) + 14 flagship/composite re-gates. The 29
+    two-level-prefix-sum rework) + compact_roundtrip, domain_mixture and
+    dsir_importance (new r5) + the r5 code/corpus-touched set (pdf 1.5/
+    incremental/encoding corpus, charset utf-16 remap, streaming fixture
+    pre-materialization) + 13 flagship/composite re-gates. The 30
     rotated out are all r4-driver-green (CORRECTNESS_r04: 50/50) with
     unchanged code, due back in r6.
     """
@@ -1634,7 +1634,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # high-value composite re-gates (policy item (c))
         "extract_docx_markdown": extract_docx_markdown,
         "extract_pptx_markdown": extract_pptx_markdown,
-        "extract_adoc_markdown": extract_adoc_markdown,
         "extract_images": extract_images,
         "span_detail": span_detail,
         "extract_rich_markdown": extract_rich_markdown,
@@ -1650,8 +1649,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-composition report (new r5): per-domain token shares
         # + uniform-rebalance sampling weights, integer-exact ppm
         "domain_mixture": webtext.domain_mixture,
+        # DSIR importance weights (new r5): hashed-ngram target-vs-raw
+        # log-likelihood-ratio scores, integer-micro exact
+        "dsir_importance": webtext.dsir_importance,
         # ---- past the driver window (slots 51+): all r4-driver-green
         # (CORRECTNESS_r04 50/50), code unchanged since; due back r6 ----
+        "extract_adoc_markdown": extract_adoc_markdown,    # out r5 (r4-green)
         "pii_scrub": pii.pii_scrub,                        # out r5 (r4-green)
         "host_link_graph": host_link_graph,                # out r5 (r4-green)
         "host_pagerank": host_pagerank,                    # out r5 (r4-green)
@@ -1720,6 +1723,7 @@ def oracle_sql() -> dict[str, str]:
         "fetch_schedule": webtext.FETCH_SCHEDULE_ORACLE,
         "sequence_packing": webtext.PACKING_ORACLE,
         "domain_mixture": webtext.MIXTURE_ORACLE,
+        "dsir_importance": webtext.DSIR_ORACLE,
         "dedup_window_latest": relational.LATEST_EVENT_ORACLE,
         "resume_anti_join": relational.RESUME_ANTI_JOIN_ORACLE,
         "metrics_rollup": relational.METRICS_ROLLUP_ORACLE,

@@ -568,3 +568,82 @@ def test_domain_mixture_hand_layout(spark):
     assert rows["small"]["weight_ppm"] == 1333333
     assert rows["empty"]["domain_tokens"] == 0
     assert rows["empty"]["weight_ppm"] == 0
+
+
+# ------------------------------------------------------- DSIR weights
+
+def _md5_int(s, k=8):
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:k], 16)
+
+
+def test_dsir_hand_replica():
+    """Full pure-Python replication of the DSIR formula (hashed
+    unigram+bigram buckets, add-one target/raw models, per-bucket
+    ln-micro quantization, exact integer sums) against the DuckDB
+    oracle on a literal corpus — proves the SQL computes the intended
+    math, not merely the same thing in both engines."""
+    import math
+    from docling_api_spark.operators.webtext import (
+        _DSIR_BUCKETS, _DSIR_TARGET_MOD, _dsir_sql)
+    # deterministic source names on both sides of the target predicate
+    tgt_src = next(s for s in (f"s{i}" for i in range(100))
+                   if _md5_int(s) % _DSIR_TARGET_MOD == 0)
+    oth_src = next(s for s in (f"s{i}" for i in range(100))
+                   if _md5_int(s) % _DSIR_TARGET_MOD != 0)
+    docs = [(1, "alpha beta alpha gamma", tgt_src),
+            (2, "alpha beta beta", tgt_src),
+            (3, "delta epsilon zeta delta", oth_src),
+            (4, "alpha delta", oth_src),
+            (5, "", oth_src)]
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}', '{s}')" for i, t, s in docs)
+    con.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+                f"(VALUES {vals}) v(doc_id, text, source)")
+    got = sorted(con.sql(_dsir_sql("duck")).fetchall())
+
+    B = _DSIR_BUCKETS
+    feats, raw, tgt = {}, {}, {}
+    meta = {}
+    for doc_id, text, src in docs:
+        toks = [t for t in text.lower().split() if t]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        in_t = _md5_int(src) % _DSIR_TARGET_MOD == 0
+        meta[doc_id] = (in_t, len(grams))
+        cb = {}
+        for g in grams:
+            b = _md5_int(g) % B
+            cb[b] = cb.get(b, 0) + 1
+        feats[doc_id] = cb
+        for b, c in cb.items():
+            raw[b] = raw.get(b, 0) + c
+            if in_t:
+                tgt[b] = tgt.get(b, 0) + c
+    rtot, ttot = sum(raw.values()), sum(tgt.values())
+    dln = {b: round(math.log((tgt.get(b, 0) + 1.0) / (ttot + B)) * 1e6)
+           - round(math.log((rc + 1.0) / (rtot + B)) * 1e6)
+           for b, rc in raw.items()}
+    expect = sorted(
+        (doc_id, meta[doc_id][0], meta[doc_id][1],
+         sum(c * dln[b] for b, c in feats[doc_id].items()),
+         sum(c * dln[b] for b, c in feats[doc_id].items()) / 1e6)
+        for doc_id, _, _ in docs)
+    assert got == expect
+    # and zero-token doc 5 survives with zeroed weight, not a dropped row
+    assert got[-1] == (5, False, 0, 0, 0.0)
+
+
+def test_dsir_separates_target_and_plan(spark):
+    """On the driver fixture, target-domain docs must score higher on
+    average than raw docs (the whole point of importance weighting), and
+    the 64-row model join must be a broadcast — the corpus-sized feats
+    table never re-shuffles on bucket."""
+    from docling_api_spark.operators.webtext import dsir_importance
+    df = dsir_importance(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    rows = df.collect()
+    t = [r["log_weight"] for r in rows if r["in_target"]]
+    o = [r["log_weight"] for r in rows if not r["in_target"]]
+    assert t and o
+    assert sum(t) / len(t) > sum(o) / len(o)
