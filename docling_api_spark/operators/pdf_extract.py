@@ -45,8 +45,16 @@ grammar produced by :mod:`.pdf_write` —
 - headings by Tf font size (the size-driven hierarchy reference-class
   PDFs carry): ≥20 → ``#``, ≥16 → ``##``, ≥13 → ``###``, else paragraph.
 
-Everything outside this grammar (encryption, other filters, multi-byte
-CID CMaps, image-only pages) raises
+- encryption (r5 notch 8): RC4 standard-security files (V1/V2, R2/R3)
+  with an EMPTY user password — the permissions-only protection the
+  legacy web-PDF corpus overwhelmingly carries — decrypt via the spec
+  math in :mod:`.pdf_crypt` (Algorithm 2 key, /U-verified before any
+  byte is trusted); /O and /U parse in both hex and escaped-literal
+  wire forms; a real password, non-Standard handler, or AES (V≥4)
+  scopes out typed.
+
+Everything outside this grammar (AES encryption, other filters,
+image-only pages) raises
 :class:`PdfUnsupported` → the caller maps it to the
 ``pdf_unsupported_feature`` failure-code row — mirroring how the reference
 converts docling failures into error rows (``service.py:83-85``).
@@ -73,8 +81,9 @@ _OBJSTM_FIRST_RX = re.compile(rb"/First\s+(\d+)")
 _OBJSTM_TYPE_RX = re.compile(rb"/Type\s*/ObjStm")
 
 
-def _parse_objects(data: bytes) -> dict[int, bytes]:
-    """Top-level object scan, then PDF 1.5 ``/ObjStm`` expansion.
+def _scan_objects(data: bytes) -> dict[int, bytes]:
+    """Top-level object scan (no ObjStm expansion — see
+    :func:`_parse_objects`).
 
     Stream-aware: when an object carries a stream with a direct
     ``/Length``, the payload is skipped by length BEFORE the closing
@@ -101,6 +110,10 @@ def _parse_objects(data: bytes) -> dict[int, bytes]:
             break
         objs[int(m.group(1))] = data[body_start:em]
         pos = em + 6
+    return objs
+
+
+def _expand_objstm(objs: dict[int, bytes]) -> dict[int, bytes]:
     # PDF 1.5: unpack /Type /ObjStm containers (dict-only objects,
     # Flate-packed; header = N pairs of "objnum offset", bodies start
     # at /First). Top-level definitions win on a clash (setdefault) —
@@ -129,6 +142,13 @@ def _parse_objects(data: bytes) -> dict[int, bytes]:
                 raise PdfUnsupported("objstm offsets out of range")
             objs.setdefault(onum, payload[start:end].strip())
     return objs
+
+
+def _parse_objects(data: bytes) -> dict[int, bytes]:
+    """Top-level object scan + PDF 1.5 ``/ObjStm`` expansion (the
+    unencrypted path; :func:`_page_streams` interposes decryption
+    between the two steps when a trailer carries ``/Encrypt``)."""
+    return _expand_objstm(_scan_objects(data))
 
 
 _STREAM_START_RX = re.compile(rb"stream\r?\n")
@@ -211,6 +231,168 @@ def _stream_of(obj: bytes) -> bytes | None:
     if b"/Filter" in dict_part:
         raise PdfUnsupported("unsupported stream filter")
     return raw
+
+
+# ---------------- standard security handler (RC4, notch 8) ----------------
+
+_ENCRYPT_REF_RX = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_ID_FIRST_RX = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
+_ENC_V_RX = re.compile(rb"/V\s+(\d+)")
+_ENC_R_RX = re.compile(rb"/R\s+(\d+)")
+_ENC_LEN_RX = re.compile(rb"/Length\s+(\d+)")
+_ENC_P_RX = re.compile(rb"/P\s+(-?\d+)")
+_XREF_TYPE_RX = re.compile(rb"/Type\s*/XRef")
+
+
+def _pdf_string_at(data: bytes, i: int) -> bytes:
+    """Decode the PDF string object starting at ``data[i]`` — hex
+    ``<…>`` or literal ``(…)`` with §7.3.4.2 escapes (named, octal,
+    line continuation) and balanced nested parens. Encrypt-dict /O
+    and /U values arrive in either wire form in real files."""
+    if data[i:i + 1] == b"<":
+        end = data.find(b">", i)
+        if end < 0:
+            raise PdfUnsupported("unterminated hex string")
+        hx = re.sub(rb"\s", b"", data[i + 1:end])
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            return bytes.fromhex(hx.decode("ascii"))
+        except (ValueError, UnicodeDecodeError) as e:
+            raise PdfUnsupported(f"bad hex string: {e}") from e
+    if data[i:i + 1] != b"(":
+        raise PdfUnsupported("expected string value")
+    out = bytearray()
+    depth, i = 1, i + 1
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x5C:                       # backslash
+            e = data[i + 1:i + 2]
+            if e in _ESCAPES:
+                out += _ESCAPES[e]
+                i += 2
+            elif e.isdigit() and e < b"8":  # 1-3 octal digits
+                j = i + 1
+                while j < min(i + 4, n) and data[j:j + 1].isdigit() \
+                        and data[j:j + 1] < b"8":
+                    j += 1
+                out.append(int(data[i + 1:j], 8) & 0xFF)
+                i = j
+            elif e in (b"\n", b"\r"):       # line continuation
+                i += 2
+                if e == b"\r" and data[i:i + 1] == b"\n":
+                    i += 1
+            else:                           # stray backslash: dropped
+                out += e
+                i += 2
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out)
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    raise PdfUnsupported("unterminated literal string")
+
+
+def _dict_string(body: bytes, key: bytes) -> bytes:
+    m = re.search(rb"/" + key + rb"\s*", body)
+    if m is None:
+        raise PdfUnsupported(
+            f"encrypt dict missing /{key.decode('latin-1')}")
+    return _pdf_string_at(body, m.end())
+
+
+def _encryption_key(data: bytes, objs: dict[int, bytes]):
+    """→ None (unencrypted) or ``(file_key, encrypt_obj_id)``.
+
+    The LAST ``/Encrypt N 0 R`` in the file is operative (trailers come
+    last; incremental updates append newer ones). The empty user
+    password is derived per §7.6.3.3 Algorithm 2 and PROVEN against the
+    stored /U before any decrypted byte is trusted — a real password,
+    a non-Standard handler, or AES (V≥4 / R≥4) scopes out typed, never
+    silent mojibake. V1 (40-bit) and V2 (up to 128-bit) RC4 both read;
+    dict-level strings outside streams are not consumed by this grammar
+    and pass through undecrypted."""
+    from . import pdf_crypt as C
+
+    refs = _ENCRYPT_REF_RX.findall(data)
+    if not refs:
+        if b"/Encrypt" in data:
+            raise PdfUnsupported("unsupported /Encrypt layout")
+        return None
+    enc_id = int(refs[-1])
+    body = objs.get(enc_id)
+    if body is None:
+        raise PdfUnsupported("missing encrypt dict")
+    if re.search(rb"/Filter\s*/Standard", body) is None:
+        raise PdfUnsupported("non-standard security handler")
+    v = int(m.group(1)) if (m := _ENC_V_RX.search(body)) else 0
+    r = int(m.group(1)) if (m := _ENC_R_RX.search(body)) else 0
+    if v not in (1, 2) or r not in (2, 3):
+        raise PdfUnsupported(f"unsupported encryption V{v} R{r} (AES)")
+    bits = int(m.group(1)) if (m := _ENC_LEN_RX.search(body)) else 40
+    if bits % 8 or not 40 <= bits <= 128:
+        raise PdfUnsupported(f"bad key length {bits}")
+    pm = _ENC_P_RX.search(body)
+    if pm is None:
+        raise PdfUnsupported("encrypt dict missing /P")
+    o = _dict_string(body, b"O")
+    u = _dict_string(body, b"U")
+    if len(o) < 32 or len(u) < 16:
+        raise PdfUnsupported("short /O or /U value")
+    ids = _ID_FIRST_RX.findall(data)
+    try:
+        # §7.3.4.3: odd digit count implies a trailing 0
+        id0 = bytes.fromhex(
+            (ids[-1] + (b"0" if len(ids[-1]) % 2 else b"")).decode(
+                "ascii")) if ids else b""
+    except ValueError as e:
+        raise PdfUnsupported(f"bad /ID value: {e}") from e
+    key = C.check_user_password(b"", o, u, int(pm.group(1)), id0, r,
+                                bits // 8)
+    if key is None:
+        raise PdfUnsupported("password-protected pdf")
+    return key, enc_id
+
+
+def _decrypt_objects(objs: dict[int, bytes], key: bytes,
+                     enc_id: int) -> dict[int, bytes]:
+    """RC4-decrypt every top-level stream payload in place (per-object
+    keys, §7.6.2 Algorithm 1). Length-preserving, so /Length stays
+    valid; runs BEFORE ObjStm expansion (the container payload is what
+    is encrypted, its packed objects are not separately encrypted).
+    The Encrypt dict itself and /Type /XRef streams are exempt per
+    §7.5.8.2."""
+    from . import pdf_crypt as C
+
+    out: dict[int, bytes] = {}
+    for num, body in objs.items():
+        sm = _STREAM_START_RX.search(body)
+        if num == enc_id or sm is None or _XREF_TYPE_RX.search(
+                body[:sm.start()]):
+            out[num] = body
+            continue
+        lm = _LENGTH_RX.search(body, 0, sm.start())
+        if lm is not None:
+            start = sm.end()
+            end = start + int(lm.group(1))
+        else:
+            m = _STREAM_RX.search(body)
+            if m is None:
+                out[num] = body
+                continue
+            start, end = m.start(1), m.end(1)
+        dec = C.rc4(C.object_key(key, num, 0), body[start:end])
+        out[num] = body[:start] + dec + body[end:]
+    return out
 
 
 _ESCAPES = {
@@ -627,10 +809,18 @@ def _walk_page_tree(objs: dict[int, bytes], node_id: int,
 
 
 def _page_streams(data: bytes) -> list[tuple[bytes, object]]:
-    """→ [(content_stream_bytes, string_decoder)] in page-tree order."""
-    objs = _parse_objects(data)
-    if b"/Encrypt" in data[:2048] or any(b"/Encrypt" in o[:200] for o in objs.values()):
-        raise PdfUnsupported("encrypted pdf")
+    """→ [(content_stream_bytes, string_decoder)] in page-tree order.
+
+    Decryption (notch 8) interposes between the top-level object scan
+    and ObjStm expansion: RC4 standard-security files with an EMPTY
+    user password — the permissions-only protection the legacy web-PDF
+    corpus overwhelmingly carries — decrypt and extract; a real
+    password or AES scopes out typed via :func:`_encryption_key`."""
+    objs = _scan_objects(data)
+    enc = _encryption_key(data, objs)
+    if enc is not None:
+        objs = _decrypt_objects(objs, *enc)
+    objs = _expand_objstm(objs)
     root_id = None
     for body in objs.values():
         if b"/Type" in body and b"/Catalog" in body:

@@ -254,11 +254,59 @@ def _split_stream(cs: bytes, k: int) -> list[bytes]:
     return [cs[a:b] for a, b in zip(cuts, cuts[1:]) if b > a]
 
 
+def _encrypt_objects(dict_objs: list[tuple[int, bytes]],
+                     stream_objs: list[tuple[int, bytes]],
+                     r: int, user_pwd: bytes
+                     ) -> tuple[list[tuple[int, bytes]], bytes, bytes]:
+    """RC4 standard-security encryption (notch 8) applied at serialize
+    time: every top-level stream payload is RC4'd with its per-object
+    key (§7.6.2 Algorithm 1 — encryption applies to the bytes AS
+    STORED, i.e. after Flate/ASCII filters); /O, /U, the file key and
+    a deterministic /ID derive from the spec math in
+    :mod:`.pdf_crypt`. Returns (stream_objs + the Encrypt dict object,
+    trailer_extra, file_key). The Encrypt dict rides the ``stream_objs``
+    list so BOTH serializers place it top-level — §7.5.7 forbids it
+    inside an object stream. The fixture grammar's dict bodies carry no
+    strings, so only streams need transforming (dict-level string
+    encryption is out of grammar, as is encrypting an incremental
+    update chain — ``append_update`` bases must stay unencrypted)."""
+    import hashlib
+
+    from . import pdf_crypt as C
+
+    n = 5 if r == 2 else 16
+    p = -44                       # print allowed, modify denied
+    id0 = hashlib.md5(b"".join(
+        num.to_bytes(4, "big") + body
+        for num, body in dict_objs + stream_objs)).digest()
+    o = C.o_value(b"fixture-owner", user_pwd, r, n)
+    key = C.file_key(user_pwd, o, p, id0, r, n)
+    u = C.u_value(key, id0, r)
+    out: list[tuple[int, bytes]] = []
+    for num, body in stream_objs:
+        sm = body.find(b"\nstream\n")
+        if sm >= 0 and body.endswith(b"\nendstream"):
+            payload = body[sm + len(b"\nstream\n"):-len(b"\nendstream")]
+            enc = C.rc4(C.object_key(key, num, 0), payload)
+            body = body[:sm] + b"\nstream\n" + enc + b"\nendstream"
+        out.append((num, body))
+    eid = max(num for num, _ in dict_objs + stream_objs) + 1
+    out.append((eid, (
+        f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
+        f"/Length {n * 8} /P {p} /O <{o.hex()}> /U <{u.hex()}> >>"
+    ).encode("latin-1")))
+    trailer_extra = (f"/Encrypt {eid} 0 R /ID [<{id0.hex()}> "
+                     f"<{id0.hex()}>] ").encode("latin-1")
+    return out, trailer_extra, key
+
+
 def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
               compress: bool = False, xref_stream: bool = False,
               font_encoding=None, split_contents: int = 1,
               nested_kids: bool = False,
-              stream_filter: str | None = None) -> bytes:
+              stream_filter: str | None = None,
+              encrypt_r: int | None = None,
+              encrypt_user_pwd: bytes = b"") -> bytes:
     """pages = list of pages; each page a list of (x, y, size, lines)
     blocks. ``xref_stream=True`` (r5) emits the PDF 1.5 layout real
     Common-Crawl PDFs near-universally use: all dict-only objects
@@ -292,7 +340,8 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
     if split_contents > 1 or nested_kids:
         return _write_pdf_tree(pages, compress, xref_stream,
                                font_encoding, split_contents,
-                               nested_kids, stream_filter)
+                               nested_kids, stream_filter,
+                               encrypt_r, encrypt_user_pwd)
     encode = _text_encoder(font_encoding)
     n_pages = len(pages)
     kind = (font_encoding[0]
@@ -337,15 +386,22 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
         stream_objs.append(
             (content_id, head + b"\nstream\n" + data + b"\nendstream"))
 
+    trailer_extra, enc_key = b"", None
+    if encrypt_r is not None:
+        stream_objs, trailer_extra, enc_key = _encrypt_objects(
+            dict_objs, stream_objs, encrypt_r, encrypt_user_pwd)
     if not xref_stream:
-        return _serialize_classic(dict_objs, stream_objs)
-    return _serialize_xref_stream(dict_objs, stream_objs)
+        return _serialize_classic(dict_objs, stream_objs, trailer_extra)
+    return _serialize_xref_stream(dict_objs, stream_objs,
+                                  trailer_extra, enc_key)
 
 
 def _write_pdf_tree(pages, compress: bool, xref_stream: bool,
                     font_encoding, split_contents: int,
                     nested_kids: bool,
-                    stream_filter: str | None = None) -> bytes:
+                    stream_filter: str | None = None,
+                    encrypt_r: int | None = None,
+                    encrypt_user_pwd: bytes = b"") -> bytes:
     """The ``split_contents``/``nested_kids`` layout of
     :func:`write_pdf` (r5 notch 6). Own object numbering: 1 catalog,
     2 root /Pages, 3 font, [4,5 intermediate /Pages when nested],
@@ -428,16 +484,23 @@ def _write_pdf_tree(pages, compress: bool, xref_stream: bool,
             head, data = _encode_stream(chunk, compress, stream_filter)
             stream_objs.append(
                 (cid, head + b"\nstream\n" + data + b"\nendstream"))
+    trailer_extra, enc_key = b"", None
+    if encrypt_r is not None:
+        stream_objs, trailer_extra, enc_key = _encrypt_objects(
+            dict_objs, stream_objs, encrypt_r, encrypt_user_pwd)
     if not xref_stream:
-        return _serialize_classic(dict_objs, stream_objs)
-    return _serialize_xref_stream(dict_objs, stream_objs)
+        return _serialize_classic(dict_objs, stream_objs, trailer_extra)
+    return _serialize_xref_stream(dict_objs, stream_objs,
+                                  trailer_extra, enc_key)
 
 
 def _serialize_classic(dict_objs: list[tuple[int, bytes]],
-                       stream_objs: list[tuple[int, bytes]]) -> bytes:
+                       stream_objs: list[tuple[int, bytes]],
+                       trailer_extra: bytes = b"") -> bytes:
     """Classic PDF 1.4 serialization: sequential objects + xref table.
     Object ids must be contiguous 1..N (both layout builders allocate
-    them that way)."""
+    them that way). ``trailer_extra`` carries the /Encrypt + /ID
+    entries when the encryption transform ran."""
     bodies = dict(dict_objs + stream_objs)
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
@@ -449,16 +512,23 @@ def _serialize_classic(dict_objs: list[tuple[int, bytes]],
     out += b"0000000000 65535 f \n"
     for off in offsets[1:]:
         out += f"{off:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {len(bodies) + 1} /Root 1 0 R >>\n"
-            f"startxref\n{xref_pos}\n%%EOF\n").encode()
+    out += (f"trailer\n<< /Size {len(bodies) + 1} /Root 1 0 R "
+            .encode() + trailer_extra
+            + f">>\nstartxref\n{xref_pos}\n%%EOF\n".encode())
     return bytes(out)
 
 
 def _serialize_xref_stream(dict_objs: list[tuple[int, bytes]],
-                           stream_objs: list[tuple[int, bytes]]) -> bytes:
+                           stream_objs: list[tuple[int, bytes]],
+                           trailer_extra: bytes = b"",
+                           enc_key: bytes | None = None) -> bytes:
     # ---- PDF 1.5 layout: ObjStm + XRef stream ----
     # (stream-carrying objects cannot live inside an ObjStm per spec
-    # §7.5.7 — content streams and the ToUnicode CMap stay top-level)
+    # §7.5.7 — content streams and the ToUnicode CMap stay top-level;
+    # the Encrypt dict arrives via stream_objs for the same reason).
+    # When enc_key is set the ObjStm payload is RC4'd with ITS object
+    # key after compression; the XRef stream is NEVER encrypted
+    # (§7.5.8.2) — a reader must be able to locate objects first.
     n_base = max(n for n, _ in dict_objs + stream_objs)
     objstm_id = n_base + 1
     xref_id = n_base + 2
@@ -472,6 +542,9 @@ def _serialize_xref_stream(dict_objs: list[tuple[int, bytes]],
     header = (" ".join(header_parts) + " ").encode("latin-1")
     payload = header + b" ".join(body_parts)
     zpayload = zlib.compress(payload, 6)
+    if enc_key is not None:
+        from . import pdf_crypt as C
+        zpayload = C.rc4(C.object_key(enc_key, objstm_id, 0), zpayload)
     objstm_body = (
         f"<< /Type /ObjStm /N {len(dict_objs)} /First {len(header)} "
         f"/Filter /FlateDecode /Length {len(zpayload)} >>"
@@ -500,7 +573,8 @@ def _serialize_xref_stream(dict_objs: list[tuple[int, bytes]],
     xref_body = (
         f"<< /Type /XRef /Size {xref_id + 1} /Root 1 0 R /W [1 4 2] "
         f"/Index [0 {xref_id + 1}] /Filter /FlateDecode "
-        f"/Length {len(zrows)} >>".encode("latin-1")
+        .encode("latin-1") + trailer_extra
+        + f"/Length {len(zrows)} >>".encode("latin-1")
         + b"\nstream\n" + zrows + b"\nendstream")
     out += f"{xref_id} 0 obj\n".encode() + xref_body + b"\nendobj\n"
     out += f"startxref\n{xref_pos}\n%%EOF\n".encode()

@@ -1013,9 +1013,10 @@ FROM c
 
 
 def error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A14 under the driver's value gate (r4): a corpus where 5 of 6
+    """A14 under the driver's value gate (r4): a corpus where 8 of 9
     documents are broken in a distinct way (empty / unknown-binary /
-    grammar-less PDF / photographic scan / structurally-broken DOCX)
+    grammar-less PDF / photographic scan / structurally-broken DOCX /
+    malformed ObjStm / unmapped CID / password-protected PDF)
     must produce exactly the typed per-document error rows — never a
     raise, never a silent drop — while the control class still extracts.
     The reference converts exceptions to per-doc error strings
@@ -1025,26 +1026,28 @@ def error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "fmt", "markdown", "error")
 
 
-#: r5: taxonomy widened %6 → %8 — classes 6 (malformed /ObjStm dict)
-#: and 7 (CID missing from its ToUnicode CMap) break inside the new
-#: grammar paths and must fail typed, never raise or emit mojibake
+#: r5: taxonomy widened %6 → %9 — classes 6 (malformed /ObjStm dict),
+#: 7 (CID missing from its ToUnicode CMap) and 8 (RC4-encrypted with a
+#: REAL password — /U verification fails; notch 8) break inside the
+#: new grammar paths and must fail typed, never raise or emit mojibake
 EXTRACT_ERROR_TAXONOMY_ORACLE = """
 SELECT
   'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
     || CAST(doc_id AS VARCHAR)
-    || CASE doc_id % 8 WHEN 2 THEN '.xyz' WHEN 3 THEN '.pdf'
+    || CASE doc_id % 9 WHEN 2 THEN '.xyz' WHEN 3 THEN '.pdf'
             WHEN 4 THEN '.png' WHEN 5 THEN '.docx'
-            WHEN 6 THEN '.pdf' WHEN 7 THEN '.pdf' ELSE '.html' END
+            WHEN 6 THEN '.pdf' WHEN 7 THEN '.pdf' WHEN 8 THEN '.pdf'
+            ELSE '.html' END
     AS url,
-  CASE doc_id % 8 WHEN 0 THEN 'html' WHEN 3 THEN 'pdf'
+  CASE doc_id % 9 WHEN 0 THEN 'html' WHEN 3 THEN 'pdf'
        WHEN 4 THEN 'image' WHEN 5 THEN 'docx'
-       WHEN 6 THEN 'pdf' WHEN 7 THEN 'pdf'
+       WHEN 6 THEN 'pdf' WHEN 7 THEN 'pdf' WHEN 8 THEN 'pdf'
        ELSE CAST(NULL AS VARCHAR) END AS fmt,
-  CASE WHEN doc_id % 8 = 0
+  CASE WHEN doc_id % 9 = 0
        THEN '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
             || text
        ELSE CAST(NULL AS VARCHAR) END AS markdown,
-  CASE doc_id % 8
+  CASE doc_id % 9
        WHEN 1 THEN 'empty_document'
        WHEN 2 THEN 'unsupported_format'
        WHEN 3 THEN 'pdf_unsupported_feature'
@@ -1052,6 +1055,7 @@ SELECT
        WHEN 5 THEN 'parse_error'
        WHEN 6 THEN 'pdf_unsupported_feature'
        WHEN 7 THEN 'pdf_unsupported_feature'
+       WHEN 8 THEN 'pdf_unsupported_feature'
        ELSE CAST(NULL AS VARCHAR) END AS error
 FROM documents
 """

@@ -371,7 +371,7 @@ def pages_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pages_broken(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → a corpus exercising the FULL per-document
     failure taxonomy (r4; reference A14 — error capture must never
-    raise, ``service.py:83-88``): by ``doc_id % 6`` —
+    raise, ``service.py:83-88``): by ``doc_id % 9`` —
 
     - 0: good HTML (the control row — real markdown comes out)
     - 1: zero-byte payload            → ``empty_document``
@@ -384,10 +384,13 @@ def pages_broken(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       → ``pdf_unsupported_feature``
     - 7 (r5): Type0/Identity-H PDF whose content references a CID
       missing from its ToUnicode CMap → ``pdf_unsupported_feature``
+    - 8 (r5 notch 8): RC4-encrypted PDF with a REAL (non-empty) user
+      password — /U verification fails → ``pdf_unsupported_feature``
+      (empty-password encrypted files EXTRACT; see with_fixture_pdfs)
 
-    (6/7 share class 3's error CODE but break in the r5 grammar's new
-    decode paths — the gate proves those paths fail TYPED through the
-    full Spark pipeline, never raise, never emit mojibake rows.)
+    (6/7/8 share class 3's error CODE but break in the r5 grammar's
+    new decode paths — the gate proves those paths fail TYPED through
+    the full Spark pipeline, never raise, never emit mojibake rows.)
 
     mapInPandas (corpus materialization; the zip/PNG writers are
     Python). Deterministic: zip entries pin date_time."""
@@ -424,6 +427,13 @@ def pages_broken(spark: SparkSession, sf_dir: str) -> DataFrame:
         font_encoding=("cid", {0x1001: "€"})
     ).replace(b"<0058>", b"<9958>")
     assert b"<9958>" in _PDF_CID_BAD
+    # class 8: RC4-encrypted with a real user password — the empty-
+    # password probe fails /U verification → typed password row
+    _PDF_LOCKED = write_pdf(
+        [[(72.0, 730.0, 24.0, ["Locked"]),
+          (72.0, 690.0, 11.0, ["secret body"])]],
+        compress=True, encrypt_r=3, encrypt_user_pwd=b"hunter2")
+    assert b"/Encrypt" in _PDF_LOCKED
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     def render(batches):
@@ -433,7 +443,7 @@ def pages_broken(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, t, lg in zip(pdf["doc_id"].tolist(),
                                 pdf["text"].tolist(),
                                 pdf["lang"].tolist()):
-                cls = i % 8
+                cls = i % 9
                 t = t or ""
                 if cls == 0:
                     ext, body = ".html", (
@@ -453,8 +463,10 @@ def pages_broken(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ext, body = ".docx", _DOCX
                 elif cls == 6:
                     ext, body = ".pdf", _PDF_OBJSTM_BAD
-                else:
+                elif cls == 7:
                     ext, body = ".pdf", _PDF_CID_BAD
+                else:
+                    ext, body = ".pdf", _PDF_LOCKED
                 rows["url"].append(
                     f"https://site{i % 97}.example/doc/{i}{ext}")
                 rows["warc_ts"].append(pd.Timestamp(
@@ -744,13 +756,25 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                     # so the oracle is again unchanged
                     filt = (("ahx", "a85", "a85+flate")[(i // 11) % 3]
                             if i % 11 == 6 else None)
+                    # r5 notch 8: docs with i%13==7 are RC4
+                    # standard-security encrypted with an EMPTY user
+                    # password (R2 40-bit / R3 128-bit alternating by
+                    # i//13) — the permissions-only protection the
+                    # legacy web-PDF corpus carries. Text is identical
+                    # after decryption, so the oracle is unchanged; a
+                    # reader that skips /Encrypt extracts nothing (or
+                    # mojibake) and fails the value hash. Decorrelated
+                    # from the incremental slice (i%7==4 branch above
+                    # stays unencrypted — append_update bases must).
+                    enc_r = (2 + (i // 13) % 2) if i % 13 == 7 else None
                     htmls[j] = write_pdf(doc_pages, compress=i % 2 == 0,
                                          xref_stream=i % 3 == 0,
                                          font_encoding=enc,
                                          split_contents=(
                                              3 if i % 5 in (2, 4) else 1),
                                          nested_kids=i % 20 == 14,
-                                         stream_filter=filt)
+                                         stream_filter=filt,
+                                         encrypt_r=enc_r)
                 urls[j] = url[: -len(".html")] + ".pdf"
             out = pdf.copy()
             out["url"] = pd.Series(urls, index=pdf.index)

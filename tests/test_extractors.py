@@ -798,3 +798,138 @@ def test_pdf_filter_chain_reader_robust_under_mutation():
         except PdfUnsupported:
             pass
     assert time.perf_counter() - t0 < 20
+
+
+# ------------------------- notch 8: RC4 standard-security encryption
+
+def test_rc4_known_vector():
+    """External anchor for the RC4 primitive: the classic public test
+    vector key='Key', plaintext='Plaintext' → BBF316E8D940AF0AD3."""
+    from docling_api_spark.operators.pdf_crypt import rc4
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    # symmetric: decrypt == encrypt
+    assert rc4(b"Key", rc4(b"Key", b"round trip")) == b"round trip"
+
+
+def test_pdf_rc4_encryption_layout_invariant():
+    """Empty-user-password RC4 files (R2 40-bit and R3 128-bit) must
+    extract byte-identically to their unencrypted twins on every
+    layout combination — classic/1.5, plain/Flate, split-contents
+    tree, ASCII filter chains — and the ciphertext really is
+    ciphertext (the plaintext marker is absent from the file)."""
+    from docling_api_spark.operators.pdf_extract import extract_pdf
+    from docling_api_spark.operators.pdf_write import write_pdf
+    pages = [[(72.0, 730.0, 24.0, ["Doc E"]),
+              (72.0, 690.0, 11.0, ["MARKER7 body (with) \\ escapes"])],
+             [(72.0, 730.0, 14.0, ["Part b"]),
+              (72.0, 690.0, 11.0, ["page two"])]]
+    expect = extract_pdf(write_pdf(pages))
+    assert "MARKER7" in expect
+    combos = [
+        dict(),
+        dict(compress=True),
+        dict(xref_stream=True),
+        dict(compress=True, xref_stream=True),
+        dict(split_contents=3, nested_kids=True),
+        dict(stream_filter="a85+flate"),
+    ]
+    for r in (2, 3):
+        for kw in combos:
+            enc = write_pdf(pages, encrypt_r=r, **kw)
+            assert b"/Encrypt" in enc and b"/ID [<" in enc
+            assert b"MARKER7" not in enc, (r, kw)
+            assert extract_pdf(enc) == expect, (r, kw)
+
+
+def test_pdf_rc4_literal_string_o_u():
+    """Real files carry /O and /U as escaped LITERAL strings as often
+    as hex; the reader must decode both wire forms. Rewrites the
+    writer's hex values into octal-escaped literals (the reader is
+    scan-based, so the stale xref offsets this shifts are harmless —
+    as they are for any incrementally-edited real file)."""
+    import re
+
+    from docling_api_spark.operators.pdf_extract import extract_pdf
+    from docling_api_spark.operators.pdf_write import write_pdf
+
+    def to_literal(hexs: bytes) -> bytes:
+        raw = bytes.fromhex(hexs.decode())
+        out = bytearray(b"(")
+        for b in raw:
+            out += b"\\%03o" % b
+        return bytes(out + b")")
+
+    pdf = write_pdf([[(72.0, 730.0, 24.0, ["Lit"]),
+                      (72.0, 690.0, 11.0, ["literal o u strings"])]],
+                    compress=True, encrypt_r=3)
+    expect = extract_pdf(pdf)
+    lit = re.sub(rb"/O <([0-9a-f]+)>",
+                 lambda m: b"/O " + to_literal(m.group(1)), pdf)
+    lit = re.sub(rb"/U <([0-9a-f]+)>",
+                 lambda m: b"/U " + to_literal(m.group(1)), lit)
+    assert lit != pdf
+    assert extract_pdf(lit) == expect
+
+
+def test_pdf_password_and_aes_and_tamper_are_typed():
+    """A REAL user password, an AES (V4/R4) dict, and a tampered /U
+    must each scope out via PdfUnsupported — never extract garbage
+    (the /U verification is what stands between a wrong key and
+    silent mojibake)."""
+    import re
+
+    import pytest
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         extract_pdf)
+    from docling_api_spark.operators.pdf_write import write_pdf
+    pages = [[(72.0, 730.0, 24.0, ["Locked"]),
+              (72.0, 690.0, 11.0, ["secret"])]]
+    with pytest.raises(PdfUnsupported, match="password"):
+        extract_pdf(write_pdf(pages, encrypt_r=3,
+                              encrypt_user_pwd=b"hunter2"))
+    enc = write_pdf(pages, encrypt_r=3)
+    with pytest.raises(PdfUnsupported, match="V4"):
+        extract_pdf(enc.replace(b"/V 2 /R 3", b"/V 4 /R 4"))
+    with pytest.raises(PdfUnsupported, match="password"):
+        extract_pdf(re.sub(rb"/U <[0-9a-f]{8}", b"/U <deadbeef", enc))
+
+
+def test_pdf_rc4_reader_robust_under_mutation():
+    """Same poison-document contract as every other layout class:
+    encrypted bases under byte mutation/truncation either parse or
+    fail via PdfUnsupported, bounded time, no hangs."""
+    import random
+    import time
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         extract_pdf)
+    from docling_api_spark.operators.pdf_write import write_pdf
+
+    base = [write_pdf([[(72.0, 720.0, 18.0, [f"Doc {i}"]),
+                        (72.0, 680.0, 11.0, ["hello world " * 10])]],
+                      compress=bool(i % 2), xref_stream=bool(i % 3 == 0),
+                      encrypt_r=2 + i % 2)
+            for i in range(4)]
+    rng = random.Random(20260820)
+    t0 = time.perf_counter()
+    for _ in range(500):
+        raw = bytearray(rng.choice(base))
+        for _ in range(rng.randint(1, 12)):
+            op = rng.random()
+            if op < 0.4 and raw:
+                raw[rng.randrange(len(raw))] = rng.randrange(256)
+            elif op < 0.7 and raw:
+                del raw[rng.randrange(len(raw))]
+            else:
+                raw.insert(rng.randrange(len(raw) + 1), rng.randrange(256))
+        try:
+            extract_pdf(bytes(raw))
+        except PdfUnsupported:
+            pass
+    for frac in range(0, len(base[0]), 61):
+        try:
+            extract_pdf(base[0][:frac])
+        except PdfUnsupported:
+            pass
+    assert time.perf_counter() - t0 < 20
