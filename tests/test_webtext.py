@@ -607,12 +607,13 @@ def test_dsir_hand_replica():
     meta = {}
     for doc_id, text, src in docs:
         toks = [t for t in text.lower().split() if t]
-        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        hs = [_md5_int(t) for t in toks]
+        buckets = [h % B for h in hs] + [
+            (31 * a + b) % B for a, b in zip(hs, hs[1:])]
         in_t = _md5_int(src) % _DSIR_TARGET_MOD == 0
-        meta[doc_id] = (in_t, len(grams))
+        meta[doc_id] = (in_t, len(buckets))
         cb = {}
-        for g in grams:
-            b = _md5_int(g) % B
+        for b in buckets:
             cb[b] = cb.get(b, 0) + 1
         feats[doc_id] = cb
         for b, c in cb.items():
