@@ -33,7 +33,10 @@ grammar produced by :mod:`.pdf_write` —
   depth-first in /Kids order; cycle/depth guards scope out typed);
   ``/Resources`` inherits from the nearest ancestor per §7.7.3.4, so
   fonts declared once on the root node reach every leaf;
-- content streams: plain or ``/FlateDecode``; ``/Contents`` scalar ref
+- content streams: plain, ``/FlateDecode``, ``/ASCIIHexDecode``,
+  ``/ASCII85Decode``, ``/LZWDecode`` (notch 9 — the pre-Flate
+  compression of the oldest web-PDF slice; EarlyChange=1), or a §7.4
+  /Filter ARRAY chain of these; ``/Contents`` scalar ref
   or ARRAY (§7.8.2 — the array's streams are concatenated with
   whitespace BEFORE tokenization: BT/ET and text state cross stream
   boundaries in real writer output);
@@ -165,7 +168,64 @@ _FILTER_RX = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _FILTER_NAME_RX = re.compile(rb"/([A-Za-z0-9]+)")
 
 
+def _lzw_decode(raw: bytes) -> bytes:
+    """§7.4.4 LZWDecode (EarlyChange=1, the spec default and the only
+    value legacy writers emit): MSB-first variable-width codes 9→12
+    bits, 256=clear, 257=EOD, new entries from 258; the code width
+    grows one entry EARLY (when the next assignable code reaches
+    2^width - 1). LZW is the pre-Flate compression the oldest slice of
+    the real web-PDF corpus carries (PDF 1.0/1.1 writers, TIFF-derived
+    tooling). Pure stdlib; any malformed code scopes out typed."""
+    out = bytearray()
+    entries: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def clear():
+        nonlocal entries, width, prev
+        entries = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    clear()
+    buf = nbits = 0
+    for byte in raw:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                clear()
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(entries):
+                    raise PdfUnsupported("lzw: bad first code")
+                seq = entries[code]
+            elif code < len(entries):
+                seq = entries[code]
+                entries.append(prev + seq[:1])
+            elif code == len(entries):     # the KwKwK case
+                seq = prev + prev[:1]
+                entries.append(seq)
+            else:
+                raise PdfUnsupported("lzw: code beyond table")
+            out += seq
+            prev = seq
+            # EarlyChange=1: widen when the NEXT assignable code hits
+            # 2^width - 1 (entry 511 → 10 bits, 1023 → 11, 2047 → 12)
+            if len(entries) + 1 >= (1 << width) and width < 12:
+                width += 1
+    # missing EOD: tolerated (truncation-robust), matching the
+    # delimiter-fallback spirit of the stream scanner
+    return bytes(out)
+
+
 def _apply_filter(name: bytes, raw: bytes) -> bytes:
+    if name == b"LZWDecode":
+        return _lzw_decode(raw)
     if name == b"FlateDecode":
         try:
             return zlib.decompress(raw)
@@ -629,6 +689,8 @@ _TYPE0_RX = re.compile(rb"/Subtype\s*/Type0\b")
 _BFCHAR_RX = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
 _BFRANGE_RX = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
 _HEXGRP_RX = re.compile(rb"<([0-9A-Fa-f]+)>")
+#: bfrange row tokens: hex strings plus the array delimiters
+_CMAP_TOK_RX = re.compile(rb"<[0-9A-Fa-f\s]*>|\[|\]")
 
 
 def _parse_cmap(data: bytes, two_byte: bool = False) -> dict[int, str]:
@@ -638,8 +700,9 @@ def _parse_cmap(data: bytes, two_byte: bool = False) -> dict[int, str]:
     scalar dst start (the last-byte increment rule). ``two_byte``
     raises the code bound to 0xFFFF for Type0/Identity-H fonts (r5 —
     where the 2-byte code IS the glyph id and only the CMap recovers
-    text). Array-form bfrange is outside the scoped grammar →
-    PdfUnsupported."""
+    text). bfrange reads BOTH §9.10.3 forms: scalar (last byte
+    increments from the dst start) and ARRAY (one UTF-16BE string per
+    code, multi-char dsts allowed — notch 9)."""
     max_code = 0xFFFF if two_byte else 0xFF
     table: dict[int, str] = {}
     for m in _BFCHAR_RX.finditer(data):
@@ -658,20 +721,53 @@ def _parse_cmap(data: bytes, two_byte: bool = False) -> dict[int, str]:
             except UnicodeDecodeError as e:
                 raise PdfUnsupported(f"bad bfchar dst: {e}") from e
     for m in _BFRANGE_RX.finditer(data):
-        body = m.group(1)
-        if b"[" in body:
-            raise PdfUnsupported("array-form bfrange unsupported")
-        hx = _HEXGRP_RX.findall(body)
-        if len(hx) % 3:
-            raise PdfUnsupported("bfrange expects triples")
-        for lo, hi, dst in zip(hx[0::3], hx[1::3], hx[2::3]):
-            lo_i, hi_i, start = int(lo, 16), int(hi, 16), int(dst, 16)
-            if hi_i > max_code or lo_i > hi_i or len(dst) != 4:
+        toks = [t.group(0) for t in _CMAP_TOK_RX.finditer(m.group(1))]
+        i, n = 0, len(toks)
+        while i < n:
+            if i + 2 >= n or toks[i][:1] != b"<" or toks[i + 1][:1] != b"<":
+                raise PdfUnsupported("bad bfrange row")
+            lo = re.sub(rb"\s", b"", toks[i][1:-1])
+            hi = re.sub(rb"\s", b"", toks[i + 1][1:-1])
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if hi_i > max_code or lo_i > hi_i:
                 raise PdfUnsupported("bad bfrange bounds")
+            if toks[i + 2] == b"[":
+                # array form (§9.10.3): one UTF-16BE string per code —
+                # the form subset-font generators emit when consecutive
+                # codes map to non-consecutive (or multi-char) text
+                j = i + 3
+                dsts: list[str] = []
+                while j < n and toks[j] != b"]":
+                    if toks[j][:1] != b"<":
+                        raise PdfUnsupported("bad bfrange array entry")
+                    dh = re.sub(rb"\s", b"", toks[j][1:-1])
+                    if len(dh) % 4:
+                        raise PdfUnsupported("bfrange dst not UTF-16BE")
+                    try:
+                        dsts.append(bytes.fromhex(
+                            dh.decode("ascii")).decode("utf-16-be"))
+                    except UnicodeDecodeError as e:
+                        raise PdfUnsupported(
+                            f"bad bfrange dst: {e}") from e
+                    j += 1
+                if j >= n:
+                    raise PdfUnsupported("unterminated bfrange array")
+                if len(dsts) != hi_i - lo_i + 1:
+                    raise PdfUnsupported("bfrange array length mismatch")
+                for k, s in enumerate(dsts):
+                    table[lo_i + k] = s
+                i = j + 1
+                continue
+            # scalar form: dst start value, last byte increments
+            dst = re.sub(rb"\s", b"", toks[i + 2][1:-1])
+            if toks[i + 2][:1] != b"<" or len(dst) != 4:
+                raise PdfUnsupported("bad bfrange bounds")
+            start = int(dst, 16)
             if start + (hi_i - lo_i) > 0xFFFF:
                 raise PdfUnsupported("bfrange beyond BMP")
             for k in range(hi_i - lo_i + 1):
                 table[lo_i + k] = chr(start + k)
+            i += 3
     return table
 
 

@@ -62,7 +62,8 @@ def _text_encoder(font_encoding):
                     i += 1
             return bytes(out)
         return enc_cid
-    if isinstance(font_encoding, tuple) and font_encoding[0] == "tounicode":
+    if isinstance(font_encoding, tuple) and font_encoding[0] in (
+            "tounicode", "tounicode_arr"):
         mapping = font_encoding[1]
         for code in mapping:
             # codes must be control bytes (no ASCII/parens/CR/LF
@@ -115,24 +116,45 @@ def _text_encoder(font_encoding):
 
 
 def _tounicode_stream(mapping: dict[int, str], compress: bool,
-                      two_byte: bool = False) -> bytes:
+                      two_byte: bool = False,
+                      array_form: bool = False) -> bytes:
     """A §9.10.3 ToUnicode CMap stream body: bfchar entries with
     UTF-16BE destinations. ``two_byte`` (Type0/Identity-H) switches to
     the <0000><FFFF> codespace, 4-hex-digit srcs, and prepends the
-    ASCII identity bfrange real generators emit."""
+    ASCII identity bfrange real generators emit. ``array_form``
+    (notch 9) emits the mapping as ARRAY-form bfrange rows instead —
+    consecutive codes grouped into ``<lo> <hi> [<d1> <d2> …]`` runs,
+    the form subset-font generators produce for non-consecutive
+    destinations."""
     w = 4 if two_byte else 2
-    lines = [f"<{c:0{w}X}> <{s.encode('utf-16-be').hex().upper()}>"
-             for c, s in sorted(mapping.items())]
     space = ("<0000> <FFFF>" if two_byte else "<00> <FF>")
     ranges = ("1 beginbfrange\n<0020> <007E> <0020>\nendbfrange\n"
               if two_byte else "")
+    if array_form:
+        runs: list[list[tuple[int, str]]] = []
+        for c, s in sorted(mapping.items()):
+            if runs and c == runs[-1][-1][0] + 1:
+                runs[-1].append((c, s))
+            else:
+                runs.append([(c, s)])
+        rows = [
+            f"<{run[0][0]:0{w}X}> <{run[-1][0]:0{w}X}> ["
+            + " ".join(f"<{s.encode('utf-16-be').hex().upper()}>"
+                       for _, s in run) + "]"
+            for run in runs]
+        body = (f"{len(rows)} beginbfrange\n" + "\n".join(rows)
+                + "\nendbfrange\n")
+    else:
+        lines = [f"<{c:0{w}X}> <{s.encode('utf-16-be').hex().upper()}>"
+                 for c, s in sorted(mapping.items())]
+        body = (f"{len(lines)} beginbfchar\n" + "\n".join(lines)
+                + "\nendbfchar\n")
     cmap = (
         "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
         "/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
         f"1 begincodespacerange\n{space}\nendcodespacerange\n"
-        + ranges
-        + f"{len(lines)} beginbfchar\n" + "\n".join(lines) + "\nendbfchar\n"
-        "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+        + ranges + body
+        + "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
     ).encode("latin-1")
     if compress:
         data = zlib.compress(cmap, 6)
@@ -202,6 +224,60 @@ def content_stream(blocks: list[tuple[float, float, float, list[str]]],
     return b"\n".join(parts)
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """§7.4.4 LZW encoder (EarlyChange=1), MSB-first bit packing —
+    the writer half of the differential pair with pdf_extract's
+    decoder. Leads with a clear code (what real legacy writers emit),
+    widens one entry early, clears before the 12-bit table fills."""
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nextcode, width = 258, 9
+    emit(256, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = nextcode
+        nextcode += 1
+        # the decoder's table lags the encoder's by ONE entry at each
+        # code boundary (it can only build the previous code's
+        # extension), so the encoder widens at nextcode >= 2^width —
+        # one step LATER than the decoder's count+1 >= 2^width rule,
+        # which is the same wire schedule (verified by the round-trip
+        # property over width-crossing inputs)
+        if nextcode >= (1 << width) and width < 12:
+            width += 1
+        elif nextcode >= 4095:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            nextcode, width = 258, 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+        # the decoder adds one more entry for this final code and may
+        # widen before reading EOD — mirror it so EOD lands at the
+        # width the decoder will read it with
+        if nextcode + 1 >= (1 << width) and width < 12:
+            width += 1
+    emit(257, width)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _encode_stream(data: bytes, compress: bool,
                    stream_filter: str | None = None) -> tuple[bytes, bytes]:
     """→ (dict_head, payload) for a content stream. ``stream_filter``
@@ -230,6 +306,10 @@ def _encode_stream(data: bytes, compress: bool,
         enc = base64.a85encode(zlib.compress(data, 6)) + b"~>"
         return (f"<< /Length {len(enc)} "
                 f"/Filter [/ASCII85Decode /FlateDecode] >>"
+                .encode(), enc)
+    if stream_filter == "lzw":
+        enc = _lzw_encode(data)
+        return (f"<< /Length {len(enc)} /Filter /LZWDecode >>"
                 .encode(), enc)
     raise ValueError(f"unknown stream_filter {stream_filter!r}")
 
@@ -346,7 +426,9 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
     n_pages = len(pages)
     kind = (font_encoding[0]
             if isinstance(font_encoding, tuple) else None)
-    tounicode = font_encoding[1] if kind in ("tounicode", "cid") else None
+    tounicode = (font_encoding[1]
+                 if kind in ("tounicode", "tounicode_arr", "cid")
+                 else None)
     # obj 1: catalog, obj 2: pages, obj 3: font, then per page:
     # page obj + content obj; the optional ToUnicode CMap stream takes
     # the next id after the pages, the CID descendant font dict the
@@ -367,7 +449,8 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
     if tounicode is not None:
         stream_objs.append(
             (tounicode_id, _tounicode_stream(
-                tounicode, compress, two_byte=kind == "cid")))
+                tounicode, compress, two_byte=kind == "cid",
+                array_form=kind == "tounicode_arr")))
     if descendant_id is not None:
         dict_objs.append((descendant_id, _CID_DESCENDANT))
     for i, page in enumerate(pages):
@@ -413,7 +496,9 @@ def _write_pdf_tree(pages, compress: bool, xref_stream: bool,
     n_pages = len(pages)
     kind = (font_encoding[0]
             if isinstance(font_encoding, tuple) else None)
-    tounicode = font_encoding[1] if kind in ("tounicode", "cid") else None
+    tounicode = (font_encoding[1]
+                 if kind in ("tounicode", "tounicode_arr", "cid")
+                 else None)
     nested = nested_kids and n_pages >= 2
     next_id = 6 if nested else 4
     node_ids = [4, 5] if nested else []
@@ -467,7 +552,8 @@ def _write_pdf_tree(pages, compress: bool, xref_stream: bool,
     if tounicode is not None:
         stream_objs.append(
             (tounicode_id, _tounicode_stream(
-                tounicode, compress, two_byte=kind == "cid")))
+                tounicode, compress, two_byte=kind == "cid",
+                array_form=kind == "tounicode_arr")))
     if descendant_id is not None:
         dict_objs.append((descendant_id, _CID_DESCENDANT))
     for pid, (cids, chunks) in zip(page_ids, page_chunks):
@@ -602,7 +688,7 @@ def append_update(pdf: bytes,
     cs = content_stream(
         blocks, encode=_text_encoder(font_encoding),
         hex_strings=isinstance(font_encoding, tuple)
-        and font_encoding[0] in ("tounicode", "cid"))
+        and font_encoding[0] in ("tounicode", "tounicode_arr", "cid"))
     if compress:
         data = zlib.compress(cs, 6)
         head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()

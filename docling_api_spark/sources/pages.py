@@ -695,6 +695,9 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                 tail = ""
                 if i % 30 == 24:
                     tail = " “prix” %d €" % (i % 50)
+                    # r5 notch 9 widens the alternation to FIVE: the
+                    # array-form bfrange CMap (consecutive control
+                    # codes grouped into <lo> <hi> [<d1> <d2> <d3>])
                     enc = [
                         "winansi",
                         {0xE9: "Euro", 0xEA: "quotedblleft",
@@ -703,7 +706,9 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                          {0x01: "€", 0x04: "“", 0x05: "”"}),
                         ("cid",
                          {0x1001: "€", 0x1002: "“", 0x1003: "”"}),
-                    ][(i // 30) % 4]
+                        ("tounicode_arr",
+                         {0x01: "€", 0x02: "“", 0x03: "”"}),
+                    ][(i // 30) % 5]
                 ref_line = f"(ref {i}\\{i % 7}){tail}"
                 para_y = 620.0 - 14.0 * max(0, len(lines) - 1)
                 if i % 20 == 14:
@@ -751,10 +756,13 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                     # the tree extracts nothing and fails the hash.
                     # r5 notch 7: docs with i%11==6 swap the content
                     # stream's plain/Flate coding for ASCIIHex,
-                    # ASCII85, or the [/ASCII85Decode /FlateDecode]
-                    # chain (alternating by i//11) — layout-invariant,
-                    # so the oracle is again unchanged
-                    filt = (("ahx", "a85", "a85+flate")[(i // 11) % 3]
+                    # ASCII85, the [/ASCII85Decode /FlateDecode]
+                    # chain, or (notch 9) LZWDecode — the pre-Flate
+                    # compression of the oldest web-PDF slice
+                    # (alternating by i//11) — layout-invariant, so
+                    # the oracle is again unchanged
+                    filt = (("ahx", "a85", "a85+flate", "lzw")
+                            [(i // 11) % 4]
                             if i % 11 == 6 else None)
                     # r5 notch 8: docs with i%13==7 are RC4
                     # standard-security encrypted with an EMPTY user

@@ -489,8 +489,9 @@ def test_pdf_winansi_cp1252_holes_fall_back():
 def test_pdf_tounicode_cmap():
     """/ToUnicode CMaps (r5): bfchar with UTF-16BE dsts (incl. a
     multi-char ligature expansion), bfrange with the last-byte
-    increment rule, CMap authority over the base encoding, and typed
-    scoping of the array-form bfrange."""
+    increment rule, and CMap authority over the base encoding (the
+    array bfrange form graduated from typed scope-out to SUPPORTED in
+    notch 9 — see test_pdf_bfrange_array_form)."""
     import pytest
 
     from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
@@ -518,8 +519,9 @@ def test_pdf_tounicode_cmap():
     # bfrange: consecutive codes, incremented dst
     assert _parse_cmap(b"1 beginbfrange\n<41> <43> <00E9>\nendbfrange") \
         == {0x41: "é", 0x42: "ê", 0x43: "ë"}
-    with pytest.raises(PdfUnsupported):
-        _parse_cmap(b"beginbfrange\n<41> <42> [<00E9> <00EA>]\nendbfrange")
+    assert _parse_cmap(
+        b"beginbfrange\n<41> <42> [<00E9> <00EA>]\nendbfrange") \
+        == {0x41: "é", 0x42: "ê"}
     # writer guard: codes must be control bytes
     with pytest.raises(ValueError):
         write_pdf([[(72.0, 690.0, 11.0, ["x"])]],
@@ -759,10 +761,12 @@ def test_pdf_filter_chains():
     bad = a85.replace(b"~>", b"\x00\x01~>", 1)
     with pytest.raises(PdfUnsupported):
         extract_pdf(bad)
-    # unknown filter name → typed
+    # a filter label LYING about the payload coding → typed (LZW
+    # graduated to supported in notch 9; plain text declared as LZW
+    # now fails inside the decoder, not at the name gate)
     lzw = write_pdf(pages).replace(
         b"<< /Length", b"<< /Filter /LZWDecode /Length", 1)
-    with pytest.raises(PdfUnsupported, match="LZWDecode"):
+    with pytest.raises(PdfUnsupported, match="lzw"):
         extract_pdf(lzw)
 
 
@@ -933,3 +937,93 @@ def test_pdf_rc4_reader_robust_under_mutation():
         except PdfUnsupported:
             pass
     assert time.perf_counter() - t0 < 20
+
+
+# --------------------- notch 9: LZWDecode + array-form bfrange
+
+def test_lzw_round_trip_and_vectors():
+    """The §7.4.4 LZW pair: decoder anchored by hand-packed code
+    sequences derived from first principles (clear, literals, table
+    refs, the KwKwK case), then a property sweep over random and
+    repetitive inputs that crosses every code-width boundary and the
+    4095-entry clear."""
+    import random
+
+    from docling_api_spark.operators.pdf_extract import _lzw_decode
+    from docling_api_spark.operators.pdf_write import _lzw_encode
+
+    def pack(codes, width=9):
+        buf = nbits = 0
+        out = bytearray()
+        for c in codes:
+            buf = (buf << width) | c
+            nbits += width
+            while nbits >= 8:
+                out.append((buf >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            out.append((buf << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    # clear, 'A', 'B', table[258]=AB, 'A', EOD
+    assert _lzw_decode(pack([256, 65, 66, 258, 65, 257])) == b"ABABA"
+    # KwKwK: code == next table entry
+    assert _lzw_decode(pack([256, 65, 258, 257])) == b"AAA"
+    rng = random.Random(99)
+    cases = [b"", b"A", bytes(range(256)) * 2,
+             b"the quick brown fox " * 4000,          # 12-bit + clear
+             bytes(rng.randrange(256) for _ in range(100000))]
+    for _ in range(300):
+        cases.append(bytes(rng.randrange(256)
+                           for _ in range(rng.randrange(0, 1500))))
+    for _ in range(200):
+        unit = bytes(rng.randrange(65, 70)
+                     for _ in range(rng.randrange(1, 9)))
+        cases.append(unit * rng.randrange(1, 400))
+    for c in cases:
+        assert _lzw_decode(_lzw_encode(c)) == c, len(c)
+
+
+def test_pdf_lzw_stream_layout_invariant():
+    """/LZWDecode content streams extract byte-identically to plain —
+    including under 1.5 layout and RC4 encryption (filters and crypto
+    compose: decrypt, THEN defilter)."""
+    from docling_api_spark.operators.pdf_extract import extract_pdf
+    from docling_api_spark.operators.pdf_write import write_pdf
+    pages = [[(72.0, 730.0, 24.0, ["LZ"]),
+              (72.0, 690.0, 11.0, ["lzw body (with) \\ escapes",
+                                   "line two of the paragraph"])]]
+    expect = extract_pdf(write_pdf(pages))
+    for kw in (dict(), dict(xref_stream=True),
+               dict(encrypt_r=3), dict(xref_stream=True, encrypt_r=2)):
+        got = extract_pdf(write_pdf(pages, stream_filter="lzw", **kw))
+        assert got == expect, kw
+
+
+def test_pdf_bfrange_array_form():
+    """Array-form bfrange (§9.10.3) decodes identically to the bfchar
+    form for the same mapping — incl. multi-char ligature dsts and a
+    mapping split across consecutive-run boundaries — and malformed
+    arrays (length mismatch, unterminated) scope out typed."""
+    import pytest
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         _parse_cmap,
+                                                         extract_pdf)
+    from docling_api_spark.operators.pdf_write import write_pdf
+    pages = [[(72.0, 730.0, 24.0, ["T"]),
+              (72.0, 690.0, 11.0, ["x € y “q” z ffi."])]]
+    m = {0x01: "€", 0x02: "“", 0x03: "”", 0x07: "ffi"}  # two runs
+    a = extract_pdf(write_pdf(pages, font_encoding=("tounicode", m)))
+    arr_pdf = write_pdf(pages, font_encoding=("tounicode_arr", m))
+    assert b"beginbfrange" in arr_pdf and b"beginbfchar" not in arr_pdf
+    assert extract_pdf(arr_pdf) == a
+    # direct CMap-parser checks
+    ok = _parse_cmap(b"1 beginbfrange\n<01> <03> [<20AC> <201C> <201D>]"
+                     b"\nendbfrange")
+    assert ok == {1: "€", 2: "“", 3: "”"}
+    with pytest.raises(PdfUnsupported, match="length mismatch"):
+        _parse_cmap(b"1 beginbfrange\n<01> <03> [<20AC>]\nendbfrange")
+    with pytest.raises(PdfUnsupported, match="unterminated"):
+        _parse_cmap(b"1 beginbfrange\n<01> <02> [<20AC> <201C>"
+                    b"\nendbfrange")
