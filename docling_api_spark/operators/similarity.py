@@ -545,3 +545,117 @@ def ann_recall_report(spark: SparkSession, sf_dir: str,
 
 
 ANN_RECALL_ORACLE = _recall_sql("duck")
+
+# ----------------------------------------------------------- SemDeDup
+
+def _semdedup_sql(dialect: str, centroids: list[list[float]],
+                  cfg: AnnConfig = DEFAULT_ANN) -> str:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means-cluster the
+    embeddings, compare pairs ONLY within a cluster (the paper's whole
+    point — clustering bounds the otherwise-quadratic pairwise pass),
+    and for every pair above the cosine threshold KEEP the example
+    less similar to its cluster centroid (the paper's low-centroid-
+    similarity keep rule; ties drop the higher vec_id). One row per
+    embedding: (vec_id, cell, centroid_cos, kept).
+
+    Cross-engine determinism: the keep rule compares centroid cosines
+    ROUNDed to 12 dp (the ivf_train contract — raw doubles differ at
+    ulp level between engines only for near-identical values, where
+    the vec_id tie-break takes over). Reported ``centroid_cos`` is the
+    4-dp display rounding every similarity op here uses.
+
+    Plan at 100 TB: the model (k centroids + their norms) is inlined
+    literals — broadcast by construction; assignment and centroid
+    cosine are map-side projections; the ONLY corpus-sized exchange is
+    the equi-join on cell (hash-partitioned both sides), with the same
+    deterministic per-cell candidate cap as the other similarity ops
+    as the skew backstop (a production run sizes k ≈ √N via
+    AnnConfig.for_corpus, keeping cells bounded)."""
+    import math
+    k = len(centroids)
+    wlits = ", ".join(X.array_lit(dialect, c) for c in centroids)
+    cnorms = X.array_lit(
+        dialect, [math.sqrt(sum(x * x for x in c)) for c in centroids])
+    if dialect == "spark":
+        dots = (f"transform(array({wlits}), w -> "
+                f"aggregate(zip_with(embedding, w, (x, y) -> "
+                f"CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v))")
+        cell = "array_position(dots, array_max(dots))"
+        nrm = ("sqrt(aggregate(embedding, 0D, (acc, x) -> "
+               "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+        dot_ab = ("aggregate(zip_with(a.embedding, b2.embedding, "
+                  "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                  "0D, (acc, v) -> acc + v)")
+        cdot = "element_at(dots, CAST(cell AS INT))"
+        cnrm = f"element_at({cnorms}, CAST(cell AS INT))"
+    else:
+        dots = (f"list_transform([{wlits}], w -> "
+                f"list_sum(list_transform(list_zip(embedding, w), p -> "
+                f"CAST(p[1] AS DOUBLE) * p[2])))")
+        cell = "list_position(dots, list_max(dots))"
+        nrm = ("sqrt(list_sum(list_transform(embedding, x -> "
+               "CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+        dot_ab = ("list_sum(list_transform("
+                  "list_zip(a.embedding, b2.embedding), "
+                  "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+        cdot = "dots[cell]"
+        cnrm = f"({cnorms})[cell]"
+    cap = cfg.bucket_cap
+    if cap is None:
+        cand = "b"
+    else:
+        cand = f"""(SELECT vec_id, embedding, nrm, cell, cc FROM (
+      SELECT vec_id, embedding, nrm, cell, cc,
+             row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS brn
+      FROM b) cb WHERE brn <= {cap})"""
+    return f"""
+WITH d AS (SELECT vec_id, embedding, {nrm} AS nrm, {dots} AS dots
+           FROM embeddings),
+b AS (
+  SELECT vec_id, embedding, nrm, CAST(cell AS BIGINT) AS cell,
+         {cdot} / (nrm * {cnrm}) AS cc
+  FROM (SELECT vec_id, embedding, nrm, dots, {cell} AS cell FROM d) x
+),
+p AS (
+  SELECT a.vec_id AS aid, b2.vec_id AS bid,
+         ROUND(a.cc, 12) AS cca, ROUND(b2.cc, 12) AS ccb
+  FROM {cand} a JOIN {cand} b2
+    ON a.cell = b2.cell AND a.vec_id < b2.vec_id
+  WHERE {dot_ab} / (a.nrm * b2.nrm) >= {NEAR_DUP_COS}
+),
+drops AS (
+  SELECT DISTINCT CASE WHEN cca > ccb THEN aid ELSE bid END AS vec_id
+  FROM p
+)
+SELECT b.vec_id, b.cell, ROUND(b.cc, 4) AS centroid_cos,
+       drops.vec_id IS NULL AS kept
+FROM b LEFT JOIN drops ON drops.vec_id = b.vec_id
+"""
+
+
+def semdedup(spark: SparkSession, sf_dir: str,
+             cfg: AnnConfig = DEFAULT_ANN) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_train(emb, k=cfg.n_cells, iters=2, dim=cfg.dim)
+    _view(spark, sf_dir)
+    return spark.sql(_semdedup_sql("spark", cents, cfg))
+
+
+_SEMDEDUP_ORACLE_CACHE: dict = {}
+
+
+def semdedup_oracle(sf_dir: str | None = None,
+                    cfg: AnnConfig = DEFAULT_ANN) -> str:
+    """DuckDB twin: engine-free k-means replica (the ann_ivf_trained
+    pattern), learned centroid literals inlined into the shared SQL."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get("SWEEP_SF_DIR",
+                                      "/root/testdata/sf0.01")
+    key = (sf_dir, cfg)
+    if key not in _SEMDEDUP_ORACLE_CACHE:
+        cents = ivf_train_replica(sf_dir, k=cfg.n_cells, iters=2,
+                                  dim=cfg.dim)
+        _SEMDEDUP_ORACLE_CACHE[key] = _semdedup_sql("duck", cents, cfg)
+    return _SEMDEDUP_ORACLE_CACHE[key]

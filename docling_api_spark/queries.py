@@ -1577,7 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys == this dict's keys[0:50], in order).
 
     ROTATION POLICY (r5, replacing r4's ad-hoc subsumption notes): with
-    80 registered queries and 50 driver slots, the window ALTERNATES —
+    81 registered queries and 50 driver slots, the window ALTERNATES —
     every query rotated out in round K is rotated back in in round K+1,
     so no query's latest driver row is ever more than one round old.
     Each round's window is therefore: (a) every query with no driver row
@@ -1589,12 +1589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     marker naming their last driver row.
 
     r5 window = 26 r3-last-gated + sequence_packing (never gated; r5
-    two-level-prefix-sum rework) + compact_roundtrip, domain_mixture and
-    dsir_importance (new r5) + the r5 code/corpus-touched set (pdf 1.5/
-    incremental/encoding corpus, charset utf-16 remap, streaming fixture
-    pre-materialization) + 13 flagship/composite re-gates. The 30
-    rotated out are all r4-driver-green (CORRECTNESS_r04: 50/50) with
-    unchanged code, due back in r6.
+    two-level-prefix-sum rework) + compact_roundtrip, domain_mixture,
+    dsir_importance and semdedup (new r5) + the r5 code/corpus-touched
+    set (pdf 1.5/incremental/encoding corpus, charset utf-16 remap,
+    streaming fixture pre-materialization) + 12 flagship/composite
+    re-gates. The 31 rotated out are all r4-driver-green
+    (CORRECTNESS_r04: 50/50) with unchanged code, due back in r6.
     """
     return {
         # ---- driver window (slots 1-50) ----
@@ -1637,7 +1637,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": similarity.ann_ivf,
         # high-value composite re-gates (policy item (c))
         "extract_docx_markdown": extract_docx_markdown,
-        "extract_pptx_markdown": extract_pptx_markdown,
         "extract_images": extract_images,
         "span_detail": span_detail,
         "extract_rich_markdown": extract_rich_markdown,
@@ -1656,9 +1655,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DSIR importance weights (new r5): hashed-ngram target-vs-raw
         # log-likelihood-ratio scores, integer-micro exact
         "dsir_importance": webtext.dsir_importance,
+        # SemDeDup (new r5): cluster-bounded semantic dedup over the
+        # trained k-means cells, low-centroid-similarity keep rule
+        "semdedup": similarity.semdedup,
         # ---- past the driver window (slots 51+): all r4-driver-green
         # (CORRECTNESS_r04 50/50), code unchanged since; due back r6 ----
         "extract_adoc_markdown": extract_adoc_markdown,    # out r5 (r4-green)
+        "extract_pptx_markdown": extract_pptx_markdown,    # out r5 (r4-green)
         "pii_scrub": pii.pii_scrub,                        # out r5 (r4-green)
         "host_link_graph": host_link_graph,                # out r5 (r4-green)
         "host_pagerank": host_pagerank,                    # out r5 (r4-green)
@@ -1777,6 +1780,10 @@ def oracle_sql() -> dict[str, str]:
     # find: a dict-literal exception would take the other 45 down).
     try:
         out["ann_ivf_trained"] = similarity.ann_ivf_trained_oracle()
+    except Exception:
+        pass
+    try:
+        out["semdedup"] = similarity.semdedup_oracle()
     except Exception:
         pass
     # same contract for the BPE replica oracle (trains over documents

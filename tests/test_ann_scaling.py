@@ -179,3 +179,52 @@ def test_ann_recall_report_semantics(spark):
     mean = sum(r["n_hit"] for r in rep.values()) / \
         sum(r["k"] for r in rep.values())
     assert mean > 0
+
+
+# ------------------------------------------------------------ SemDeDup
+
+def test_semdedup_keep_rule_hand_layout():
+    """Hand-evaluated SemDeDup semantics on 2-d vectors: within a
+    cluster, the member MORE similar to the centroid is dropped (the
+    paper's low-centroid-similarity keep rule); cross-cluster pairs
+    are never compared; singletons survive."""
+    import duckdb
+
+    from docling_api_spark.operators.similarity import (AnnConfig,
+                                                        _semdedup_sql)
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        "(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])"
+        ") v(vec_id, embedding)")
+    rows = {r[0]: r for r in con.sql(
+        _semdedup_sql("duck", cents, AnnConfig(dim=2))).fetchall()}
+    assert len(rows) == 3
+    # v1 and v2 share cell 1 with cos≈0.994 ≥ τ; cc(v1)=1.0 > cc(v2)
+    # → v1 (more central) dropped, v2 kept; v3 alone in cell 2, kept
+    assert rows[1][1] == rows[2][1] != rows[3][1]
+    assert rows[1][3] is False
+    assert rows[2][3] is True
+    assert rows[3][3] is True
+    # exact duplicates: tie on cc → the HIGHER vec_id is dropped
+    con.execute(
+        "CREATE OR REPLACE VIEW embeddings AS SELECT * FROM (VALUES "
+        "(7, [0.8, 0.2]), (9, [0.8, 0.2])) v(vec_id, embedding)")
+    rows = {r[0]: r for r in con.sql(
+        _semdedup_sql("duck", cents, AnnConfig(dim=2))).fetchall()}
+    assert rows[7][3] is True and rows[9][3] is False
+
+
+def test_semdedup_plan_is_cell_equi_join(spark):
+    """The pairwise pass must be a hash equi-join on the cell key —
+    never a cartesian/nested-loop over the corpus (the cluster bound
+    is SemDeDup's entire scaling argument)."""
+    from docling_api_spark.operators.similarity import semdedup
+    df = semdedup(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert len(rows) == 500           # one row per embedding (sf0.001)
+    assert all(r["kept"] in (True, False) for r in rows)

@@ -59,6 +59,9 @@ def _dir_dependent_oracle(name: str):
         from docling_api_spark.operators.similarity import \
             ann_ivf_trained_oracle
         return ann_ivf_trained_oracle(SF_DIR)
+    if name == "semdedup":
+        from docling_api_spark.operators.similarity import semdedup_oracle
+        return semdedup_oracle(SF_DIR)
     if name == "bpe_train":
         from docling_api_spark.operators.bpe import bpe_train_oracle
         return bpe_train_oracle(SF_DIR)
