@@ -783,8 +783,9 @@ def test_pdf_filter_chain_reader_robust_under_mutation():
     base = [write_pdf([[(72.0, 720.0, 18.0, [f"Doc {i}"]),
                         (72.0, 680.0, 11.0, ["hello world " * 10])]],
                       xref_stream=bool(i % 2),
-                      stream_filter=("ahx", "a85", "a85+flate")[i % 3])
-            for i in range(6)]
+                      stream_filter=("ahx", "a85", "a85+flate",
+                                     "lzw")[i % 4])
+            for i in range(8)]
     rng = random.Random(20260819)
     t0 = time.perf_counter()
     for _ in range(500):
