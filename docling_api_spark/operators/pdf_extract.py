@@ -34,9 +34,10 @@ grammar produced by :mod:`.pdf_write` —
   ``/Resources`` inherits from the nearest ancestor per §7.7.3.4, so
   fonts declared once on the root node reach every leaf;
 - content streams: plain, ``/FlateDecode``, ``/ASCIIHexDecode``,
-  ``/ASCII85Decode``, ``/LZWDecode`` (notch 9 — the pre-Flate
-  compression of the oldest web-PDF slice; EarlyChange=1), or a §7.4
-  /Filter ARRAY chain of these; ``/Contents`` scalar ref
+  ``/ASCII85Decode``, ``/LZWDecode`` and ``/RunLengthDecode``
+  (notch 9 — the pre-Flate codings of the oldest web-PDF slice;
+  LZW EarlyChange=1), or a §7.4 /Filter ARRAY chain of these;
+  ``/Contents`` scalar ref
   or ARRAY (§7.8.2 — the array's streams are concatenated with
   whitespace BEFORE tokenization: BT/ET and text state cross stream
   boundaries in real writer output);
@@ -223,9 +224,36 @@ def _lzw_decode(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _rle_decode(raw: bytes) -> bytes:
+    """§7.4.5 RunLengthDecode: length byte L ≤ 127 → copy the next
+    L+1 bytes literally; L ≥ 129 → repeat the next byte 257−L times;
+    L = 128 → EOD. Truncation mid-run scopes out typed."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        ln = raw[i]
+        if ln == 128:
+            return bytes(out)
+        if ln < 128:
+            if i + 1 + ln + 1 > n:
+                raise PdfUnsupported("rle: truncated literal run")
+            out += raw[i + 1:i + 2 + ln]
+            i += 2 + ln
+        else:
+            if i + 1 >= n:
+                raise PdfUnsupported("rle: truncated repeat run")
+            out += raw[i + 1:i + 2] * (257 - ln)
+            i += 2
+    # missing EOD tolerated, matching the other filters' truncation
+    # posture
+    return bytes(out)
+
+
 def _apply_filter(name: bytes, raw: bytes) -> bytes:
     if name == b"LZWDecode":
         return _lzw_decode(raw)
+    if name == b"RunLengthDecode":
+        return _rle_decode(raw)
     if name == b"FlateDecode":
         try:
             return zlib.decompress(raw)

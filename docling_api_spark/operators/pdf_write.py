@@ -278,6 +278,36 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _rle_encode(data: bytes) -> bytes:
+    """§7.4.5 RunLengthDecode writer half: repeat runs ≥3 become
+    (257−count, byte); everything else rides literal runs ≤128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = i
+    while i < n:
+        j = i
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            if lit_start < i:
+                lit = data[lit_start:i]
+                for k in range(0, len(lit), 128):
+                    chunk = lit[k:k + 128]
+                    out += bytes([len(chunk) - 1]) + chunk
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            lit_start = i
+        else:
+            i = j
+    if lit_start < n:
+        lit = data[lit_start:n]
+        for k in range(0, len(lit), 128):
+            chunk = lit[k:k + 128]
+            out += bytes([len(chunk) - 1]) + chunk
+    out.append(128)
+    return bytes(out)
+
+
 def _encode_stream(data: bytes, compress: bool,
                    stream_filter: str | None = None) -> tuple[bytes, bytes]:
     """→ (dict_head, payload) for a content stream. ``stream_filter``
@@ -310,6 +340,10 @@ def _encode_stream(data: bytes, compress: bool,
     if stream_filter == "lzw":
         enc = _lzw_encode(data)
         return (f"<< /Length {len(enc)} /Filter /LZWDecode >>"
+                .encode(), enc)
+    if stream_filter == "rle":
+        enc = _rle_encode(data)
+        return (f"<< /Length {len(enc)} /Filter /RunLengthDecode >>"
                 .encode(), enc)
     raise ValueError(f"unknown stream_filter {stream_filter!r}")
 

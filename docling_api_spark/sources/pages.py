@@ -757,12 +757,12 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                     # r5 notch 7: docs with i%11==6 swap the content
                     # stream's plain/Flate coding for ASCIIHex,
                     # ASCII85, the [/ASCII85Decode /FlateDecode]
-                    # chain, or (notch 9) LZWDecode — the pre-Flate
-                    # compression of the oldest web-PDF slice
-                    # (alternating by i//11) — layout-invariant, so
-                    # the oracle is again unchanged
-                    filt = (("ahx", "a85", "a85+flate", "lzw")
-                            [(i // 11) % 4]
+                    # chain, or (notch 9) LZWDecode / RunLengthDecode
+                    # — the pre-Flate codings of the oldest web-PDF
+                    # slice (alternating by i//11) — layout-invariant,
+                    # so the oracle is again unchanged
+                    filt = (("ahx", "a85", "a85+flate", "lzw", "rle")
+                            [(i // 11) % 5]
                             if i % 11 == 6 else None)
                     # r5 notch 8: docs with i%13==7 are RC4
                     # standard-security encrypted with an EMPTY user

@@ -1028,3 +1028,34 @@ def test_pdf_bfrange_array_form():
     with pytest.raises(PdfUnsupported, match="unterminated"):
         _parse_cmap(b"1 beginbfrange\n<01> <02> [<20AC> <201C>"
                     b"\nendbfrange")
+
+
+def test_rle_round_trip_and_layout_invariance():
+    """§7.4.5 RunLengthDecode: spec hand vector (literal + repeat +
+    EOD), round-trip property over repeat-heavy and random inputs,
+    layout invariance incl. under encryption, and typed truncation."""
+    import random
+
+    import pytest
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         _rle_decode,
+                                                         extract_pdf)
+    from docling_api_spark.operators.pdf_write import (_rle_encode,
+                                                       write_pdf)
+    assert _rle_decode(bytes([0x01, 0x41, 0x42, 0xFD, 0x43, 0x80])) \
+        == b"ABCCCC"
+    rng = random.Random(11)
+    for _ in range(500):
+        d = bytes(rng.randrange(4) for _ in range(rng.randrange(0, 800)))
+        assert _rle_decode(_rle_encode(d)) == d
+    with pytest.raises(PdfUnsupported, match="truncated"):
+        _rle_decode(bytes([0x05, 0x41]))      # literal run cut short
+    with pytest.raises(PdfUnsupported, match="truncated"):
+        _rle_decode(bytes([0xFD]))            # repeat run missing byte
+    pages = [[(72.0, 730.0, 24.0, ["R"]),
+              (72.0, 690.0, 11.0, ["rle body (x) \\ y"])]]
+    expect = extract_pdf(write_pdf(pages))
+    for kw in (dict(), dict(xref_stream=True), dict(encrypt_r=2)):
+        assert extract_pdf(
+            write_pdf(pages, stream_filter="rle", **kw)) == expect, kw
