@@ -63,8 +63,13 @@ def _pad(pwd: bytes) -> bytes:
 def file_key(user_pwd: bytes, o_value: bytes, p: int, id0: bytes,
              r: int, n: int) -> bytes:
     """Algorithm 2: the n-byte file encryption key."""
+    # /P is "a 32-bit signed integer, stored little-endian" — but real
+    # legacy writers emit it in BOTH numeric forms (-44 and its
+    # unsigned alias 4294967252), so mask to the 32-bit pattern rather
+    # than trusting the sign (review find: struct.pack('<i', ...)
+    # raised raw struct.error on the unsigned form)
     h = hashlib.md5(
-        _pad(user_pwd) + o_value[:32] + struct.pack("<i", p)
+        _pad(user_pwd) + o_value[:32] + struct.pack("<I", p & 0xFFFFFFFF)
         + id0).digest()
     if r >= 3:
         for _ in range(50):

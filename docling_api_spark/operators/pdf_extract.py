@@ -87,7 +87,9 @@ _OBJSTM_TYPE_RX = re.compile(rb"/Type\s*/ObjStm")
 
 def _scan_objects(data: bytes) -> dict[int, bytes]:
     """Top-level object scan (no ObjStm expansion — see
-    :func:`_parse_objects`).
+    :func:`_expand_objstm`; :func:`_page_streams` interposes
+    decryption between the two steps when a trailer carries
+    ``/Encrypt``).
 
     Stream-aware: when an object carries a stream with a direct
     ``/Length``, the payload is skipped by length BEFORE the closing
@@ -146,13 +148,6 @@ def _expand_objstm(objs: dict[int, bytes]) -> dict[int, bytes]:
                 raise PdfUnsupported("objstm offsets out of range")
             objs.setdefault(onum, payload[start:end].strip())
     return objs
-
-
-def _parse_objects(data: bytes) -> dict[int, bytes]:
-    """Top-level object scan + PDF 1.5 ``/ObjStm`` expansion (the
-    unencrypted path; :func:`_page_streams` interposes decryption
-    between the two steps when a trailer carries ``/Encrypt``)."""
-    return _expand_objstm(_scan_objects(data))
 
 
 _STREAM_START_RX = re.compile(rb"stream\r?\n")
@@ -324,7 +319,6 @@ def _stream_of(obj: bytes) -> bytes | None:
 # ---------------- standard security handler (RC4, notch 8) ----------------
 
 _ENCRYPT_REF_RX = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
-_ID_FIRST_RX = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
 _ENC_V_RX = re.compile(rb"/V\s+(\d+)")
 _ENC_R_RX = re.compile(rb"/R\s+(\d+)")
 _ENC_LEN_RX = re.compile(rb"/Length\s+(\d+)")
@@ -335,8 +329,11 @@ _XREF_TYPE_RX = re.compile(rb"/Type\s*/XRef")
 def _pdf_string_at(data: bytes, i: int) -> bytes:
     """Decode the PDF string object starting at ``data[i]`` — hex
     ``<…>`` or literal ``(…)`` with §7.3.4.2 escapes (named, octal,
-    line continuation) and balanced nested parens. Encrypt-dict /O
-    and /U values arrive in either wire form in real files."""
+    line continuation) and balanced nested parens. Encrypt-dict /O,
+    /U and trailer /ID values arrive in either wire form in real
+    files. (The content-stream tokenizer keeps its own in-loop string
+    branches for position tracking in the hot path — this is the
+    superset decoder; a §7.3.4 fix must land in both.)"""
     if data[i:i + 1] == b"<":
         end = data.find(b">", i)
         if end < 0:
@@ -398,22 +395,44 @@ def _dict_string(body: bytes, key: bytes) -> bytes:
     return _pdf_string_at(body, m.end())
 
 
+def _trailer_regions(data: bytes, objs: dict[int, bytes]) -> list[bytes]:
+    """The byte regions where trailer entries (/Encrypt, /ID) may
+    legitimately live: after each ``trailer`` keyword (classic layout;
+    2 KiB is generous — both entries sit within the first ~200 bytes)
+    and the DICT part of each /Type /XRef stream object (PDF 1.5
+    layout). Scanning only these regions — instead of the whole file —
+    keeps an unencrypted page whose TEXT mentions '/Encrypt 1 0 R'
+    from being rejected (review find: the whole-file scan turned such
+    valid documents into error rows)."""
+    regions = []
+    for m in re.finditer(rb"trailer", data):
+        regions.append(data[m.end():m.end() + 2048])
+    for body in objs.values():
+        sm = _STREAM_START_RX.search(body)
+        dict_part = body[:sm.start()] if sm else body
+        if _XREF_TYPE_RX.search(dict_part):
+            regions.append(dict_part)
+    return regions
+
+
 def _encryption_key(data: bytes, objs: dict[int, bytes]):
     """→ None (unencrypted) or ``(file_key, encrypt_obj_id)``.
 
-    The LAST ``/Encrypt N 0 R`` in the file is operative (trailers come
-    last; incremental updates append newer ones). The empty user
-    password is derived per §7.6.3.3 Algorithm 2 and PROVEN against the
-    stored /U before any decrypted byte is trusted — a real password,
-    a non-Standard handler, or AES (V≥4 / R≥4) scopes out typed, never
-    silent mojibake. V1 (40-bit) and V2 (up to 128-bit) RC4 both read;
+    The LAST ``/Encrypt N 0 R`` across the trailer regions is operative
+    (trailers come last; incremental updates append newer ones). The
+    empty user password is derived per §7.6.3.3 Algorithm 2 and PROVEN
+    against the stored /U before any decrypted byte is trusted — a real
+    password, a non-Standard handler, or AES (V≥4 / R≥4) scopes out
+    typed, never silent mojibake. V1 (40-bit) and V2 (up to 128-bit)
+    RC4 both read; /ID parses in both hex and literal wire forms;
     dict-level strings outside streams are not consumed by this grammar
     and pass through undecrypted."""
     from . import pdf_crypt as C
 
-    refs = _ENCRYPT_REF_RX.findall(data)
+    regions = _trailer_regions(data, objs)
+    refs = [m for reg in regions for m in _ENCRYPT_REF_RX.findall(reg)]
     if not refs:
-        if b"/Encrypt" in data:
+        if any(b"/Encrypt" in reg for reg in regions):
             raise PdfUnsupported("unsupported /Encrypt layout")
         return None
     enc_id = int(refs[-1])
@@ -436,14 +455,13 @@ def _encryption_key(data: bytes, objs: dict[int, bytes]):
     u = _dict_string(body, b"U")
     if len(o) < 32 or len(u) < 16:
         raise PdfUnsupported("short /O or /U value")
-    ids = _ID_FIRST_RX.findall(data)
-    try:
-        # §7.3.4.3: odd digit count implies a trailing 0
-        id0 = bytes.fromhex(
-            (ids[-1] + (b"0" if len(ids[-1]) % 2 else b"")).decode(
-                "ascii")) if ids else b""
-    except ValueError as e:
-        raise PdfUnsupported(f"bad /ID value: {e}") from e
+    # /ID: both wire forms occur in real files (review find: hex-only
+    # parsing misrejected literal-ID files as password-protected);
+    # the LAST occurrence across the trailer regions is operative
+    id0 = b""
+    for reg in regions:
+        for m in re.finditer(rb"/ID\s*\[\s*", reg):
+            id0 = _pdf_string_at(reg, m.end())
     key = C.check_user_password(b"", o, u, int(pm.group(1)), id0, r,
                                 bits // 8)
     if key is None:
@@ -756,6 +774,10 @@ def _parse_cmap(data: bytes, two_byte: bool = False) -> dict[int, str]:
                 raise PdfUnsupported("bad bfrange row")
             lo = re.sub(rb"\s", b"", toks[i][1:-1])
             hi = re.sub(rb"\s", b"", toks[i + 1][1:-1])
+            if not lo or not hi:
+                # '<>' tokenizes as an empty hex group (review find: the
+                # old int() crashed raw here instead of scoping typed)
+                raise PdfUnsupported("empty bfrange hex token")
             lo_i, hi_i = int(lo, 16), int(hi, 16)
             if hi_i > max_code or lo_i > hi_i:
                 raise PdfUnsupported("bad bfrange bounds")
@@ -769,7 +791,7 @@ def _parse_cmap(data: bytes, two_byte: bool = False) -> dict[int, str]:
                     if toks[j][:1] != b"<":
                         raise PdfUnsupported("bad bfrange array entry")
                     dh = re.sub(rb"\s", b"", toks[j][1:-1])
-                    if len(dh) % 4:
+                    if not dh or len(dh) % 4:
                         raise PdfUnsupported("bfrange dst not UTF-16BE")
                     try:
                         dsts.append(bytes.fromhex(

@@ -549,7 +549,8 @@ ANN_RECALL_ORACLE = _recall_sql("duck")
 # ----------------------------------------------------------- SemDeDup
 
 def _semdedup_sql(dialect: str, centroids: list[list[float]],
-                  cfg: AnnConfig = DEFAULT_ANN) -> str:
+                  cfg: AnnConfig = DEFAULT_ANN,
+                  base_table: str | None = None) -> str:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means-cluster the
     embeddings, compare pairs ONLY within a cluster (the paper's whole
@@ -567,40 +568,28 @@ def _semdedup_sql(dialect: str, centroids: list[list[float]],
 
     Plan at 100 TB: the model (k centroids + their norms) is inlined
     literals — broadcast by construction; assignment and centroid
-    cosine are map-side projections; the ONLY corpus-sized exchange is
-    the equi-join on cell (hash-partitioned both sides), with the same
+    cosine are map-side projections computed ONCE — the Spark side
+    materializes the base relation via ``localCheckpoint`` because
+    Catalyst inlines repeated CTE references (the dsir_importance
+    lesson: the naive form re-ran the k-dot-products projection 3×,
+    once per reference). The ONLY corpus-sized exchange is the
+    equi-join on cell (hash-partitioned both sides), with the same
     deterministic per-cell candidate cap as the other similarity ops
     as the skew backstop (a production run sizes k ≈ √N via
-    AnnConfig.for_corpus, keeping cells bounded)."""
-    import math
-    k = len(centroids)
-    wlits = ", ".join(X.array_lit(dialect, c) for c in centroids)
-    cnorms = X.array_lit(
-        dialect, [math.sqrt(sum(x * x for x in c)) for c in centroids])
+    AnnConfig.for_corpus, keeping cells bounded).
+
+    ``base_table``: None → inline the base derivation as a CTE (the
+    one-statement DuckDB oracle form); a table name → reference the
+    pre-materialized view (the Spark engine form)."""
     if dialect == "spark":
-        dots = (f"transform(array({wlits}), w -> "
-                f"aggregate(zip_with(embedding, w, (x, y) -> "
-                f"CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v))")
-        cell = "array_position(dots, array_max(dots))"
-        nrm = ("sqrt(aggregate(embedding, 0D, (acc, x) -> "
-               "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
         dot_ab = ("aggregate(zip_with(a.embedding, b2.embedding, "
                   "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
                   "0D, (acc, v) -> acc + v)")
-        cdot = "element_at(dots, CAST(cell AS INT))"
-        cnrm = f"element_at({cnorms}, CAST(cell AS INT))"
     else:
-        dots = (f"list_transform([{wlits}], w -> "
-                f"list_sum(list_transform(list_zip(embedding, w), p -> "
-                f"CAST(p[1] AS DOUBLE) * p[2])))")
-        cell = "list_position(dots, list_max(dots))"
-        nrm = ("sqrt(list_sum(list_transform(embedding, x -> "
-               "CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
         dot_ab = ("list_sum(list_transform("
                   "list_zip(a.embedding, b2.embedding), "
                   "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
-        cdot = "dots[cell]"
-        cnrm = f"({cnorms})[cell]"
+    base_src = base_table or f"({_semdedup_base_sql(dialect, centroids)})"
     cap = cfg.bucket_cap
     if cap is None:
         cand = "b"
@@ -610,13 +599,7 @@ def _semdedup_sql(dialect: str, centroids: list[list[float]],
              row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS brn
       FROM b) cb WHERE brn <= {cap})"""
     return f"""
-WITH d AS (SELECT vec_id, embedding, {nrm} AS nrm, {dots} AS dots
-           FROM embeddings),
-b AS (
-  SELECT vec_id, embedding, nrm, CAST(cell AS BIGINT) AS cell,
-         {cdot} / (nrm * {cnrm}) AS cc
-  FROM (SELECT vec_id, embedding, nrm, dots, {cell} AS cell FROM d) x
-),
+WITH b AS (SELECT * FROM {base_src} sb),
 p AS (
   SELECT a.vec_id AS aid, b2.vec_id AS bid,
          ROUND(a.cc, 12) AS cca, ROUND(b2.cc, 12) AS ccb
@@ -634,12 +617,53 @@ FROM b LEFT JOIN drops ON drops.vec_id = b.vec_id
 """
 
 
+def _semdedup_base_sql(dialect: str,
+                       centroids: list[list[float]]) -> str:
+    """The (vec_id, embedding, nrm, cell, cc) base relation — the
+    k-dot-products assignment + centroid-cosine projection, the part
+    worth computing exactly once."""
+    import math
+    wlits = ", ".join(X.array_lit(dialect, c) for c in centroids)
+    cnorms = X.array_lit(
+        dialect, [math.sqrt(sum(x * x for x in c)) for c in centroids])
+    if dialect == "spark":
+        dots = (f"transform(array({wlits}), w -> "
+                f"aggregate(zip_with(embedding, w, (x, y) -> "
+                f"CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v))")
+        cell = "array_position(dots, array_max(dots))"
+        nrm = ("sqrt(aggregate(embedding, 0D, (acc, x) -> "
+               "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+        cdot = "element_at(dots, CAST(cell AS INT))"
+        cnrm = f"element_at({cnorms}, CAST(cell AS INT))"
+    else:
+        dots = (f"list_transform([{wlits}], w -> "
+                f"list_sum(list_transform(list_zip(embedding, w), p -> "
+                f"CAST(p[1] AS DOUBLE) * p[2])))")
+        cell = "list_position(dots, list_max(dots))"
+        nrm = ("sqrt(list_sum(list_transform(embedding, x -> "
+               "CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+        cdot = "dots[cell]"
+        cnrm = f"({cnorms})[cell]"
+    return f"""
+SELECT vec_id, embedding, nrm, CAST(cell AS BIGINT) AS cell,
+       {cdot} / (nrm * {cnrm}) AS cc
+FROM (
+  SELECT vec_id, embedding, nrm, dots, {cell} AS cell
+  FROM (SELECT vec_id, embedding, {nrm} AS nrm, {dots} AS dots
+        FROM embeddings) d
+) x
+"""
+
+
 def semdedup(spark: SparkSession, sf_dir: str,
              cfg: AnnConfig = DEFAULT_ANN) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = ivf_train(emb, k=cfg.n_cells, iters=2, dim=cfg.dim)
     _view(spark, sf_dir)
-    return spark.sql(_semdedup_sql("spark", cents, cfg))
+    base = spark.sql(_semdedup_base_sql("spark", cents)).localCheckpoint()
+    base.createOrReplaceTempView("semdedup_base")
+    return spark.sql(_semdedup_sql("spark", cents, cfg,
+                                   base_table="semdedup_base"))
 
 
 _SEMDEDUP_ORACLE_CACHE: dict = {}

@@ -947,7 +947,6 @@ def _dsir_sql(dialect: str, feats_table: str | None = None) -> str:
     ``feats_table``: None → inline the feats derivation as a CTE (the
     one-statement DuckDB oracle form); a table name → reference the
     pre-materialized view (the Spark engine form)."""
-    toks = X.tokens(dialect)
     hsrc = X.md5_int(dialect, "source")
     B = _DSIR_BUCKETS
     feats_src = feats_table or f"({_dsir_feats_sql(dialect)})"

@@ -1059,3 +1059,45 @@ def test_rle_round_trip_and_layout_invariance():
     for kw in (dict(), dict(xref_stream=True), dict(encrypt_r=2)):
         assert extract_pdf(
             write_pdf(pages, stream_filter="rle", **kw)) == expect, kw
+
+
+def test_pdf_crypt_review_regressions():
+    """r5 code-review finds, pinned: (1) unsigned /P wire form must
+    decrypt (struct.error crash); (2) '<>' empty bfrange hex token
+    fails typed, not raw ValueError; (3) '/Encrypt N 0 R' INSIDE page
+    text must not reject an unencrypted document (trailer-anchored
+    scan); (4) a literal-string /ID decrypts identically to hex."""
+    import re
+
+    import pytest
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         _parse_cmap,
+                                                         extract_pdf)
+    from docling_api_spark.operators.pdf_write import write_pdf
+
+    pages = [[(72.0, 730.0, 24.0, ["Doc P"]),
+              (72.0, 690.0, 11.0, ["payload text here"])]]
+    expect = extract_pdf(write_pdf(pages))
+    # (1) unsigned /P: -44 == 4294967252 as a 32-bit pattern
+    enc = write_pdf(pages, encrypt_r=3, compress=True)
+    unsigned = enc.replace(b"/P -44", b"/P 4294967252")
+    assert unsigned != enc
+    assert extract_pdf(unsigned) == expect
+    # (2) empty hex token in bfrange → typed
+    with pytest.raises(PdfUnsupported, match="empty bfrange"):
+        _parse_cmap(b"1 beginbfrange\n<> <42> <0041>\nendbfrange")
+    # (3) page TEXT mentioning /Encrypt stays extractable (plain
+    # stream so the bytes are visible in the file)
+    chatty = [[(72.0, 730.0, 24.0, ["Spec notes"]),
+               (72.0, 690.0, 11.0, ["see /Encrypt 1 0 R and /Encrypt"])]]
+    got = extract_pdf(write_pdf(chatty))
+    assert "/Encrypt 1 0 R" in got
+    # (4) /ID as escaped literal strings instead of hex
+    m = re.search(rb"/ID \[<([0-9a-f]+)> <([0-9a-f]+)>\]", enc)
+    assert m is not None
+    raw = bytes.fromhex(m.group(1).decode())
+    lit = bytes(b"(") + b"".join(b"\\%03o" % b for b in raw) + b")"
+    enc_lit = enc.replace(m.group(0), b"/ID [" + lit + b" " + lit + b"]")
+    assert enc_lit != enc
+    assert extract_pdf(enc_lit) == expect
