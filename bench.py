@@ -91,12 +91,12 @@ def flagship(spark, sf_dir: str, cpus: int, repeat: int) -> dict:
     # on disk, not a synthesized stream competing for the same cores.
     # 80% HTML / 10% MD / 10% PDF so the PDF path is in the headline metric.
     tag = os.path.basename(sf_dir.rstrip("/"))
-    # v8: r5 final PDF corpus (1.5 ObjStm/XRef layouts, incremental-update
+    # v9: r5 final PDF corpus (1.5 ObjStm/XRef layouts, incremental-update
     # revisions, winansi/differences/tounicode/cid/bfrange-array
     # encodings, split /Contents arrays + nested page trees,
-    # ASCIIHex/85/LZW/RLE filter chains, RC4-encrypted i%13==7 slice) —
+    # ASCIIHex/85/LZW/RLE filter chains, RC4/AESV2-encrypted i%13==7 slice) —
     # bump when synthesis changes so a stale cache can't be timed
-    path = f"/tmp/bench_pages_{tag}_r{repeat}_v8"
+    path = f"/tmp/bench_pages_{tag}_r{repeat}_v9"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (with_fixture_pdfs(
             pages_from_documents(spark, sf_dir, repeat=repeat,

@@ -20,8 +20,15 @@ Everything needed to read them is public spec math on stdlib md5:
 The reference reads encrypted PDFs through docling's pypdfium2 backend
 (/root/reference/poetry.lock:437); this module re-derives the open
 spec math so the scoped reader handles the same files stdlib-only.
-AES ("V4+/R4+") requires a cipher primitive the sandbox lacks and
-scopes out typed in the reader.
+
+AES ("V4" crypt filters with /CFM /AESV2 — the modern empty-password
+default, notch 10) is implemented from FIPS-197 + SP 800-38A directly:
+the S-box is GENERATED from the GF(2^8) inverse + affine definition
+(not transcribed), and the block cipher, key schedule and CBC mode are
+anchored to the published known-answer vectors (Appendix B/C.1,
+F.2.1) in tests. AESV2 per-object keys append the spec's 'sAlT' bytes;
+the wire format is leading IV + PKCS#5 padding. AES-256 ("V5"/AESV3,
+the SHA-2 handler) remains a typed scope-out.
 """
 
 from __future__ import annotations
@@ -119,4 +126,161 @@ def object_key(key: bytes, num: int, gen: int) -> bytes:
     h = hashlib.md5(
         key + num.to_bytes(4, "little")[:3]
         + gen.to_bytes(4, "little")[:2]).digest()
+    return h[:min(len(key) + 5, 16)]
+
+
+# ------------------------- AES-128-CBC (FIPS-197 / SP 800-38A) ------
+
+#: FIPS-197 S-box, generated from the spec definition (multiplicative
+#: inverse in GF(2^8) + affine transform) rather than transcribed — the
+#: known-answer tests below anchor it to the published vectors
+def _gf_inv(x: int) -> int:
+    if x == 0:
+        return 0
+    # brute force is fine at module import: 255 multiplications max
+    for y in range(1, 256):
+        if _gf_mul(x, y) == 1:
+            return y
+    raise AssertionError
+
+
+def _gf_mul(a: int, b: int) -> int:
+    p = 0
+    for _ in range(8):
+        if b & 1:
+            p ^= a
+        hi = a & 0x80
+        a = (a << 1) & 0xFF
+        if hi:
+            a ^= 0x1B
+        b >>= 1
+    return p
+
+
+def _make_sbox() -> bytes:
+    out = bytearray(256)
+    for i in range(256):
+        c = _gf_inv(i)
+        x = c
+        for _ in range(4):
+            c = ((c << 1) | (c >> 7)) & 0xFF
+            x ^= c
+        out[i] = x ^ 0x63
+    return bytes(out)
+
+
+_SBOX = _make_sbox()
+_INV_SBOX = bytearray(256)
+for _i, _v in enumerate(_SBOX):
+    _INV_SBOX[_v] = _i
+_INV_SBOX = bytes(_INV_SBOX)
+_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+
+
+#: GF(2^8) multiplication tables for the (Inv)MixColumns coefficients
+_MUL = {c: bytes(_gf_mul(c, x) for x in range(256))
+        for c in (2, 3, 9, 11, 13, 14)}
+
+
+def _expand_key(key: bytes) -> list[list[int]]:
+    """AES-128 key schedule → 11 round keys (16-int lists)."""
+    words = [list(key[i:i + 4]) for i in range(0, 16, 4)]
+    for i in range(4, 44):
+        w = list(words[i - 1])
+        if i % 4 == 0:
+            w = w[1:] + w[:1]
+            w = [_SBOX[b] for b in w]
+            w[0] ^= _RCON[i // 4 - 1]
+        words.append([a ^ b for a, b in zip(words[i - 4], w)])
+    return [sum(words[4 * i:4 * i + 4], []) for i in range(11)]
+
+
+#: ShiftRows as a flat SOURCE-index permutation over the column-major
+#: state (state[r + 4c]): output[r + 4c] = input[r + 4*((c + r) % 4)]
+_SHIFT = [(i % 4) + 4 * (((i // 4) + (i % 4)) % 4) for i in range(16)]
+_INV_SHIFT = [0] * 16
+for _j, _src in enumerate(_SHIFT):
+    _INV_SHIFT[_src] = _j
+
+
+def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    s = [b ^ k for b, k in zip(block, rk[0])]
+    m2, m3 = _MUL[2], _MUL[3]
+    for rnd in range(1, 10):
+        s = [_SBOX[s[_SHIFT[i]]] for i in range(16)]
+        t = []
+        for c in range(0, 16, 4):
+            a0, a1, a2, a3 = s[c], s[c + 1], s[c + 2], s[c + 3]
+            t += [m2[a0] ^ m3[a1] ^ a2 ^ a3,
+                  a0 ^ m2[a1] ^ m3[a2] ^ a3,
+                  a0 ^ a1 ^ m2[a2] ^ m3[a3],
+                  m3[a0] ^ a1 ^ a2 ^ m2[a3]]
+        s = [x ^ k for x, k in zip(t, rk[rnd])]
+    s = [_SBOX[s[_SHIFT[i]]] for i in range(16)]
+    return bytes(x ^ k for x, k in zip(s, rk[10]))
+
+
+def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    s = [b ^ k for b, k in zip(block, rk[10])]
+    m9, m11, m13, m14 = _MUL[9], _MUL[11], _MUL[13], _MUL[14]
+    for rnd in range(9, 0, -1):
+        s = [_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16)]
+        s = [x ^ k for x, k in zip(s, rk[rnd])]
+        t = []
+        for c in range(0, 16, 4):
+            a0, a1, a2, a3 = s[c], s[c + 1], s[c + 2], s[c + 3]
+            t += [m14[a0] ^ m11[a1] ^ m13[a2] ^ m9[a3],
+                  m9[a0] ^ m14[a1] ^ m11[a2] ^ m13[a3],
+                  m13[a0] ^ m9[a1] ^ m14[a2] ^ m11[a3],
+                  m11[a0] ^ m13[a1] ^ m9[a2] ^ m14[a3]]
+        s = t
+    s = [_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16)]
+    return bytes(x ^ k for x, k in zip(s, rk[0]))
+
+
+class AesError(Exception):
+    """Malformed AES payload (bad length / padding) — callers map it
+    to the typed PdfUnsupported channel."""
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """AES-128-CBC with PKCS#5 padding, IV prepended — the §7.6.2
+    AESV2 wire format."""
+    rk = _expand_key(key)
+    padlen = 16 - len(data) % 16
+    data = data + bytes([padlen]) * padlen
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = _aes_encrypt_block(rk, blk)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """Inverse of :func:`aes_cbc_encrypt`: IV is the leading block,
+    PKCS#5 padding validated and stripped."""
+    if len(data) < 32 or len(data) % 16:
+        raise AesError(f"bad AES payload length {len(data)}")
+    rk = _expand_key(key)
+    out = bytearray()
+    prev = data[:16]
+    for i in range(16, len(data), 16):
+        blk = data[i:i + 16]
+        out += bytes(a ^ b for a, b in
+                     zip(_aes_decrypt_block(rk, blk), prev))
+        prev = blk
+    padlen = out[-1]
+    if not 1 <= padlen <= 16 or out[-padlen:] != bytes([padlen]) * padlen:
+        raise AesError("bad AES padding")
+    return bytes(out[:-padlen])
+
+
+def object_key_aes(key: bytes, num: int, gen: int) -> bytes:
+    """AESV2 per-object key: the RC4 derivation plus the spec's
+    constant salt bytes 0x73416C54 ('sAlT', §7.6.2 Algorithm 1b)."""
+    h = hashlib.md5(
+        key + num.to_bytes(4, "little")[:3]
+        + gen.to_bytes(4, "little")[:2] + b"sAlT").digest()
     return h[:min(len(key) + 5, 16)]

@@ -49,15 +49,18 @@ grammar produced by :mod:`.pdf_write` —
 - headings by Tf font size (the size-driven hierarchy reference-class
   PDFs carry): ≥20 → ``#``, ≥16 → ``##``, ≥13 → ``###``, else paragraph.
 
-- encryption (r5 notch 8): RC4 standard-security files (V1/V2, R2/R3)
-  with an EMPTY user password — the permissions-only protection the
-  legacy web-PDF corpus overwhelmingly carries — decrypt via the spec
-  math in :mod:`.pdf_crypt` (Algorithm 2 key, /U-verified before any
-  byte is trusted); /O and /U parse in both hex and escaped-literal
-  wire forms; a real password, non-Standard handler, or AES (V≥4)
-  scopes out typed.
+- encryption (r5 notches 8/10): standard-security files with an EMPTY
+  user password — the permissions-only protection the real web-PDF
+  corpus overwhelmingly carries — decrypt via the spec math in
+  :mod:`.pdf_crypt`: RC4 (V1/V2, R2/R3) AND V4 crypt filters with
+  /CFM /AESV2 (AES-128-CBC, FIPS-197 implemented from the spec and
+  vector-anchored) or /CFM /V2 (RC4-128 behind crypt filters).
+  Algorithm-2 key, /U-verified before any byte is trusted; /O, /U and
+  /ID parse in both hex and escaped-literal wire forms; a real
+  password, non-Standard handler, or AES-256 (V5/AESV3) scopes out
+  typed.
 
-Everything outside this grammar (AES encryption, other filters,
+Everything outside this grammar (AES-256 encryption, other filters,
 image-only pages) raises
 :class:`PdfUnsupported` → the caller maps it to the
 ``pdf_unsupported_feature`` failure-code row — mirroring how the reference
@@ -443,11 +446,30 @@ def _encryption_key(data: bytes, objs: dict[int, bytes]):
         raise PdfUnsupported("non-standard security handler")
     v = int(m.group(1)) if (m := _ENC_V_RX.search(body)) else 0
     r = int(m.group(1)) if (m := _ENC_R_RX.search(body)) else 0
-    if v not in (1, 2) or r not in (2, 3):
-        raise PdfUnsupported(f"unsupported encryption V{v} R{r} (AES)")
-    bits = int(m.group(1)) if (m := _ENC_LEN_RX.search(body)) else 40
-    if bits % 8 or not 40 <= bits <= 128:
-        raise PdfUnsupported(f"bad key length {bits}")
+    kind = "rc4"
+    if v == 4 and r == 4:
+        # V4 crypt filters (notch 10): /StdCF with /CFM /AESV2
+        # (AES-128-CBC) or /CFM /V2 (RC4-128 via crypt filters); both
+        # stream and string filters must point at /StdCF. AESV3
+        # (V5/R5-6, AES-256 with the SHA-2 handler) scopes out typed.
+        if re.search(rb"/StmF\s*/StdCF", body) is None:
+            raise PdfUnsupported("V4 encryption without /StmF /StdCF")
+        if re.search(rb"/CFM\s*/AESV2", body) is not None:
+            kind = "aes"
+        elif re.search(rb"/CFM\s*/V2", body) is not None:
+            kind = "rc4"
+        else:
+            raise PdfUnsupported("unsupported V4 crypt filter method")
+    elif v not in (1, 2) or r not in (2, 3):
+        raise PdfUnsupported(f"unsupported encryption V{v} R{r}")
+    # the V4 dict carries TWO /Length entries (file key bits at the
+    # top level, crypt-filter key BYTES inside /CF) in writer-dependent
+    # order — pick the plausible key-bits value rather than the first
+    lens = [int(x) for x in _ENC_LEN_RX.findall(body)]
+    cands = [x for x in lens if x % 8 == 0 and 40 <= x <= 128]
+    if lens and not cands and v != 4:
+        raise PdfUnsupported(f"bad key length {lens[0]}")
+    bits = max(cands) if cands else (128 if v == 4 else 40)
     pm = _ENC_P_RX.search(body)
     if pm is None:
         raise PdfUnsupported("encrypt dict missing /P")
@@ -466,16 +488,18 @@ def _encryption_key(data: bytes, objs: dict[int, bytes]):
                                 bits // 8)
     if key is None:
         raise PdfUnsupported("password-protected pdf")
-    return key, enc_id
+    return key, enc_id, kind
 
 
 def _decrypt_objects(objs: dict[int, bytes], key: bytes,
-                     enc_id: int) -> dict[int, bytes]:
-    """RC4-decrypt every top-level stream payload in place (per-object
-    keys, §7.6.2 Algorithm 1). Length-preserving, so /Length stays
-    valid; runs BEFORE ObjStm expansion (the container payload is what
-    is encrypted, its packed objects are not separately encrypted).
-    The Encrypt dict itself and /Type /XRef streams are exempt per
+                     enc_id: int, kind: str = "rc4") -> dict[int, bytes]:
+    """Decrypt every top-level stream payload in place (per-object
+    keys, §7.6.2 Algorithm 1) — RC4 (length-preserving) or AESV2
+    (AES-128-CBC: leading IV + PKCS#5 padding strip SHRINK the
+    payload, so the dict's direct /Length is patched to match). Runs
+    BEFORE ObjStm expansion (the container payload is what is
+    encrypted, its packed objects are not separately encrypted). The
+    Encrypt dict itself and /Type /XRef streams are exempt per
     §7.5.8.2."""
     from . import pdf_crypt as C
 
@@ -496,8 +520,23 @@ def _decrypt_objects(objs: dict[int, bytes], key: bytes,
                 out[num] = body
                 continue
             start, end = m.start(1), m.end(1)
-        dec = C.rc4(C.object_key(key, num, 0), body[start:end])
-        out[num] = body[:start] + dec + body[end:]
+        if kind == "aes":
+            try:
+                dec = C.aes_cbc_decrypt(C.object_key_aes(key, num, 0),
+                                        body[start:end])
+            except C.AesError as e:
+                raise PdfUnsupported(f"aes stream: {e}") from e
+            if lm is not None:
+                # patch exactly the direct /Length the scan used — the
+                # plaintext is shorter than the stored IV+padded form
+                head = (body[:lm.start()] + b"/Length %d" % len(dec)
+                        + body[lm.end():start])
+            else:
+                head = body[:start]
+            out[num] = head + dec + body[end:]
+        else:
+            dec = C.rc4(C.object_key(key, num, 0), body[start:end])
+            out[num] = body[:start] + dec + body[end:]
     return out
 
 

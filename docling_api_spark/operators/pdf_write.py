@@ -371,23 +371,31 @@ def _split_stream(cs: bytes, k: int) -> list[bytes]:
 def _encrypt_objects(dict_objs: list[tuple[int, bytes]],
                      stream_objs: list[tuple[int, bytes]],
                      r: int, user_pwd: bytes
-                     ) -> tuple[list[tuple[int, bytes]], bytes, bytes]:
-    """RC4 standard-security encryption (notch 8) applied at serialize
-    time: every top-level stream payload is RC4'd with its per-object
-    key (§7.6.2 Algorithm 1 — encryption applies to the bytes AS
-    STORED, i.e. after Flate/ASCII filters); /O, /U, the file key and
-    a deterministic /ID derive from the spec math in
-    :mod:`.pdf_crypt`. Returns (stream_objs + the Encrypt dict object,
-    trailer_extra, file_key). The Encrypt dict rides the ``stream_objs``
-    list so BOTH serializers place it top-level — §7.5.7 forbids it
-    inside an object stream. The fixture grammar's dict bodies carry no
+                     ) -> tuple[list[tuple[int, bytes]], bytes,
+                                tuple[bytes, str]]:
+    """Standard-security encryption (notches 8/10) applied at
+    serialize time: every top-level stream payload is enciphered with
+    its per-object key (§7.6.2 Algorithm 1 — encryption applies to the
+    bytes AS STORED, i.e. after Flate/ASCII filters); /O, /U, the file
+    key and a deterministic /ID derive from the spec math in
+    :mod:`.pdf_crypt`. ``r`` 2/3 → RC4 (40/128-bit, length-preserving);
+    ``r`` 4 → V4 crypt filters with /CFM /AESV2 (AES-128-CBC, IV
+    prepended + PKCS#5 padding — the stream grows, so the dict's
+    direct /Length is patched; the IV derives deterministically from
+    the object number + plaintext so fixtures stay reproducible).
+    Returns (stream_objs + the Encrypt dict object, trailer_extra,
+    (file_key, kind)). The Encrypt dict rides the ``stream_objs`` list
+    so BOTH serializers place it top-level — §7.5.7 forbids it inside
+    an object stream. The fixture grammar's dict bodies carry no
     strings, so only streams need transforming (dict-level string
     encryption is out of grammar, as is encrypting an incremental
     update chain — ``append_update`` bases must stay unencrypted)."""
     import hashlib
+    import re as _re
 
     from . import pdf_crypt as C
 
+    aes = r >= 4
     n = 5 if r == 2 else 16
     p = -44                       # print allowed, modify denied
     id0 = hashlib.md5(b"".join(
@@ -401,17 +409,33 @@ def _encrypt_objects(dict_objs: list[tuple[int, bytes]],
         sm = body.find(b"\nstream\n")
         if sm >= 0 and body.endswith(b"\nendstream"):
             payload = body[sm + len(b"\nstream\n"):-len(b"\nendstream")]
-            enc = C.rc4(C.object_key(key, num, 0), payload)
-            body = body[:sm] + b"\nstream\n" + enc + b"\nendstream"
+            head = body[:sm]
+            if aes:
+                iv = hashlib.md5(b"iv" + num.to_bytes(4, "big")
+                                 + payload).digest()
+                enc = C.aes_cbc_encrypt(
+                    C.object_key_aes(key, num, 0), iv, payload)
+                head = _re.sub(rb"/Length \d+",
+                               b"/Length %d" % len(enc), head, count=1)
+            else:
+                enc = C.rc4(C.object_key(key, num, 0), payload)
+            body = head + b"\nstream\n" + enc + b"\nendstream"
         out.append((num, body))
     eid = max(num for num, _ in dict_objs + stream_objs) + 1
-    out.append((eid, (
-        f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
-        f"/Length {n * 8} /P {p} /O <{o.hex()}> /U <{u.hex()}> >>"
-    ).encode("latin-1")))
+    if aes:
+        enc_dict = (
+            f"<< /Filter /Standard /V 4 /R 4 /Length 128 /P {p} "
+            f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            f"/StmF /StdCF /StrF /StdCF "
+            f"/O <{o.hex()}> /U <{u.hex()}> >>")
+    else:
+        enc_dict = (
+            f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
+            f"/Length {n * 8} /P {p} /O <{o.hex()}> /U <{u.hex()}> >>")
+    out.append((eid, enc_dict.encode("latin-1")))
     trailer_extra = (f"/Encrypt {eid} 0 R /ID [<{id0.hex()}> "
                      f"<{id0.hex()}>] ").encode("latin-1")
-    return out, trailer_extra, key
+    return out, trailer_extra, (key, "aes" if aes else "rc4")
 
 
 def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
@@ -641,7 +665,8 @@ def _serialize_classic(dict_objs: list[tuple[int, bytes]],
 def _serialize_xref_stream(dict_objs: list[tuple[int, bytes]],
                            stream_objs: list[tuple[int, bytes]],
                            trailer_extra: bytes = b"",
-                           enc_key: bytes | None = None) -> bytes:
+                           enc_key: tuple[bytes, str] | None = None
+                           ) -> bytes:
     # ---- PDF 1.5 layout: ObjStm + XRef stream ----
     # (stream-carrying objects cannot live inside an ObjStm per spec
     # §7.5.7 — content streams and the ToUnicode CMap stay top-level;
@@ -663,8 +688,17 @@ def _serialize_xref_stream(dict_objs: list[tuple[int, bytes]],
     payload = header + b" ".join(body_parts)
     zpayload = zlib.compress(payload, 6)
     if enc_key is not None:
+        import hashlib
+
         from . import pdf_crypt as C
-        zpayload = C.rc4(C.object_key(enc_key, objstm_id, 0), zpayload)
+        key, kind = enc_key
+        if kind == "aes":
+            iv = hashlib.md5(b"iv" + objstm_id.to_bytes(4, "big")
+                             + zpayload).digest()
+            zpayload = C.aes_cbc_encrypt(
+                C.object_key_aes(key, objstm_id, 0), iv, zpayload)
+        else:
+            zpayload = C.rc4(C.object_key(key, objstm_id, 0), zpayload)
     objstm_body = (
         f"<< /Type /ObjStm /N {len(dict_objs)} /First {len(header)} "
         f"/Filter /FlateDecode /Length {len(zpayload)} >>"

@@ -764,17 +764,19 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                     filt = (("ahx", "a85", "a85+flate", "lzw", "rle")
                             [(i // 11) % 5]
                             if i % 11 == 6 else None)
-                    # r5 notch 8: docs with i%13==7 are RC4
+                    # r5 notches 8/10: docs with i%13==7 are
                     # standard-security encrypted with an EMPTY user
-                    # password (R2 40-bit / R3 128-bit alternating by
-                    # i//13) — the permissions-only protection the
-                    # legacy web-PDF corpus carries. Text is identical
-                    # after decryption, so the oracle is unchanged; a
-                    # reader that skips /Encrypt extracts nothing (or
-                    # mojibake) and fails the value hash. Decorrelated
-                    # from the incremental slice (i%7==4 branch above
-                    # stays unencrypted — append_update bases must).
-                    enc_r = (2 + (i // 13) % 2) if i % 13 == 7 else None
+                    # password, alternating by i//13 across R2 RC4-40,
+                    # R3 RC4-128 and R4 V4/AESV2 (AES-128-CBC) — the
+                    # permissions-only protection both the legacy and
+                    # the modern web-PDF corpus carry. Text is
+                    # identical after decryption, so the oracle is
+                    # unchanged; a reader that skips /Encrypt extracts
+                    # nothing (or mojibake) and fails the value hash.
+                    # Decorrelated from the incremental slice (i%7==4
+                    # branch above stays unencrypted — append_update
+                    # bases must).
+                    enc_r = (2 + (i // 13) % 3) if i % 13 == 7 else None
                     htmls[j] = write_pdf(doc_pages, compress=i % 2 == 0,
                                          xref_stream=i % 3 == 0,
                                          font_encoding=enc,
