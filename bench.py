@@ -267,6 +267,7 @@ def main() -> None:
 
         trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
         pairs = []
+        docs_hi = 0
         for _ in range(trials):
             ceil0 = _cpu_ceiling(lo, hi)
             r_lo, r_hi = leg(lo), leg(hi)
@@ -274,6 +275,10 @@ def main() -> None:
             eff = r_hi["docs_per_sec"] / (
                 (hi / lo) * r_lo["docs_per_sec"])
             ceiling = (ceil0 + ceil1) / 2
+            # r6 (ADVICE r5): report the doc count the measured leg
+            # actually processed, not 5000*repeat — SF_DIR may point at
+            # a corpus of any size
+            docs_hi = r_hi["docs"]
             pairs.append({
                 "lo": r_lo["docs_per_sec"], "hi": r_hi["docs_per_sec"],
                 "eff": round(eff, 3),
@@ -289,7 +294,7 @@ def main() -> None:
             "throughput": {f"local[{lo}]": best["lo"],
                            f"local[{hi}]": best["hi"]},
             "pairs": pairs,
-            "docs": 5000 * scale_repeat, "sf": SF_DIR}
+            "docs": docs_hi, "sf": SF_DIR}
         print(json.dumps(res))
         return
 

@@ -125,9 +125,16 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
 def _expand_objstm(objs: dict[int, bytes]) -> dict[int, bytes]:
     # PDF 1.5: unpack /Type /ObjStm containers (dict-only objects,
     # Flate-packed; header = N pairs of "objnum offset", bodies start
-    # at /First). Top-level definitions win on a clash (setdefault) —
-    # in-spec files never clash, and the top-level object is the one a
-    # classic reader would have seen.
+    # at /First). Top-level definitions win on a clash — in-spec files
+    # never clash, and the top-level object is the one a classic
+    # reader would have seen. When TWO ObjStm containers define the
+    # same object number (an incremental update re-packing a dict
+    # object), the LATER container wins (r6, ADVICE r5: setdefault
+    # made the FIRST win — stale text, opposite of the reader's
+    # last-definition-wins rule; objs preserves scan order = file
+    # order for first definitions, so iterating containers in dict
+    # order approximates file-position order).
+    from_stm: set[int] = set()
     for body in [b for b in objs.values() if _OBJSTM_TYPE_RX.search(b)]:
         nm = _OBJSTM_N_RX.search(body)
         fm = _OBJSTM_FIRST_RX.search(body)
@@ -149,7 +156,10 @@ def _expand_objstm(objs: dict[int, bytes]) -> dict[int, bytes]:
             end = first + pairs[k + 1][1] if k + 1 < count else len(payload)
             if not 0 <= start <= end <= len(payload):
                 raise PdfUnsupported("objstm offsets out of range")
-            objs.setdefault(onum, payload[start:end].strip())
+            if onum in objs and onum not in from_stm:
+                continue  # top-level definition wins
+            objs[onum] = payload[start:end].strip()
+            from_stm.add(onum)
     return objs
 
 
@@ -408,7 +418,13 @@ def _trailer_regions(data: bytes, objs: dict[int, bytes]) -> list[bytes]:
     from being rejected (review find: the whole-file scan turned such
     valid documents into error rows)."""
     regions = []
-    for m in re.finditer(rb"trailer", data):
+    # the keyword is anchored: line start (or '>>'-end of the previous
+    # object) + whitespace + 'trailer' + whitespace + '<<' — every
+    # classic writer's shape. A bare 'trailer' inside an uncompressed
+    # content stream's TEXT no longer matches (r6, ADVICE r5: the
+    # unanchored scan turned a valid page mentioning 'trailer' near
+    # '/Encrypt' into an unsupported-layout error row).
+    for m in re.finditer(rb"(?:^|[>\r\n])\s*trailer\s*(?=<<)", data):
         regions.append(data[m.end():m.end() + 2048])
     for body in objs.values():
         sm = _STREAM_START_RX.search(body)
@@ -470,6 +486,12 @@ def _encryption_key(data: bytes, objs: dict[int, bytes]):
     if lens and not cands and v != 4:
         raise PdfUnsupported(f"bad key length {lens[0]}")
     bits = max(cands) if cands else (128 if v == 4 else 40)
+    if v == 1:
+        # §7.6.1 Table 20: V1 fixes the key at 40 bits — an in-dict
+        # /Length is ignored (r6, ADVICE r5: trusting a bogus
+        # /Length 128 derived the wrong key and misclassified an
+        # extractable file as password-protected)
+        bits = 40
     pm = _ENC_P_RX.search(body)
     if pm is None:
         raise PdfUnsupported("encrypt dict missing /P")

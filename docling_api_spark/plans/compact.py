@@ -26,7 +26,10 @@ Contract:
   :func:`recover_swap` — run automatically at the next
   ``compact_output`` call — can roll the swap forward (new dir ready)
   or back (only the old dir survived) without guesswork. __trash
-  keeps the old files until the caller deletes them.
+  keeps the old files until the caller deletes them — the returned
+  dict's ``trash`` key names that directory and callers (e.g.
+  queries.compact_roundtrip) depend on it for cleanup: it is part of
+  the contract, not an implementation detail.
 """
 
 from __future__ import annotations
@@ -110,7 +113,9 @@ def compact_output(spark: SparkSession, path: str,
                    target_file_bytes: int = 128 * 1024 * 1024) -> dict:
     """Rewrite the parquet table at ``path`` into
     ``ceil(bytes/target)`` files; verify content; swap atomically.
-    Returns {files_before, files_after, rows, bytes}."""
+    Returns {files_before, files_after, rows, bytes, trash} — ``trash``
+    is the directory holding the pre-compaction files (kept until the
+    caller deletes it; see the module Contract section)."""
     recover_swap(path)
     before = spark.read.parquet(path)
     files_before = sum(

@@ -1212,3 +1212,49 @@ def test_pdf_aes_reader_robust_under_mutation():
         except PdfUnsupported:
             pass
     assert time.perf_counter() - t0 < 30
+
+
+def test_pdf_r5_advice_regressions():
+    """r5 ADVICE finds, pinned: (1) when two ObjStm containers define
+    the same object number the LATER container wins (incremental
+    update re-packing — setdefault made the stale first body win);
+    (2) V1 encryption ignores a bogus in-dict /Length (spec fixes V1
+    at 40 bits) and still extracts; (3) an uncompressed page whose
+    TEXT contains 'trailer' near '/Encrypt' stays extractable (the
+    trailer keyword scan is anchored to line-start + '<<')."""
+    import zlib
+
+    from docling_api_spark.operators.pdf_extract import (_expand_objstm,
+                                                         extract_pdf)
+    from docling_api_spark.operators.pdf_write import write_pdf
+
+    # (1) two ObjStm containers defining object 5: later wins
+    def objstm(body: bytes) -> bytes:
+        header = b"5 0 "
+        payload = header + body
+        z = zlib.compress(payload, 6)
+        return (b"<< /Type /ObjStm /N 1 /First %d /Filter /FlateDecode"
+                b" /Length %d >>\nstream\n" % (len(header), len(z))
+                + z + b"\nendstream")
+    objs = {10: objstm(b"<< /Old 1 >>"), 11: objstm(b"<< /New 2 >>")}
+    out = _expand_objstm(objs)
+    assert out[5] == b"<< /New 2 >>"
+    # ... but a TOP-LEVEL definition still beats any container
+    objs2 = {5: b"<< /Top 3 >>", 10: objstm(b"<< /Old 1 >>")}
+    assert _expand_objstm(objs2)[5] == b"<< /Top 3 >>"
+
+    # (2) V1 with a bogus /Length 128 — reader forces 40 bits
+    pages = [[(72.0, 730.0, 24.0, ["Doc V1"]),
+              (72.0, 690.0, 11.0, ["forty bit body"])]]
+    expect = extract_pdf(write_pdf(pages))
+    enc = write_pdf(pages, encrypt_r=2)
+    bogus = enc.replace(b"/V 1 /R 2 /Length 40", b"/V 1 /R 2 /Length 128")
+    assert bogus != enc
+    assert extract_pdf(bogus) == expect
+
+    # (3) page text with a line-leading 'trailer' near '/Encrypt'
+    chatty = [[(72.0, 730.0, 24.0, ["Spec notes"]),
+               (72.0, 690.0, 11.0,
+                ["trailer keyword here", "see /Encrypt 9 0 R denied"])]]
+    got = extract_pdf(write_pdf(chatty))  # plain streams — bytes visible
+    assert "trailer keyword here" in got and "/Encrypt 9 0 R" in got
