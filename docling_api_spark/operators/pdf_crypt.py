@@ -25,10 +25,17 @@ AES ("V4" crypt filters with /CFM /AESV2 — the modern empty-password
 default, notch 10) is implemented from FIPS-197 + SP 800-38A directly:
 the S-box is GENERATED from the GF(2^8) inverse + affine definition
 (not transcribed), and the block cipher, key schedule and CBC mode are
-anchored to the published known-answer vectors (Appendix B/C.1,
+anchored to the published known-answer vectors (Appendix B/C.1/C.3,
 F.2.1) in tests. AESV2 per-object keys append the spec's 'sAlT' bytes;
-the wire format is leading IV + PKCS#5 padding. AES-256 ("V5"/AESV3,
-the SHA-2 handler) remains a typed scope-out.
+the wire format is leading IV + PKCS#5 padding.
+
+AES-256 ("V5" with /CFM /AESV3 — notch 11b, the CURRENT standard
+scheme) adds the ISO 32000-2 §7.6.4 SHA-2 handler: the 32-byte file
+key is wrapped in /UE //OE and recovered through the hardened
+Algorithm 2.B hash (R6) or its one-SHA-256 R5 predecessor; /Perms is
+the AES-ECB-sealed permissions block. The AES-256 core is the same
+FIPS-197 code with the Nk=8 key schedule. Real (non-empty) passwords
+stay a typed scope-out — a crawl has no password source.
 """
 
 from __future__ import annotations
@@ -183,16 +190,24 @@ _MUL = {c: bytes(_gf_mul(c, x) for x in range(256))
 
 
 def _expand_key(key: bytes) -> list[list[int]]:
-    """AES-128 key schedule → 11 round keys (16-int lists)."""
-    words = [list(key[i:i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """FIPS-197 §5.2 key schedule for AES-128 (Nk=4 → 11 round keys)
+    and AES-256 (Nk=8 → 15 round keys; r6 notch 11b — the extra
+    SubWord at i % Nk == 4 is the only 256-specific step)."""
+    nk = len(key) // 4
+    if nk not in (4, 8):
+        raise AesError(f"bad AES key length {len(key)}")
+    nr = nk + 6
+    words = [list(key[i:i + 4]) for i in range(0, 4 * nk, 4)]
+    for i in range(nk, 4 * (nr + 1)):
         w = list(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             w = w[1:] + w[:1]
             w = [_SBOX[b] for b in w]
-            w[0] ^= _RCON[i // 4 - 1]
-        words.append([a ^ b for a, b in zip(words[i - 4], w)])
-    return [sum(words[4 * i:4 * i + 4], []) for i in range(11)]
+            w[0] ^= _RCON[i // nk - 1]
+        elif nk == 8 and i % nk == 4:
+            w = [_SBOX[b] for b in w]
+        words.append([a ^ b for a, b in zip(words[i - nk], w)])
+    return [sum(words[4 * i:4 * i + 4], []) for i in range(nr + 1)]
 
 
 #: ShiftRows as a flat SOURCE-index permutation over the column-major
@@ -204,9 +219,10 @@ for _j, _src in enumerate(_SHIFT):
 
 
 def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    nr = len(rk) - 1
     s = [b ^ k for b, k in zip(block, rk[0])]
     m2, m3 = _MUL[2], _MUL[3]
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         s = [_SBOX[s[_SHIFT[i]]] for i in range(16)]
         t = []
         for c in range(0, 16, 4):
@@ -217,13 +233,97 @@ def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
                   m3[a0] ^ a1 ^ a2 ^ m2[a3]]
         s = [x ^ k for x, k in zip(t, rk[rnd])]
     s = [_SBOX[s[_SHIFT[i]]] for i in range(16)]
-    return bytes(x ^ k for x, k in zip(s, rk[10]))
+    return bytes(x ^ k for x, k in zip(s, rk[nr]))
+
+
+# --- T-table fast path for ENCRYPTION (the Algorithm-2.B hot loop:
+# ~8k block encrypts per password hash). The tables combine
+# SubBytes+ShiftRows+MixColumns into four 256-entry word lookups per
+# column (the classic software-AES formulation, e.g. the FIPS-197
+# reference bibliography's Rijndael implementation notes) and are
+# GENERATED from the same _SBOX/_MUL definitions above — the
+# spec-shaped _aes_encrypt_block stays as the anchor, and the
+# known-answer + cross-check tests pin the two paths equal.
+
+def _make_enc_tables():
+    m2, m3 = _MUL[2], _MUL[3]
+    t0 = [0] * 256
+    for x in range(256):
+        s = _SBOX[x]
+        t0[x] = (m2[s] << 24) | (s << 16) | (s << 8) | m3[s]
+    t1 = [((v >> 8) | ((v & 0xFF) << 24)) for v in t0]
+    t2 = [((v >> 8) | ((v & 0xFF) << 24)) for v in t1]
+    t3 = [((v >> 8) | ((v & 0xFF) << 24)) for v in t2]
+    return t0, t1, t2, t3
+
+
+_T0, _T1, _T2, _T3 = _make_enc_tables()
+
+
+def _rk_words(rk: list[list[int]]) -> list[tuple[int, int, int, int]]:
+    """Round keys as big-endian column words (T-table form)."""
+    return [tuple((w[4 * c] << 24) | (w[4 * c + 1] << 16)
+                  | (w[4 * c + 2] << 8) | w[4 * c + 3] for c in range(4))
+            for w in rk]
+
+
+def _encrypt_words(rkw, c0: int, c1: int, c2: int, c3: int):
+    """One block through the T-table rounds; state in/out = 4 column
+    words. Equal to _aes_encrypt_block by construction (pinned by
+    tests against the FIPS-197 vectors and random cross-checks)."""
+    t0, t1, t2, t3, sbox = _T0, _T1, _T2, _T3, _SBOX
+    k = rkw[0]
+    c0 ^= k[0]; c1 ^= k[1]; c2 ^= k[2]; c3 ^= k[3]  # noqa: E702
+    for k in rkw[1:-1]:
+        n0 = (t0[c0 >> 24] ^ t1[(c1 >> 16) & 255]
+              ^ t2[(c2 >> 8) & 255] ^ t3[c3 & 255] ^ k[0])
+        n1 = (t0[c1 >> 24] ^ t1[(c2 >> 16) & 255]
+              ^ t2[(c3 >> 8) & 255] ^ t3[c0 & 255] ^ k[1])
+        n2 = (t0[c2 >> 24] ^ t1[(c3 >> 16) & 255]
+              ^ t2[(c0 >> 8) & 255] ^ t3[c1 & 255] ^ k[2])
+        n3 = (t0[c3 >> 24] ^ t1[(c0 >> 16) & 255]
+              ^ t2[(c1 >> 8) & 255] ^ t3[c2 & 255] ^ k[3])
+        c0, c1, c2, c3 = n0, n1, n2, n3
+    k = rkw[-1]
+    n0 = ((sbox[c0 >> 24] << 24) | (sbox[(c1 >> 16) & 255] << 16)
+          | (sbox[(c2 >> 8) & 255] << 8) | sbox[c3 & 255]) ^ k[0]
+    n1 = ((sbox[c1 >> 24] << 24) | (sbox[(c2 >> 16) & 255] << 16)
+          | (sbox[(c3 >> 8) & 255] << 8) | sbox[c0 & 255]) ^ k[1]
+    n2 = ((sbox[c2 >> 24] << 24) | (sbox[(c3 >> 16) & 255] << 16)
+          | (sbox[(c0 >> 8) & 255] << 8) | sbox[c1 & 255]) ^ k[2]
+    n3 = ((sbox[c3 >> 24] << 24) | (sbox[(c0 >> 16) & 255] << 16)
+          | (sbox[(c1 >> 8) & 255] << 8) | sbox[c2 & 255]) ^ k[3]
+    return n0, n1, n2, n3
+
+
+def _cbc_encrypt_words(rk: list[list[int]], iv: bytes,
+                       data: bytes) -> bytes:
+    """CBC over the T-table core; ``data`` must be 16-aligned, IV not
+    included in the output."""
+    rkw = _rk_words(rk)
+    p0 = int.from_bytes(iv[0:4], "big")
+    p1 = int.from_bytes(iv[4:8], "big")
+    p2 = int.from_bytes(iv[8:12], "big")
+    p3 = int.from_bytes(iv[12:16], "big")
+    out = bytearray()
+    for i in range(0, len(data), 16):
+        b = data[i:i + 16]
+        p0, p1, p2, p3 = _encrypt_words(
+            rkw,
+            p0 ^ int.from_bytes(b[0:4], "big"),
+            p1 ^ int.from_bytes(b[4:8], "big"),
+            p2 ^ int.from_bytes(b[8:12], "big"),
+            p3 ^ int.from_bytes(b[12:16], "big"))
+        out += p0.to_bytes(4, "big") + p1.to_bytes(4, "big") \
+            + p2.to_bytes(4, "big") + p3.to_bytes(4, "big")
+    return bytes(out)
 
 
 def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
-    s = [b ^ k for b, k in zip(block, rk[10])]
+    nr = len(rk) - 1
+    s = [b ^ k for b, k in zip(block, rk[nr])]
     m9, m11, m13, m14 = _MUL[9], _MUL[11], _MUL[13], _MUL[14]
-    for rnd in range(9, 0, -1):
+    for rnd in range(nr - 1, 0, -1):
         s = [_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16)]
         s = [x ^ k for x, k in zip(s, rk[rnd])]
         t = []
@@ -249,13 +349,7 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     rk = _expand_key(key)
     padlen = 16 - len(data) % 16
     data = data + bytes([padlen]) * padlen
-    out = bytearray(iv)
-    prev = iv
-    for i in range(0, len(data), 16):
-        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
-        prev = _aes_encrypt_block(rk, blk)
-        out += prev
-    return bytes(out)
+    return iv + _cbc_encrypt_words(rk, iv, data)
 
 
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
@@ -284,3 +378,112 @@ def object_key_aes(key: bytes, num: int, gen: int) -> bytes:
         key + num.to_bytes(4, "little")[:3]
         + gen.to_bytes(4, "little")[:2] + b"sAlT").digest()
     return h[:min(len(key) + 5, 16)]
+
+
+# --------------- AES-256 / V5 / AESV3 (ISO 32000-2 §7.6.4, notch 11b)
+#
+# The SHA-2 security handler: /U and /O are 48 bytes
+# (hash[32] || validation_salt[8] || key_salt[8]); the 32-byte FILE key
+# is recovered by decrypting /UE (or /OE) with an intermediate key
+# hashed from the password and the key salt. Revision 5 (Adobe's
+# deprecated original) hashes with one SHA-256; revision 6 (the ISO
+# standard) uses the hardened Algorithm 2.B loop below. AESV3 content
+# encryption uses the FILE key directly for every object (no per-object
+# derivation — §7.6.2 note) in the same IV-prefixed CBC wire format.
+
+
+def _cbc_nopad(key: bytes, iv: bytes, data: bytes,
+               encrypt: bool) -> bytes:
+    """Raw AES-CBC, no padding, explicit IV, IV not prepended — the
+    form Algorithm 2.B and the /UE //OE wrapping use."""
+    if len(data) % 16:
+        raise AesError(f"nopad CBC needs 16-aligned input, got {len(data)}")
+    rk = _expand_key(key)
+    if encrypt:
+        return _cbc_encrypt_words(rk, iv, data)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i:i + 16]
+        out += bytes(a ^ b for a, b in
+                     zip(_aes_decrypt_block(rk, blk), prev))
+        prev = blk
+    return bytes(out)
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    """§7.6.4.3.4 Algorithm 2.B (R6) / the one-SHA-256 R5 form.
+
+    R6: K = SHA-256(pwd||salt||udata); then rounds of
+    K1 = (pwd||K||udata)×64, E = AES-128-CBC(K[:16], iv=K[16:32], K1),
+    K = SHA-{256,384,512}(E) picked by (first 16 bytes of E as a
+    number) mod 3 ≡ sum(E[:16]) mod 3 (256 ≡ 1 mod 3); at least 64
+    rounds, stopping once round ≥ 64 and E[-1] ≤ round − 32.
+    Returns the first 32 bytes of K."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    if r == 5:
+        return k
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _cbc_nopad(k[:16], k[16:32], k1, encrypt=True)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def v5_values(file_key: bytes, user_pwd: bytes, vsalt: bytes,
+              ksalt: bytes, r: int, udata: bytes = b"") -> tuple[bytes, bytes]:
+    """Writer half (Algorithms 8/9): the 48-byte /U (or /O when
+    ``udata`` carries the /U value) and the 32-byte /UE (or /OE) for
+    ``file_key`` under ``user_pwd`` and the two 8-byte salts."""
+    uhash = hash_2b(user_pwd, vsalt, udata, r)
+    inter = hash_2b(user_pwd, ksalt, udata, r)
+    ue = _cbc_nopad(inter, b"\x00" * 16, file_key, encrypt=True)
+    return uhash + vsalt + ksalt, ue
+
+
+def v5_check_user_password(user_pwd: bytes, u: bytes, ue: bytes,
+                           r: int) -> bytes | None:
+    """Reader half (Algorithms 11/2.A steps a-e for the USER password):
+    validate ``user_pwd`` against the stored 48-byte /U; on match,
+    decrypt /UE with the key-salt intermediate hash and return the
+    32-byte file key. None on mismatch — caller scopes out typed."""
+    if len(u) < 48 or len(ue) < 32:
+        return None
+    vsalt, ksalt = u[32:40], u[40:48]
+    if hash_2b(user_pwd, vsalt, b"", r) != u[:32]:
+        return None
+    inter = hash_2b(user_pwd, ksalt, b"", r)
+    return _cbc_nopad(inter, b"\x00" * 16, ue[:32], encrypt=False)
+
+
+def perms_value(file_key: bytes, p: int, tail: bytes = b"seed") -> bytes:
+    """§7.6.4.4.2 Algorithm 10: the 16-byte /Perms block — P (4 LE),
+    0xFFFFFFFF, 'T' (EncryptMetadata), 'adb', 4 free bytes — AES-256
+    ECB-encrypted (one block) with the file key."""
+    blk = (struct.pack("<I", p & 0xFFFFFFFF) + b"\xff\xff\xff\xff"
+           + b"T" + b"adb" + hashlib.md5(tail).digest()[:4])
+    return _aes_encrypt_block(_expand_key(file_key), blk)
+
+
+def perms_check(file_key: bytes, perms: bytes, p: int) -> bool:
+    """Algorithm 13: decrypt /Perms (ECB, one block) and verify the
+    'adb' magic and the /P pattern."""
+    if len(perms) < 16:
+        return False
+    blk = _aes_decrypt_block(_expand_key(file_key), perms[:16])
+    return (blk[9:12] == b"adb"
+            and blk[:4] == struct.pack("<I", p & 0xFFFFFFFF))
+
+
+def stream_object_key(key: bytes, kind: str, num: int) -> bytes:
+    """The per-stream key for ALL supported schemes: RC4 → Algorithm 1
+    md5 derivation; AESV2 (16-byte file key) → the same plus 'sAlT';
+    AESV3 (32-byte file key) → the file key itself, unchanged for
+    every object."""
+    if kind == "aes":
+        return key if len(key) == 32 else object_key_aes(key, num, 0)
+    return object_key(key, num, 0)

@@ -49,19 +49,22 @@ grammar produced by :mod:`.pdf_write` —
 - headings by Tf font size (the size-driven hierarchy reference-class
   PDFs carry): ≥20 → ``#``, ≥16 → ``##``, ≥13 → ``###``, else paragraph.
 
-- encryption (r5 notches 8/10): standard-security files with an EMPTY
-  user password — the permissions-only protection the real web-PDF
-  corpus overwhelmingly carries — decrypt via the spec math in
-  :mod:`.pdf_crypt`: RC4 (V1/V2, R2/R3) AND V4 crypt filters with
+- encryption (r5 notches 8/10, r6 notch 11b): standard-security files
+  with an EMPTY user password — the permissions-only protection the
+  real web-PDF corpus overwhelmingly carries — decrypt via the spec
+  math in :mod:`.pdf_crypt`: RC4 (V1/V2, R2/R3), V4 crypt filters with
   /CFM /AESV2 (AES-128-CBC, FIPS-197 implemented from the spec and
-  vector-anchored) or /CFM /V2 (RC4-128 behind crypt filters).
-  Algorithm-2 key, /U-verified before any byte is trusted; /O, /U and
-  /ID parse in both hex and escaped-literal wire forms; a real
-  password, non-Standard handler, or AES-256 (V5/AESV3) scopes out
-  typed.
+  vector-anchored) or /CFM /V2 (RC4-128 behind crypt filters), AND V5
+  with /CFM /AESV3 (AES-256 under the ISO 32000-2 §7.6.4 SHA-2
+  handler, both the deprecated R5 and the hardened-2.B R6 revisions —
+  the CURRENT standard scheme). The key is /U-verified (classic
+  Algorithm 6 or the 2.A/2.B hash) before any byte is trusted and a
+  present /Perms block must pass its 'adb' seal; /O, /U and /ID parse
+  in both hex and escaped-literal wire forms; a real password or a
+  non-Standard handler scopes out typed.
 
-Everything outside this grammar (AES-256 encryption, other filters,
-image-only pages) raises
+Everything outside this grammar (non-AESV3 V5 filters, other stream
+filters, image-only pages) raises
 :class:`PdfUnsupported` → the caller maps it to the
 ``pdf_unsupported_feature`` failure-code row — mirroring how the reference
 converts docling failures into error rows (``service.py:83-85``).
@@ -463,11 +466,37 @@ def _encryption_key(data: bytes, objs: dict[int, bytes]):
     v = int(m.group(1)) if (m := _ENC_V_RX.search(body)) else 0
     r = int(m.group(1)) if (m := _ENC_R_RX.search(body)) else 0
     kind = "rc4"
+    if v == 5 and r in (5, 6):
+        # V5 with /CFM /AESV3 (notch 11b): AES-256 under the SHA-2
+        # handler (ISO 32000-2 §7.6.4 — the CURRENT standard scheme;
+        # R5 is Adobe's deprecated one-SHA-256 predecessor). The empty
+        # user password is validated against the 48-byte /U before the
+        # file key is unwrapped from /UE; when /Perms is present its
+        # 'adb' seal and /P pattern must verify — a mismatch means a
+        # tampered or corrupt file, typed, never silently trusted.
+        if re.search(rb"/StmF\s*/StdCF", body) is None:
+            raise PdfUnsupported("V5 encryption without /StmF /StdCF")
+        if re.search(rb"/CFM\s*/AESV3", body) is None:
+            raise PdfUnsupported("unsupported V5 crypt filter method")
+        pm = _ENC_P_RX.search(body)
+        if pm is None:
+            raise PdfUnsupported("encrypt dict missing /P")
+        u = _dict_string(body, b"U")
+        ue = _dict_string(body, b"UE")
+        if len(u) < 48 or len(ue) < 32:
+            raise PdfUnsupported("short /U or /UE value")
+        key = C.v5_check_user_password(b"", u, ue, r)
+        if key is None:
+            raise PdfUnsupported("password-protected pdf")
+        if re.search(rb"/Perms\s*[<(]", body) is not None:
+            perms = _dict_string(body, b"Perms")
+            if not C.perms_check(key, perms, int(pm.group(1))):
+                raise PdfUnsupported("malformed /Perms block")
+        return key, enc_id, "aes"
     if v == 4 and r == 4:
         # V4 crypt filters (notch 10): /StdCF with /CFM /AESV2
         # (AES-128-CBC) or /CFM /V2 (RC4-128 via crypt filters); both
-        # stream and string filters must point at /StdCF. AESV3
-        # (V5/R5-6, AES-256 with the SHA-2 handler) scopes out typed.
+        # stream and string filters must point at /StdCF.
         if re.search(rb"/StmF\s*/StdCF", body) is None:
             raise PdfUnsupported("V4 encryption without /StmF /StdCF")
         if re.search(rb"/CFM\s*/AESV2", body) is not None:
@@ -476,6 +505,8 @@ def _encryption_key(data: bytes, objs: dict[int, bytes]):
             kind = "rc4"
         else:
             raise PdfUnsupported("unsupported V4 crypt filter method")
+    elif v == 4 or v == 5:
+        raise PdfUnsupported(f"unsupported encryption V{v} R{r}")
     elif v not in (1, 2) or r not in (2, 3):
         raise PdfUnsupported(f"unsupported encryption V{v} R{r}")
     # the V4 dict carries TWO /Length entries (file key bits at the
@@ -543,8 +574,11 @@ def _decrypt_objects(objs: dict[int, bytes], key: bytes,
                 continue
             start, end = m.start(1), m.end(1)
         if kind == "aes":
+            # AESV2 (16-byte key) derives per-object keys; AESV3
+            # (32-byte key, notch 11b) uses the file key for every
+            # object — stream_object_key picks by key length
             try:
-                dec = C.aes_cbc_decrypt(C.object_key_aes(key, num, 0),
+                dec = C.aes_cbc_decrypt(C.stream_object_key(key, "aes", num),
                                         body[start:end])
             except C.AesError as e:
                 raise PdfUnsupported(f"aes stream: {e}") from e

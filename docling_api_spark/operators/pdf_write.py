@@ -389,7 +389,13 @@ def _encrypt_objects(dict_objs: list[tuple[int, bytes]],
     an object stream. The fixture grammar's dict bodies carry no
     strings, so only streams need transforming (dict-level string
     encryption is out of grammar, as is encrypting an incremental
-    update chain — ``append_update`` bases must stay unencrypted)."""
+    update chain — ``append_update`` bases must stay unencrypted).
+
+    ``r`` 5/6 (notch 11b) → V5 with /CFM /AESV3: AES-256-CBC streams
+    under the SHA-2 handler — the 32-byte file key derives
+    deterministically from the content id, /U //UE //O //OE //Perms
+    from the §7.6.4 writer algorithms (R5 = the deprecated one-SHA-256
+    revision, R6 = the hardened-2.B standard)."""
     import hashlib
     import re as _re
 
@@ -401,9 +407,19 @@ def _encrypt_objects(dict_objs: list[tuple[int, bytes]],
     id0 = hashlib.md5(b"".join(
         num.to_bytes(4, "big") + body
         for num, body in dict_objs + stream_objs)).digest()
-    o = C.o_value(b"fixture-owner", user_pwd, r, n)
-    key = C.file_key(user_pwd, o, p, id0, r, n)
-    u = C.u_value(key, id0, r)
+    if r >= 5:
+        key = hashlib.sha256(b"fk" + id0).digest()
+        vsalt, ksalt = (hashlib.md5(b"vs" + id0).digest()[:8],
+                        hashlib.md5(b"ks" + id0).digest()[:8])
+        u, ue = C.v5_values(key, user_pwd, vsalt, ksalt, r)
+        ovs, oks = (hashlib.md5(b"ov" + id0).digest()[:8],
+                    hashlib.md5(b"ok" + id0).digest()[:8])
+        o, oe = C.v5_values(key, b"fixture-owner", ovs, oks, r, udata=u)
+        perms = C.perms_value(key, p, tail=id0)
+    else:
+        o = C.o_value(b"fixture-owner", user_pwd, r, n)
+        key = C.file_key(user_pwd, o, p, id0, r, n)
+        u = C.u_value(key, id0, r)
     out: list[tuple[int, bytes]] = []
     for num, body in stream_objs:
         sm = body.find(b"\nstream\n")
@@ -414,7 +430,7 @@ def _encrypt_objects(dict_objs: list[tuple[int, bytes]],
                 iv = hashlib.md5(b"iv" + num.to_bytes(4, "big")
                                  + payload).digest()
                 enc = C.aes_cbc_encrypt(
-                    C.object_key_aes(key, num, 0), iv, payload)
+                    C.stream_object_key(key, "aes", num), iv, payload)
                 head = _re.sub(rb"/Length \d+",
                                b"/Length %d" % len(enc), head, count=1)
             else:
@@ -422,7 +438,14 @@ def _encrypt_objects(dict_objs: list[tuple[int, bytes]],
             body = head + b"\nstream\n" + enc + b"\nendstream"
         out.append((num, body))
     eid = max(num for num, _ in dict_objs + stream_objs) + 1
-    if aes:
+    if r >= 5:
+        enc_dict = (
+            f"<< /Filter /Standard /V 5 /R {r} /Length 256 /P {p} "
+            f"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            f"/StmF /StdCF /StrF /StdCF "
+            f"/O <{o.hex()}> /U <{u.hex()}> "
+            f"/OE <{oe.hex()}> /UE <{ue.hex()}> /Perms <{perms.hex()}> >>")
+    elif aes:
         enc_dict = (
             f"<< /Filter /Standard /V 4 /R 4 /Length 128 /P {p} "
             f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
@@ -696,7 +719,7 @@ def _serialize_xref_stream(dict_objs: list[tuple[int, bytes]],
             iv = hashlib.md5(b"iv" + objstm_id.to_bytes(4, "big")
                              + zpayload).digest()
             zpayload = C.aes_cbc_encrypt(
-                C.object_key_aes(key, objstm_id, 0), iv, zpayload)
+                C.stream_object_key(key, "aes", objstm_id), iv, zpayload)
         else:
             zpayload = C.rc4(C.object_key(key, objstm_id, 0), zpayload)
     objstm_body = (

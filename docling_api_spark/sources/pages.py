@@ -764,19 +764,23 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                     filt = (("ahx", "a85", "a85+flate", "lzw", "rle")
                             [(i // 11) % 5]
                             if i % 11 == 6 else None)
-                    # r5 notches 8/10: docs with i%13==7 are
-                    # standard-security encrypted with an EMPTY user
-                    # password, alternating by i//13 across R2 RC4-40,
-                    # R3 RC4-128 and R4 V4/AESV2 (AES-128-CBC) — the
-                    # permissions-only protection both the legacy and
-                    # the modern web-PDF corpus carry. Text is
+                    # r5 notches 8/10 + r6 notch 11b: docs with
+                    # i%13==7 are standard-security encrypted with an
+                    # EMPTY user password, alternating by i//13 across
+                    # R2 RC4-40, R3 RC4-128, R4 V4/AESV2 (AES-128-CBC),
+                    # R5 V5/AESV3 (AES-256, deprecated one-SHA-256
+                    # revision) and R6 V5/AESV3 (AES-256, hardened
+                    # Algorithm-2.B — the CURRENT standard scheme) —
+                    # the permissions-only protection the whole web-PDF
+                    # corpus carries, legacy to modern. Text is
                     # identical after decryption, so the oracle is
                     # unchanged; a reader that skips /Encrypt extracts
                     # nothing (or mojibake) and fails the value hash.
                     # Decorrelated from the incremental slice (i%7==4
                     # branch above stays unencrypted — append_update
                     # bases must).
-                    enc_r = (2 + (i // 13) % 3) if i % 13 == 7 else None
+                    enc_r = ((2, 3, 4, 5, 6)[(i // 13) % 5]
+                             if i % 13 == 7 else None)
                     htmls[j] = write_pdf(doc_pages, compress=i % 2 == 0,
                                          xref_stream=i % 3 == 0,
                                          font_encoding=enc,

@@ -1258,3 +1258,116 @@ def test_pdf_r5_advice_regressions():
                 ["trailer keyword here", "see /Encrypt 9 0 R denied"])]]
     got = extract_pdf(write_pdf(chatty))  # plain streams — bytes visible
     assert "trailer keyword here" in got and "/Encrypt 9 0 R" in got
+
+
+# --------------- notch 11b: V5 / AESV3 (AES-256, SHA-2 handler)
+
+def test_aes256_known_answer_vector():
+    """The Nk=8 key schedule is anchored to FIPS-197 Appendix C.3."""
+    from docling_api_spark.operators import pdf_crypt as C
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f"
+                        "101112131415161718191a1b1c1d1e1f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = C._aes_encrypt_block(C._expand_key(key), pt)
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert C._aes_decrypt_block(C._expand_key(key), ct) == pt
+
+
+def test_v5_handler_math_roundtrip():
+    """Writer/reader pair over the §7.6.4 algorithms: /U //UE wrap and
+    recover the file key for the EMPTY password under both R5
+    (one-SHA-256) and R6 (hardened 2.B); a wrong password fails
+    closed; /Perms seals and verifies."""
+    import hashlib
+
+    from docling_api_spark.operators import pdf_crypt as C
+    fk = hashlib.sha256(b"some-file-key").digest()
+    for r in (5, 6):
+        u, ue = C.v5_values(fk, b"", b"validsal", b"keysalt!", r)
+        assert len(u) == 48 and len(ue) == 32
+        assert C.v5_check_user_password(b"", u, ue, r) == fk
+        assert C.v5_check_user_password(b"wrong", u, ue, r) is None
+        # R5 and R6 must NOT produce the same /U (different hash paths)
+    u5, _ = C.v5_values(fk, b"", b"validsal", b"keysalt!", 5)
+    u6, _ = C.v5_values(fk, b"", b"validsal", b"keysalt!", 6)
+    assert u5 != u6
+    pm = C.perms_value(fk, -44)
+    assert C.perms_check(fk, pm, -44)
+    assert not C.perms_check(fk, pm, -4)          # /P mismatch
+    assert not C.perms_check(fk, b"\x00" * 16, -44)  # broken seal
+
+
+def test_pdf_aesv3_layout_invariant_and_scopeouts():
+    """Empty-password V5/AESV3 files (R5 and R6) extract
+    byte-identically to their unencrypted twins on every layout; a
+    real password, a tampered /U, and a tampered /Perms each scope
+    out typed."""
+    import re
+
+    import pytest
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         extract_pdf)
+    from docling_api_spark.operators.pdf_write import write_pdf
+    pages = [[(72.0, 730.0, 24.0, ["Doc V5"]),
+              (72.0, 690.0, 11.0, ["aes two fifty six (x) \\ y"])],
+             [(72.0, 730.0, 14.0, ["Part b"]),
+              (72.0, 690.0, 11.0, ["page two"])]]
+    expect = extract_pdf(write_pdf(pages))
+    for r in (5, 6):
+        for kw in (dict(), dict(compress=True), dict(xref_stream=True),
+                   dict(compress=True, xref_stream=True),
+                   dict(split_contents=3, nested_kids=True)):
+            enc = write_pdf(pages, encrypt_r=r, **kw)
+            assert b"/CFM /AESV3" in enc and b"/UE <" in enc
+            assert b"aes two" not in enc, (r, kw)
+            assert extract_pdf(enc) == expect, (r, kw)
+    with pytest.raises(PdfUnsupported, match="password"):
+        extract_pdf(write_pdf(pages, encrypt_r=6,
+                              encrypt_user_pwd=b"hunter2"))
+    enc = write_pdf(pages, encrypt_r=6)
+    with pytest.raises(PdfUnsupported, match="password"):
+        extract_pdf(re.sub(rb"/U <[0-9a-f]{8}", b"/U <deadbeef", enc))
+    with pytest.raises(PdfUnsupported, match="Perms"):
+        extract_pdf(re.sub(rb"/Perms <[0-9a-f]{8}",
+                           b"/Perms <deadbeef", enc))
+    with pytest.raises(PdfUnsupported, match="crypt filter"):
+        extract_pdf(enc.replace(b"/CFM /AESV3", b"/CFM /AESV4"))
+
+
+def test_pdf_aesv3_reader_robust_under_mutation():
+    """Poison-document contract over V5 bases: mutations either parse
+    or fail typed (AesError mapped, never raw)."""
+    import random
+    import time
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         extract_pdf)
+    from docling_api_spark.operators.pdf_write import write_pdf
+    base = [write_pdf([[(72.0, 720.0, 18.0, [f"Doc {i}"]),
+                        (72.0, 680.0, 11.0, ["hello world " * 10])]],
+                      compress=bool(i % 2), xref_stream=bool(i % 3 == 0),
+                      encrypt_r=5 + i % 2)
+            for i in range(4)]
+    rng = random.Random(20260817)
+    t0 = time.perf_counter()
+    for _ in range(300):
+        raw = bytearray(rng.choice(base))
+        for _ in range(rng.randint(1, 12)):
+            op = rng.random()
+            if op < 0.4 and raw:
+                raw[rng.randrange(len(raw))] = rng.randrange(256)
+            elif op < 0.7 and raw:
+                del raw[rng.randrange(len(raw))]
+            else:
+                raw.insert(rng.randrange(len(raw) + 1), rng.randrange(256))
+        try:
+            extract_pdf(bytes(raw))
+        except PdfUnsupported:
+            pass
+    for frac in range(0, len(base[0]), 61):
+        try:
+            extract_pdf(base[0][:frac])
+        except PdfUnsupported:
+            pass
+    assert time.perf_counter() - t0 < 60
