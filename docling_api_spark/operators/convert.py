@@ -32,8 +32,8 @@ from ..config import ExtractConfig
 from ..functions.sniffer import detect_format
 from .html_extract import extract_html
 from .md_adoc import asciidoc_to_markdown, block_spans, normalize_markdown
-from .ooxml import extract_docx, extract_pptx
-from .pdf_extract import PdfUnsupported, extract_pdf
+from .ooxml import extract_docx_rich, extract_pptx
+from .pdf_extract import PdfUnsupported, extract_pdf_rich
 
 
 def _decode_text(content: bytes) -> str:
@@ -115,9 +115,11 @@ def convert_one(content, url: str, cfg: ExtractConfig) -> dict:
         elif fmt == "asciidoc":
             out["markdown"] = asciidoc_to_markdown(_decode_text(content))
         elif fmt == "pdf":
-            out["markdown"] = extract_pdf(content)
+            # r6 notch 11a: embedded image XObjects surface on the
+            # same A12 manifest contract as HTML pictures
+            out["markdown"], out["images"] = extract_pdf_rich(content)
         elif fmt == "docx":
-            out["markdown"] = extract_docx(content)
+            out["markdown"], out["images"] = extract_docx_rich(content)
         elif fmt == "pptx":
             out["markdown"] = extract_pptx(content)
         elif fmt == "image":
@@ -144,6 +146,7 @@ def convert_one(content, url: str, cfg: ExtractConfig) -> dict:
         return out
     if out["markdown"] is not None and out["markdown"] == "":
         out["markdown"] = None
+        out["images"] = None     # error rows carry NULL images
         out["error"] = "empty_document"
     if out["markdown"] is not None:
         if out["images"] is None:

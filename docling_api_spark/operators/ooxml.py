@@ -100,38 +100,94 @@ def _docx_table_block(tbl) -> str | None:
     return "\n".join(lines)
 
 
-def extract_docx(content: bytes) -> str:
-    """May raise — caller wraps into the per-doc error channel (A14)."""
+R = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+     "relationships}")
+_REL_PKG = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def _docx_rels(zf: zipfile.ZipFile) -> dict[str, str]:
+    """word/_rels/document.xml.rels → {rId: target} (empty if absent)."""
+    try:
+        xml = zf.read("word/_rels/document.xml.rels")
+    except KeyError:
+        return {}
+    out = {}
+    for rel in ET.fromstring(xml).iter(_REL_PKG + "Relationship"):
+        rid, target = rel.get("Id"), rel.get("Target")
+        if rid and target:
+            out[rid] = target
+    return out
+
+
+def extract_docx_rich(content: bytes) -> tuple[str, list]:
+    """DOCX → (markdown, images manifest). May raise — caller wraps
+    into the per-doc error channel (A14).
+
+    Images (r6 notch 11a — A12 parity on the OOXML path, reference
+    ``_process_document_images``, service.py:41-66): inline
+    ``a:blip r:embed`` drawings resolve through the document rels to
+    their ``word/media/*`` parts; each becomes a ``picture-N.png``
+    manifest entry (payload = the stored PNG bytes, base64) and the
+    first-remaining-placeholder markdown rewrite — the same contract
+    as the HTML and PDF paths."""
     with zipfile.ZipFile(io.BytesIO(content)) as zf:
         xml = zf.read("word/document.xml")
-    root = ET.fromstring(xml)
-    body = root.find(W + "body")
-    if body is None:
-        return ""
-    blocks: list[str] = []
-    pending_list: list[str] = []
-    for el in body:
-        if el.tag == W + "p":
-            b = _docx_para_block(el)
-            if b is None:
-                continue
-            if b.lstrip().startswith("- "):
-                pending_list.append(b)
-                continue
-            if pending_list:
-                blocks.append("\n".join(pending_list))
-                pending_list = []
-            blocks.append(b)
-        elif el.tag == W + "tbl":
-            if pending_list:
-                blocks.append("\n".join(pending_list))
-                pending_list = []
-            t = _docx_table_block(el)
-            if t:
-                blocks.append(t)
-    if pending_list:
-        blocks.append("\n".join(pending_list))
-    return "\n\n".join(blocks)
+        rels = _docx_rels(zf)
+        root = ET.fromstring(xml)
+        body = root.find(W + "body")
+        blocks: list[str] = []
+        pending_list: list[str] = []
+        pictures: list[bytes] = []
+        for el in (body if body is not None else []):
+            if el.tag == W + "p":
+                blips = list(el.iter(A + "blip"))
+                if blips:
+                    if pending_list:
+                        blocks.append("\n".join(pending_list))
+                        pending_list = []
+                    for blip in blips:
+                        target = rels.get(blip.get(R + "embed", ""))
+                        if target is None:
+                            raise ValueError("unresolved image rel")
+                        pictures.append(
+                            zf.read("word/" + target.lstrip("/")))
+                        blocks.append("<!-- image -->")
+                    continue
+                b = _docx_para_block(el)
+                if b is None:
+                    continue
+                if b.lstrip().startswith("- "):
+                    pending_list.append(b)
+                    continue
+                if pending_list:
+                    blocks.append("\n".join(pending_list))
+                    pending_list = []
+                blocks.append(b)
+            elif el.tag == W + "tbl":
+                if pending_list:
+                    blocks.append("\n".join(pending_list))
+                    pending_list = []
+                t = _docx_table_block(el)
+                if t:
+                    blocks.append(t)
+        if pending_list:
+            blocks.append("\n".join(pending_list))
+    images: list[dict] = []
+    for n, png in enumerate(pictures, 1):
+        import base64
+        fname = f"picture-{n}.png"
+        images.append({"type": "picture", "filename": fname,
+                       "image": base64.b64encode(png).decode("ascii")})
+        for i, b in enumerate(blocks):
+            if "<!-- image -->" in b:
+                blocks[i] = b.replace("<!-- image -->", fname, 1)
+                break
+    return "\n\n".join(blocks), images
+
+
+def extract_docx(content: bytes) -> str:
+    """DOCX → Markdown (text view of :func:`extract_docx_rich`)."""
+    return extract_docx_rich(content)[0]
 
 
 def _slide_no(name: str) -> int:

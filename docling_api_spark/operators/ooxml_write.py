@@ -60,22 +60,81 @@ def _w_table(rows: list[list[str]]) -> str:
     return "<w:tbl>" + "".join(trs) + "</w:tbl>"
 
 
+_R_NS = ("http://schemas.openxmlformats.org/officeDocument/2006/"
+         "relationships")
+_REL_PKG_NS = "http://schemas.openxmlformats.org/package/2006/relationships"
+_REL_IMG_TYPE = ("http://schemas.openxmlformats.org/officeDocument/2006/"
+                 "relationships/image")
+
+
 def write_docx(heading: str, paragraph: str, bullets: list[str],
-               table_rows: list[list[str]]) -> bytes:
+               table_rows: list[list[str]],
+               images: list[bytes] | None = None) -> bytes:
     """Minimal-but-real DOCX: Heading1 title, a body paragraph, a bulleted
     list, and a table — exactly the constructs ``extract_docx`` maps to
-    markdown blocks."""
+    markdown blocks.
+
+    ``images`` (r6 notch 11a, the A12 contract on the OOXML path): each
+    PNG byte string becomes a ``word/media/imageN.png`` part, an image
+    relationship in ``word/_rels/document.xml.rels``, and an inline
+    ``<w:drawing>`` → ``<a:blip r:embed>`` paragraph between the body
+    paragraph and the bullets — the real wire shape python-docx and
+    Word emit."""
+    img_paras = ""
+    rels = []
+    media: list[tuple[str, bytes]] = []
+    for n, png in enumerate(images or [], start=1):
+        rid = f"rId{n}"
+        rels.append(f'<Relationship Id="{rid}" Type="{_REL_IMG_TYPE}" '
+                    f'Target="media/image{n}.png"/>')
+        media.append((f"word/media/image{n}.png", png))
+        img_paras += (f'<w:p><w:r><w:drawing><wp:inline>'
+                      f'<a:graphic><a:graphicData>'
+                      f'<pic:pic><pic:blipFill>'
+                      f'<a:blip r:embed="{rid}"/>'
+                      f"</pic:blipFill></pic:pic>"
+                      f"</a:graphicData></a:graphic>"
+                      f"</wp:inline></w:drawing></w:r></w:p>")
     body = (
         _w_para(heading, style="Heading1")
         + _w_para(paragraph)
+        + img_paras
         + "".join(_w_para(b, bullet=True) for b in bullets)
         + _w_table(table_rows)
     )
+    extra_ns = ""
+    if images:
+        extra_ns = (
+            f' xmlns:r="{_R_NS}" xmlns:a="{_A_NS}"'
+            ' xmlns:wp="http://schemas.openxmlformats.org/drawingml/'
+            '2006/wordprocessingDrawing"'
+            ' xmlns:pic="http://schemas.openxmlformats.org/drawingml/'
+            '2006/picture"')
     doc = (f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-           f'<w:document xmlns:w="{_W_NS}"><w:body>{body}</w:body>'
-           f"</w:document>")
-    return _zip_bytes([("[Content_Types].xml", _CONTENT_TYPES),
-                       ("word/document.xml", doc)])
+           f'<w:document xmlns:w="{_W_NS}"{extra_ns}><w:body>{body}'
+           f"</w:body></w:document>")
+    entries = [("[Content_Types].xml", _CONTENT_TYPES),
+               ("word/document.xml", doc)]
+    if rels:
+        entries.append((
+            "word/_rels/document.xml.rels",
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<Relationships xmlns="{_REL_PKG_NS}">{"".join(rels)}'
+            f"</Relationships>"))
+    out = _zip_bytes(entries)
+    if media:
+        # media parts are binary — append via a second pass (zip
+        # entries list is (str, str) for XML; PNGs ride raw)
+        import io
+        import zipfile
+        buf = io.BytesIO(out)
+        with zipfile.ZipFile(buf, "a", zipfile.ZIP_DEFLATED) as zf:
+            for name, data in media:
+                zi = zipfile.ZipInfo(name)
+                zi.compress_type = zipfile.ZIP_DEFLATED
+                zf.writestr(zi, data)
+        out = buf.getvalue()
+    return out
 
 
 def _p_shape(ph_type: str, paras: list[tuple[int, str]]) -> str:

@@ -704,9 +704,14 @@ def _tokenize(stream: bytes):
 
 
 def _extract_items(stream: bytes, page_no: int,
-                   decode=None) -> list[tuple]:
-    """→ [(page, x, y, size, text)]; ``decode`` maps string-operand
-    bytes to text per the page font's /Encoding (default latin-1)."""
+                   decode=None, xobjects=None) -> list[tuple]:
+    """→ [(page, x, y, size, payload)] where payload is text or a
+    :class:`_PdfImage`; ``decode`` maps string-operand bytes to text
+    per the page font's /Encoding (default latin-1); ``xobjects``
+    resolves ``Do`` operand names to images (r6 notch 11a). The
+    graphics state tracked for images is the q/Q-scoped ``cm``
+    translate+scale — the raster-painting idiom ``q w 0 0 h x y cm
+    /Im1 Do Q``; full CTM composition is out of grammar."""
     if decode is None:
         decode = _decode_latin1
     items: list[tuple] = []
@@ -716,12 +721,34 @@ def _extract_items(stream: bytes, page_no: int,
     size = 12.0
     leading = 12.0
     in_text = False
+    ctm = (1.0, 1.0, 0.0, 0.0)       # (a, d, e, f) of the last cm
+    gs_stack: list[tuple] = []
     for kind, val in _tokenize(stream):
         if kind in ("str", "num", "arr", "name"):
             stack.append((kind, val))
             continue
         op = val
-        if op == b"BT":
+        if op == b"q":
+            gs_stack.append(ctm)
+            if len(gs_stack) > 256:
+                raise PdfUnsupported("graphics state stack too deep")
+        elif op == b"Q":
+            if gs_stack:
+                ctm = gs_stack.pop()
+        elif op == b"cm":
+            if len(stack) >= 6:
+                nums = [s[1] for s in stack[-6:] if s[0] == "num"]
+                if len(nums) == 6:
+                    ctm = (nums[0], nums[3], nums[4], nums[5])
+        elif op == b"Do":
+            if xobjects is not None and stack and stack[-1][0] == "name":
+                img = xobjects(stack[-1][1])
+                if img is not None:
+                    a, d, e, f = ctm
+                    # top of the painted rect: cm translate is the
+                    # BOTTOM-left, height = the d scale
+                    items.append((page_no, e, f + d, 0.0, img))
+        elif op == b"BT":
             in_text = True
             x = y = lx = ly = 0.0
         elif op == b"ET":
@@ -1012,6 +1039,97 @@ def _encoding_decoder(objs: dict[int, bytes], fobj: bytes):
     return _decode_latin1
 
 
+class _PdfImage:
+    """A decoded image XObject riding the item stream (r6 notch 11a):
+    reading-order sorting interleaves it with text, the block pass
+    turns it into an ``<!-- image -->`` placeholder + manifest entry."""
+
+    __slots__ = ("width", "height", "pixels")
+
+    def __init__(self, width: int, height: int, pixels: bytes):
+        self.width = width
+        self.height = height
+        self.pixels = pixels
+
+
+_XOBJ_DICT_RX = re.compile(rb"/XObject\s*<<(.*?)>>", re.DOTALL)
+_IMG_W_RX = re.compile(rb"/Width\s+(\d+)")
+_IMG_H_RX = re.compile(rb"/Height\s+(\d+)")
+_IMG_BPC_RX = re.compile(rb"/BitsPerComponent\s+(\d+)")
+
+
+def _decode_image_xobject(body: bytes) -> _PdfImage:
+    """/Subtype /Image XObject → grayscale raster. Scoped grammar:
+    8-bit /DeviceGray, /FlateDecode (raw raster, no predictor) or
+    /DCTDecode (baseline grayscale JPEG via :mod:`.jpeg_codec`) or no
+    filter — the encodings carrying essentially all real web-PDF
+    grayscale rasters. Color spaces, predictors, CCITT/JBIG2/JPX and
+    image masks scope out typed — the caller surfaces
+    ``pdf_unsupported_feature``, never a silently dropped picture."""
+    sm = _STREAM_START_RX.search(body)
+    head = body[:sm.start()] if sm else body
+    wm, hm = _IMG_W_RX.search(head), _IMG_H_RX.search(head)
+    if wm is None or hm is None:
+        raise PdfUnsupported("image xobject missing /Width or /Height")
+    w, h = int(wm.group(1)), int(hm.group(1))
+    bm = _IMG_BPC_RX.search(head)
+    if bm is not None and int(bm.group(1)) != 8:
+        raise PdfUnsupported(f"image bpc {bm.group(1).decode()} "
+                             "unsupported")
+    if b"/DeviceGray" not in head:
+        raise PdfUnsupported("non-grayscale image xobject")
+    if b"/DecodeParms" in head or b"/SMask" in head or b"/ImageMask" in head:
+        raise PdfUnsupported("image predictor/mask unsupported")
+    fm = _FILTER_RX.search(head)
+    filt = fm.group(1) if fm is not None else b""
+    if b"DCTDecode" in filt:
+        # _stream_of would try to APPLY the filter chain — DCT payload
+        # must be read raw by /Length and decoded as JPEG
+        lm = _LENGTH_RX.search(head)
+        if sm is None or lm is None:
+            raise PdfUnsupported("malformed image stream")
+        raw = body[sm.end():sm.end() + int(lm.group(1))]
+        from .jpeg_codec import decode_gray_jpeg
+        try:
+            jw, jh, px = decode_gray_jpeg(raw)
+        except ValueError as e:
+            raise PdfUnsupported(f"dct image: {e}") from e
+        if (jw, jh) != (w, h):
+            raise PdfUnsupported("dct dimensions disagree with dict")
+        return _PdfImage(w, h, px)
+    px = _stream_of(body)
+    if px is None:
+        raise PdfUnsupported("image xobject without stream")
+    if len(px) < w * h:
+        raise PdfUnsupported("image raster shorter than dimensions")
+    return _PdfImage(w, h, px[:w * h])
+
+
+def _xobject_resolver(objs: dict[int, bytes], page_body: bytes):
+    """→ callable(name bytes) → _PdfImage | None (None = the name is
+    not an image XObject reference on this page). Decoding is lazy and
+    memoized per object id — a logo painted on every page decodes
+    once."""
+    refs: dict[bytes, int] = {}
+    for m in _XOBJ_DICT_RX.finditer(page_body):
+        for name, ref in _REF_RX.findall(m.group(1)):
+            refs[name] = int(ref)
+    cache: dict[int, _PdfImage] = {}
+
+    def resolve(name: bytes) -> _PdfImage | None:
+        oid = refs.get(name)
+        if oid is None:
+            return None
+        if oid not in cache:
+            body = objs.get(oid, b"")
+            if b"/Subtype" not in body or b"/Image" not in body:
+                return None    # form XObjects etc. — not an image
+            cache[oid] = _decode_image_xobject(body)
+        return cache[oid]
+
+    return resolve
+
+
 _CONTENTS_ARR_RX = re.compile(
     rb"/Contents\s*\[((?:\s*\d+\s+0\s+R)+)\s*\]")
 #: \b keeps 'Pages' from matching: a real leaf is /Type /Page
@@ -1083,9 +1201,10 @@ def _page_streams(data: bytes) -> list[tuple[bytes, object]]:
                   and b"/Pages" not in objs[k]]
     if not leaves:
         raise PdfUnsupported("no pages found")
-    streams: list[tuple[bytes, object]] = []
+    streams: list[tuple[bytes, object, object]] = []
     for pid, body in leaves:
         dec = _font_decoder(objs, body)
+        xres = _xobject_resolver(objs, body)
         am = _CONTENTS_ARR_RX.search(body)
         if am is not None:
             # §7.8.2: the page content is the CONCATENATION of the
@@ -1095,17 +1214,17 @@ def _page_streams(data: bytes) -> list[tuple[bytes, object]]:
             # tokenization, never tokenized stream-by-stream
             parts = [_stream_of(objs.get(int(r), b"")) or b""
                      for r in _NUM_REF_RX.findall(am.group(1))]
-            streams.append((b"\n".join(parts), dec))
+            streams.append((b"\n".join(parts), dec, xres))
             continue
         cid = None
         for name, ref in _REF_RX.findall(body):
             if name == b"Contents":
                 cid = int(ref)
         if cid is None:
-            streams.append((b"", dec))
+            streams.append((b"", dec, xres))
             continue
         s = _stream_of(objs.get(cid, b""))
-        streams.append((s or b"", dec))
+        streams.append((s or b"", dec, xres))
     return streams
 
 
@@ -1114,25 +1233,36 @@ _COL_SPLIT = PAGE_WIDTH / 2
 _Y_GAP_FACTOR = 1.5
 
 
-def extract_pdf(content: bytes) -> str:
-    """PDF bytes → Markdown. Raises PdfUnsupported outside the scoped
-    grammar; any other exception is a parse_error (caller maps it)."""
+def extract_pdf_rich(content: bytes) -> tuple[str, list]:
+    """PDF bytes → (Markdown, images manifest). Raises PdfUnsupported
+    outside the scoped grammar; any other exception is a parse_error
+    (caller maps it).
+
+    Images (r6 notch 11a — the A12 contract beyond HTML, reference
+    ``_process_document_images``, service.py:41-66): each painted
+    image XObject becomes a ``picture-N.png`` manifest entry whose
+    payload is the decoded raster re-encoded as a real PNG
+    (:mod:`.png_write`), numbered and substituted in READING order —
+    the same first-remaining-placeholder rewrite as the HTML path, so
+    one downstream contract covers every format."""
     if not content.startswith(b"%PDF-"):
         raise PdfUnsupported("not a pdf header")
     streams = _page_streams(content)
     all_items: list[tuple] = []
-    for pno, (s, dec) in enumerate(streams):
-        all_items.extend(_extract_items(s, pno, dec))
+    for pno, (s, dec, xres) in enumerate(streams):
+        all_items.extend(_extract_items(s, pno, dec, xres))
     if not all_items:
-        return ""
+        return "", []
     # reading order: page, column (two-column split at half width), top-down, left-right
     def key(it):
         page, x, y, size, txt = it
         col = 0 if x < _COL_SPLIT else 1
         return (page, col, -y, x)
     all_items.sort(key=key)
-    # group into blocks by y-gap within (page, column)
+    # group into blocks by y-gap within (page, column); an image item
+    # closes the current block and becomes its own placeholder block
     blocks: list[tuple[float, list[str]]] = []  # (heading size, lines)
+    pictures: list[_PdfImage] = []
     prev = None
     cur_lines: list[str] = []
     cur_size = 0.0
@@ -1151,6 +1281,12 @@ def extract_pdf(content: bytes) -> str:
         cur_size = 0.0
     for it in all_items:
         page, x, y, size, txt = it
+        if isinstance(txt, _PdfImage):
+            flush_block()
+            blocks.append((0.0, ["<!-- image -->"]))
+            pictures.append(txt)
+            prev = (page, 0 if x < _COL_SPLIT else 1, y)
+            continue
         if prev is not None:
             ppage, pcol, py = prev
             col = 0 if x < _COL_SPLIT else 1
@@ -1178,4 +1314,30 @@ def extract_pdf(content: bytes) -> str:
             out.append("### " + text)
         else:
             out.append(text)
-    return "\n\n".join(out)
+    images: list[dict] = []
+    if pictures:
+        import base64
+
+        from .png_write import write_png_gray
+        for n, img in enumerate(pictures, 1):
+            fname = f"picture-{n}.png"
+            images.append({
+                "type": "picture",
+                "filename": fname,
+                "image": base64.b64encode(
+                    write_png_gray(img.width, img.height, img.pixels)
+                ).decode("ascii"),
+            })
+            # service.py:61 semantics: each picture, in order, replaces
+            # the FIRST remaining placeholder
+            for i, b in enumerate(out):
+                if "<!-- image -->" in b:
+                    out[i] = b.replace("<!-- image -->", fname, 1)
+                    break
+    return "\n\n".join(out), images
+
+
+def extract_pdf(content: bytes) -> str:
+    """PDF bytes → Markdown (the text-only view of
+    :func:`extract_pdf_rich` — same markdown, images dropped)."""
+    return extract_pdf_rich(content)[0]

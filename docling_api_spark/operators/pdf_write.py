@@ -461,13 +461,37 @@ def _encrypt_objects(dict_objs: list[tuple[int, bytes]],
     return out, trailer_extra, (key, "aes" if aes else "rc4")
 
 
+def image_xobject(pw: int, ph: int, pixels: bytes,
+                  codec: str = "flate") -> bytes:
+    """An 8-bit /DeviceGray /Subtype /Image XObject body (r6 notch
+    11a): ``codec`` 'flate' → /FlateDecode over the raw raster,
+    'dct' → /DCTDecode carrying a baseline grayscale JPEG
+    (:mod:`.jpeg_codec`) — the two encodings that carry essentially
+    all real web-PDF raster content."""
+    if codec == "flate":
+        data = zlib.compress(pixels, 6)
+        filt = "/FlateDecode"
+    elif codec == "dct":
+        from .jpeg_codec import encode_gray_jpeg
+        data = encode_gray_jpeg(pw, ph, pixels)
+        filt = "/DCTDecode"
+    else:
+        raise ValueError(f"unknown image codec {codec!r}")
+    head = (f"<< /Type /XObject /Subtype /Image /Width {pw} "
+            f"/Height {ph} /ColorSpace /DeviceGray "
+            f"/BitsPerComponent 8 /Filter {filt} "
+            f"/Length {len(data)} >>").encode("latin-1")
+    return head + b"\nstream\n" + data + b"\nendstream"
+
+
 def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
               compress: bool = False, xref_stream: bool = False,
               font_encoding=None, split_contents: int = 1,
               nested_kids: bool = False,
               stream_filter: str | None = None,
               encrypt_r: int | None = None,
-              encrypt_user_pwd: bytes = b"") -> bytes:
+              encrypt_user_pwd: bytes = b"",
+              images: list[list[tuple]] | None = None) -> bytes:
     """pages = list of pages; each page a list of (x, y, size, lines)
     blocks. ``xref_stream=True`` (r5) emits the PDF 1.5 layout real
     Common-Crawl PDFs near-universally use: all dict-only objects
@@ -497,8 +521,21 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
     /ASCIIHexDecode, /ASCII85Decode, or the [/ASCII85Decode
     /FlateDecode] chain (see :func:`_encode_stream`); the ToUnicode
     CMap and ObjStm containers keep their own Flate coding — real
-    files routinely mix filters per stream."""
+    files routinely mix filters per stream.
+
+    ``images`` (r6 notch 11a) — per-page lists of
+    ``(x, y_top, pw, ph, pixels, codec)``: each becomes a /DeviceGray
+    image XObject (:func:`image_xobject`) named in the page's
+    /Resources /XObject dict and painted by a ``q pw 0 0 ph x
+    (y_top−ph) cm /ImN Do Q`` sequence appended to the content stream
+    — the standard raster-painting idiom, so the reader's ``cm``/``Do``
+    tracking is exercised at the real wire shape. Classic and
+    xref-stream layouts only (the tree/split layouts keep their own
+    numbering)."""
     if split_contents > 1 or nested_kids:
+        if images:
+            raise ValueError("images not supported with the tree/"
+                             "split layouts (own object numbering)")
         return _write_pdf_tree(pages, compress, xref_stream,
                                font_encoding, split_contents,
                                nested_kids, stream_filter,
@@ -534,18 +571,38 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
                 array_form=kind == "tounicode_arr")))
     if descendant_id is not None:
         dict_objs.append((descendant_id, _CID_DESCENDANT))
+    # image ids continue the contiguous numbering after the optional
+    # ToUnicode/descendant objects (both serializers require 1..N)
+    next_img_id = (3 + 2 * n_pages + 1
+                   + (1 if tounicode_id is not None else 0)
+                   + (1 if descendant_id is not None else 0))
     for i, page in enumerate(pages):
         page_id = first_page_id + 2 * i
         content_id = page_id + 1
+        page_imgs = (images[i] if images and i < len(images) else [])
+        xobj_res = ""
+        img_ops = b""
+        for k, (ix, iy_top, pw, ph, pixels, codec) in enumerate(page_imgs):
+            img_id = next_img_id
+            next_img_id += 1
+            stream_objs.append((img_id, image_xobject(pw, ph, pixels,
+                                                      codec)))
+            xobj_res += f"/Im{k + 1} {img_id} 0 R "
+            img_ops += (f"\nq {pw:g} 0 0 {ph:g} {ix:g} "
+                        f"{iy_top - ph:g} cm /Im{k + 1} Do Q"
+                        ).encode("latin-1")
+        res = "/Resources << /Font << /F1 3 0 R >> "
+        if xobj_res:
+            res += f"/XObject << {xobj_res}>> "
+        res += ">> "
         dict_objs.append(
             (page_id,
              (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-              f"/Resources << /Font << /F1 3 0 R >> >> "
-              f"/Contents {content_id} 0 R >>").encode("latin-1")))
+              f"{res}/Contents {content_id} 0 R >>").encode("latin-1")))
         # subset-encoded (ToUnicode) fonts get hex strings — the shape
         # real generators emit for arbitrary byte codes
         cs = content_stream(page, encode=encode,
-                            hex_strings=tounicode is not None)
+                            hex_strings=tounicode is not None) + img_ops
         head, data = _encode_stream(cs, compress, stream_filter)
         stream_objs.append(
             (content_id, head + b"\nstream\n" + data + b"\nendstream"))

@@ -114,6 +114,7 @@ def _cached_source(spark: SparkSession, kind: str, sf_dir: str) -> DataFrame:
     from .sources import pages as PS
     builders = {
         "images": PS.pages_with_images,
+        "emb_images": PS.pages_embedded_images,
         "rich": PS.pages_rich,
         "linked": PS.pages_linked,
         "meta": PS.pages_with_meta,
@@ -360,6 +361,76 @@ UNION ALL
 SELECT url, CAST(2 AS INT), 'table', 'table-1.png', TRUE,
        CAST({_TBL_W} AS BIGINT), CAST({_TBL_H} AS BIGINT), markdown
 FROM md WHERE doc_id % 5 = 0
+"""
+
+
+def extract_embedded_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 beyond HTML (r6 notch 11a): pictures EMBEDDED in PDF and
+    DOCX containers surface on the same manifest contract as HTML
+    ``<img>`` tags (reference ``_process_document_images``,
+    service.py:41-66 — docling iterates pictures from ANY format).
+    Even doc_ids are PDFs painting one /FlateDecode and one /DCTDecode
+    (baseline-grayscale JPEG) image XObject; odd doc_ids are DOCX with
+    an inline ``a:blip`` drawing. The gate decodes each base64 payload
+    — PNG signature + IHDR geometry — and the oracle re-predicts those
+    values from the generation rule (pure functions of doc_id); exact
+    pixels are golden-tested in pytest."""
+    pages = _cached_source(spark, "emb_images", sf_dir)
+    out = extract_df(pages, _CFG)
+    ex = out.select("url", "markdown",
+                    F.posexplode("images").alias("seq", "img"))
+    bin_ = "unbase64(img.image)"
+    return ex.select(
+        "url", F.col("seq").cast("int").alias("seq"),
+        F.col("img.type").alias("img_type"),
+        F.col("img.filename").alias("filename"),
+        (F.expr(f"hex(substring({bin_}, 1, 8))")
+         == "89504E470D0A1A0A").alias("png_sig_ok"),
+        F.expr(f"CAST(conv(hex(substring({bin_}, 17, 4)), 16, 10) "
+               "AS BIGINT)").alias("png_w"),
+        F.expr(f"CAST(conv(hex(substring({bin_}, 21, 4)), 16, 10) "
+               "AS BIGINT)").alias("png_h"),
+        "markdown")
+
+
+_DOCX_EMB_MD = f"""'# Doc ' || CAST(doc_id AS VARCHAR)
+    || {_TEXT_BLOCK.format(expr='text')}
+    || chr(10) || chr(10) || 'picture-1.png'
+    || chr(10) || chr(10) || '- li one ' || CAST(doc_id AS VARCHAR)
+    || chr(10) || '- li two'
+    || chr(10) || chr(10) || '| k | v |' || chr(10)
+    || '| --- | --- |' || chr(10)
+    || '| id | ' || CAST(doc_id AS VARCHAR) || ' |'"""
+
+_PDF_EMB_MD = f"""'# Doc ' || CAST(doc_id AS VARCHAR)
+    || chr(10) || chr(10) || 'picture-1.png'
+    || chr(10) || chr(10) || 'picture-2.png'
+    || {_TEXT_BLOCK.format(expr='text')}"""
+
+EXTRACT_EMBEDDED_IMAGES_ORACLE = f"""
+WITH pdfs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+docxs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
+SELECT {_url_sql('.pdf')} AS url, CAST(0 AS INT) AS seq,
+       'picture' AS img_type, 'picture-1.png' AS filename,
+       TRUE AS png_sig_ok,
+       CAST(16 + doc_id % 13 AS BIGINT) AS png_w,
+       CAST(12 + doc_id % 9 AS BIGINT) AS png_h,
+       {_PDF_EMB_MD} AS markdown
+FROM pdfs
+UNION ALL
+SELECT {_url_sql('.pdf')}, CAST(1 AS INT), 'picture', 'picture-2.png',
+       TRUE,
+       CAST(8 + doc_id % 8 AS BIGINT),
+       CAST(8 + doc_id % 5 AS BIGINT),
+       {_PDF_EMB_MD}
+FROM pdfs
+UNION ALL
+SELECT {_url_sql('.docx')}, CAST(0 AS INT), 'picture', 'picture-1.png',
+       TRUE,
+       CAST(16 + {_PIC_W_H.format(ref="'demb-' || CAST(doc_id AS VARCHAR) || '-a'")} AS BIGINT),
+       CAST(12 + {_PIC_H_H.format(ref="'h' || 'demb-' || CAST(doc_id AS VARCHAR) || '-a'")} AS BIGINT),
+       {_DOCX_EMB_MD}
+FROM docxs
 """
 
 
@@ -1658,6 +1729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SemDeDup (new r5): cluster-bounded semantic dedup over the
         # trained k-means cells, low-centroid-similarity keep rule
         "semdedup": similarity.semdedup,
+        # A12 beyond HTML (new r6): images embedded in PDF (Flate+DCT
+        # XObjects) and DOCX (a:blip) containers
+        "extract_embedded_images": extract_embedded_images,
         # ---- past the driver window (slots 51+): all r4-driver-green
         # (CORRECTNESS_r04 50/50), code unchanged since; due back r6 ----
         "extract_adoc_markdown": extract_adoc_markdown,    # out r5 (r4-green)
@@ -1702,6 +1776,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_pptx_markdown": EXTRACT_PPTX_ORACLE,
         "extract_adoc_markdown": EXTRACT_ADOC_ORACLE,
         "extract_images": EXTRACT_IMAGES_ORACLE,
+        "extract_embedded_images": EXTRACT_EMBEDDED_IMAGES_ORACLE,
         "span_summary": SPAN_SUMMARY_ORACLE,
         "span_detail": SPAN_DETAIL_ORACLE,
         "span_pdf_detail": SPAN_PDF_DETAIL_ORACLE,

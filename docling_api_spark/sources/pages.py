@@ -798,3 +798,86 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
     return pages.mapInPandas(
         rewrite, "url string, warc_ts timestamp, html binary, "
                  "text string, lang string")
+
+
+def pages_embedded_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → pages carrying EMBEDDED raster images inside
+    PDF and DOCX containers (r6 notch 11a — the A12 manifest contract
+    beyond HTML; reference ``_process_document_images``,
+    ``service.py:41-66`` surfaces pictures from ANY format):
+
+    - EVEN doc_id → a PDF whose page paints TWO /DeviceGray image
+      XObjects between the title and the body text — one /FlateDecode
+      (w = 16 + i%13, h = 12 + i%9), one /DCTDecode baseline-grayscale
+      JPEG (w = 8 + i%8, h = 8 + i%5) — with layout alternating across
+      classic/xref-stream and plain/Flate content coding (markdown and
+      manifest are layout-invariant);
+    - ODD doc_id → a DOCX with one inline ``a:blip`` drawing whose
+      ``word/media`` part is the md5-textured ``picture_png`` for ref
+      ``demb-<i>-a`` (dims md5-derived — the SQL oracle re-predicts
+      them via textsql.md5_int).
+
+    Every dimension above is a pure function of doc_id, so the driver
+    oracle value-gates the decoded PNG geometry end to end; exact
+    pixel bytes are golden-tested in pytest (test_extractors /
+    test_png)."""
+    import pandas as pd
+
+    from ..operators.ooxml_write import write_docx
+    from ..operators.pdf_write import write_pdf
+    from ..operators.png_write import picture_png
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def render(batches):
+        for pdf in batches:
+            urls, payloads = [], []
+            for j in range(len(pdf)):
+                i = int(pdf["doc_id"].iat[j])
+                text = pdf["text"].iat[j] or ""
+                if i % 2 == 0:
+                    w1, h1 = 16 + i % 13, 12 + i % 9
+                    px1 = bytes(((x * 3 + y * 5 + i) % 256)
+                                for y in range(h1) for x in range(w1))
+                    w2, h2 = 8 + i % 8, 8 + i % 5
+                    px2 = bytes([(i * 7) % 256]) * (w2 * h2)
+                    words, lines, cur = text.split(), [], ""
+                    for wd in words:
+                        if len(cur) + len(wd) + 1 > 90:
+                            lines.append(cur)
+                            cur = wd
+                        else:
+                            cur = wd if not cur else f"{cur} {wd}"
+                    if cur:
+                        lines.append(cur)
+                    blocks = [(72.0, 730.0, 24.0, [f"Doc {i}"])]
+                    if lines:
+                        blocks.append((72.0, 560.0, 11.0, lines))
+                    payloads.append(write_pdf(
+                        [blocks], compress=i % 4 == 0,
+                        xref_stream=i % 6 == 0,
+                        images=[[(72.0, 700.0, w1, h1, px1, "flate"),
+                                 (72.0, 640.0, w2, h2, px2, "dct")]]))
+                    ext = ".pdf"
+                else:
+                    payloads.append(write_docx(
+                        f"Doc {i}", text,
+                        [f"li one {i}", "li two"],
+                        [["k", "v"], ["id", str(i)]],
+                        images=[picture_png(f"demb-{i}-a")]))
+                    ext = ".docx"
+                urls.append(f"https://site{i % 97}.example/doc/{i}{ext}")
+            out = pd.DataFrame({
+                "url": pd.Series(urls, index=pdf.index),
+                "warc_ts": pd.to_datetime(
+                    (pdf["doc_id"] % 86400) + _EPOCH_S, unit="s"),
+                "html": pd.Series(payloads, index=pdf.index,
+                                  dtype="object"),
+                "text": pdf["text"],
+                "lang": pdf["lang"],
+            })
+            yield out
+
+    return docs.mapInPandas(
+        render, "url string, warc_ts timestamp, html binary, "
+                "text string, lang string")

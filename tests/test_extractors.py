@@ -1371,3 +1371,127 @@ def test_pdf_aesv3_reader_robust_under_mutation():
         except PdfUnsupported:
             pass
     assert time.perf_counter() - t0 < 60
+
+
+# --------------- notch 11a: embedded images (PDF XObjects + DOCX blips)
+
+def test_jpeg_codec_roundtrip_and_scopeouts():
+    """Baseline grayscale JPEG pair: encode→decode within tolerance on
+    smooth signals, exact dims, deterministic; color/progressive/
+    restart streams scope out as ValueError."""
+    import random
+
+    import pytest
+
+    from docling_api_spark.operators.jpeg_codec import (
+        decode_gray_jpeg, encode_gray_jpeg, jpeg_dimensions)
+    rng = random.Random(3)
+    for (w, h) in [(8, 8), (16, 12), (17, 9), (1, 1), (5, 30), (23, 23)]:
+        px = bytes(((x * 3 + y * 5) % 256)
+                   for y in range(h) for x in range(w))
+        data = encode_gray_jpeg(w, h, px)
+        dw, dh, out = decode_gray_jpeg(data)
+        assert (dw, dh) == (w, h) and jpeg_dimensions(data) == (w, h)
+        assert max(abs(a - b) for a, b in zip(px, out)) <= 24
+        assert encode_gray_jpeg(w, h, px) == data  # deterministic
+    base = encode_gray_jpeg(8, 8, bytes(64))
+    with pytest.raises(ValueError, match="SOF|grayscale"):
+        decode_gray_jpeg(base.replace(b"\xff\xc0", b"\xff\xc2"))
+    # mutation robustness: ValueError or success, never anything else
+    for _ in range(300):
+        raw = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            raw[rng.randrange(len(raw))] = rng.randrange(256)
+        try:
+            decode_gray_jpeg(bytes(raw))
+        except ValueError:
+            pass
+
+
+def test_pdf_embedded_images_manifest():
+    """Painted image XObjects (Flate exact, DCT within tolerance)
+    surface as picture-N.png manifest entries in READING order with
+    the first-remaining-placeholder markdown rewrite, across layouts
+    and encryption; non-grayscale scopes out typed."""
+    import base64
+
+    import pytest
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         extract_pdf_rich)
+    from docling_api_spark.operators.pdf_write import write_pdf
+    from docling_api_spark.operators.png_write import read_png_gray
+    px1 = bytes(((x * 7 + y * 3) % 256)
+                for y in range(12) for x in range(20))
+    px2 = bytes([200]) * (16 * 10)
+    pages = [[(72.0, 730.0, 24.0, ["Doc Img"]),
+              (72.0, 690.0, 11.0, ["before image text"]),
+              (72.0, 500.0, 11.0, ["after image text"])]]
+    imgs = [[(72.0, 620.0, 20, 12, px1, "flate"),
+             (72.0, 560.0, 16, 10, px2, "dct")]]
+    for kw in (dict(), dict(compress=True), dict(xref_stream=True),
+               dict(encrypt_r=4), dict(encrypt_r=6)):
+        pdf = write_pdf(pages, images=imgs, **kw)
+        md, out = extract_pdf_rich(pdf)
+        assert [im["filename"] for im in out] == ["picture-1.png",
+                                                  "picture-2.png"], kw
+        w, h, p = read_png_gray(base64.b64decode(out[0]["image"]))
+        assert (w, h, p) == (20, 12, px1), kw     # flate: exact
+        w2, h2, p2 = read_png_gray(base64.b64decode(out[1]["image"]))
+        assert (w2, h2) == (16, 10), kw
+        assert max(abs(a - b) for a, b in zip(p2, px2)) <= 3, kw
+        assert (md.index("before image") < md.index("picture-1.png")
+                < md.index("picture-2.png") < md.index("after image")), md
+    with pytest.raises(PdfUnsupported, match="grayscale"):
+        extract_pdf_rich(write_pdf(pages, images=imgs)
+                         .replace(b"/DeviceGray", b"/DeviceRGB "))
+    with pytest.raises(PdfUnsupported, match="mask"):
+        extract_pdf_rich(write_pdf(pages, images=imgs)
+                         .replace(b"/BitsPerComponent 8 /Filter /FlateDecode",
+                                  b"/BitsPerComponent 8 /SMask 9 0 R "
+                                  b"/Filter /FlateDecode", 1))
+
+
+def test_docx_embedded_images_manifest():
+    """DOCX a:blip drawings resolve through the document rels to their
+    word/media parts: payload = the stored PNG verbatim, placeholder
+    rewrite in document order; an unresolvable rel raises (→
+    parse_error channel)."""
+    import base64
+
+    import pytest
+
+    from docling_api_spark.operators.ooxml import (extract_docx,
+                                                   extract_docx_rich)
+    from docling_api_spark.operators.ooxml_write import write_docx
+    from docling_api_spark.operators.png_write import picture_png
+    png1, png2 = picture_png("t-a.png"), picture_png("t-b.png")
+    docx = write_docx("Doc 7", "body text", ["one", "two"],
+                      [["k", "v"]], images=[png1, png2])
+    md, imgs = extract_docx_rich(docx)
+    assert [im["filename"] for im in imgs] == ["picture-1.png",
+                                               "picture-2.png"]
+    assert base64.b64decode(imgs[0]["image"]) == png1
+    assert base64.b64decode(imgs[1]["image"]) == png2
+    assert md.index("body text") < md.index("picture-1.png") \
+        < md.index("picture-2.png") < md.index("- one")
+    assert extract_docx(docx) == md
+    # image-free docs are unchanged by the rich path
+    md0, imgs0 = extract_docx_rich(
+        write_docx("Doc 7", "body text", ["one"], [["k", "v"]]))
+    assert imgs0 == [] and "picture" not in md0
+    # broken rel → loud, not a silent drop (re-zip with the rels
+    # entry renamed — the zip payload is deflated, a byte replace on
+    # the container would be a no-op)
+    import io
+    import zipfile
+    src = zipfile.ZipFile(io.BytesIO(docx))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out_zf:
+        for name in src.namelist():
+            data = src.read(name)
+            if name.endswith("document.xml.rels"):
+                data = data.replace(b'Id="rId1"', b'Id="rIdX"')
+            out_zf.writestr(name, data)
+    with pytest.raises(ValueError, match="unresolved"):
+        extract_docx_rich(buf.getvalue())
