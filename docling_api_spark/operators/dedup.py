@@ -420,6 +420,126 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 PASSAGE_DEDUP_ORACLE = _passage_dedup_sql("duck")
 
 
+# ------------------------------------------ exact-substring dedup (r6)
+
+#: sliding-window width in tokens. Lee et al. 2021 ("Deduplicating
+#: Training Data Makes Language Models Better") remove repeated
+#: substrings of >= 50 BPE tokens via a corpus-wide suffix array; the
+#: synthetic docs are tens of tokens, so the fixture width is 8 —
+#: the PLAN is width-invariant (swap the constant for 50 at corpus
+#: scale)
+SUBSTR_TOKENS = 8
+
+
+def _substring_dedup_sql(dialect: str, rm_table: str | None = None) -> str:
+    """Exact-substring dedup, the Lee-et-al. strategy re-shaped for
+    Spark: every K-token sliding window (stride 1) is hashed; a window
+    seen before (global order = (doc_id, pos)) marks its K token
+    positions for removal in the LATER occurrence; docs are reassembled
+    from the surviving tokens.
+
+    Fidelity vs the paper: a suffix array finds BYTE-level repeats
+    >= the threshold; a stride-1 K-token window detects exactly the
+    TOKEN-ALIGNED repeats >= K tokens (any such repeat contains a
+    matching window at every alignment, so detection is equivalent at
+    token granularity) and removes whole windows, so up to K-1 extra
+    trailing/leading tokens of a partial window survive. That delta is
+    documented, deterministic, and the price of having no
+    corpus-global suffix sort — which cannot shard without the
+    O(corpus) merge the paper runs on one giant machine.
+
+    Plan at scale: tokenize map-side → ONE explode (rows ∝ corpus
+    tokens) → ONE window keyed on md5(window text) (the only
+    corpus-wide shuffle; hash-partitioned, never all-pairs) → the
+    duplicate MINORITY explodes to (doc_id, token_idx) removal marks →
+    doc_id-keyed distinct + anti-join + reassembly, all co-partitioned
+    on doc_id. Memory per key is one window row.
+
+    ``rm_table`` (Spark path): the removal-marks relation is consumed
+    TWICE (anti-join + per-doc count) and Catalyst re-inlines CTEs —
+    measured here as a fully duplicated window subtree (the dsir r5
+    lesson, zero ReusedExchange) — so :func:`substring_dedup`
+    materializes it once (localCheckpoint) and passes the view name;
+    the DuckDB oracle keeps the plain CTE."""
+    toks = X.tokens(dialect)
+    k = SUBSTR_TOKENS
+    if dialect == "spark":
+        sh = (f"SELECT doc_id, pos, "
+              f"array_join(slice(tk, pos + 1, {k}), ' ') AS w "
+              f"FROM (SELECT doc_id, tk, "
+              f"explode(sequence(0, size(tk) - {k})) AS pos "
+              f"FROM tk WHERE size(tk) >= {k}) e")
+        rm_inner = (f"SELECT doc_id, "
+                    f"explode(sequence(pos, pos + {k} - 1)) AS idx "
+                    f"FROM r WHERE rn > 1")
+        toks_rel = ("SELECT doc_id, idx, tok FROM tk "
+                    "LATERAL VIEW posexplode(tk) t AS idx, tok")
+        reassemble = ("array_join(transform(array_sort("
+                      "collect_list(struct(idx, tok))), s -> s.tok), ' ')")
+        size_expr = "size(tk.tk)"
+    else:
+        sh = (f"SELECT doc_id, pos, "
+              f"array_to_string(tk[pos + 1 : pos + {k}], ' ') AS w "
+              f"FROM (SELECT doc_id, tk, "
+              f"unnest(range(len(tk) - {k} + 1)) AS pos "
+              f"FROM tk WHERE len(tk) >= {k}) e")
+        rm_inner = (f"SELECT doc_id, unnest(range(pos, pos + {k})) AS idx "
+                    f"FROM r WHERE rn > 1")
+        toks_rel = ("SELECT doc_id, idx, tk[idx + 1] AS tok FROM "
+                    "(SELECT doc_id, tk, unnest(range(len(tk))) AS idx "
+                    "FROM tk) e")
+        reassemble = "coalesce(string_agg(tok, ' ' ORDER BY idx), '')"
+        size_expr = "len(tk.tk)"
+    rm_body = (f"SELECT * FROM {rm_table}" if rm_table else
+               f"SELECT DISTINCT doc_id, idx FROM ({rm_inner}) i")
+    return f"""
+WITH tk AS (SELECT doc_id, {toks} AS tk FROM documents),
+sh AS ({sh}),
+r AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY md5(w)
+                            ORDER BY doc_id, pos) AS rn
+  FROM sh
+),
+rm AS ({rm_body}),
+toks AS ({toks_rel}),
+kept AS (
+  SELECT t.doc_id, t.idx, t.tok
+  FROM toks t LEFT JOIN rm ON t.doc_id = rm.doc_id AND t.idx = rm.idx
+  WHERE rm.idx IS NULL
+),
+agg AS (SELECT doc_id, {reassemble} AS cleaned FROM kept GROUP BY doc_id),
+rmc AS (SELECT doc_id, count(*) AS n FROM rm GROUP BY doc_id)
+SELECT tk.doc_id,
+       CAST({size_expr} AS BIGINT) AS n_tokens,
+       CAST(coalesce(rmc.n, 0) AS BIGINT) AS n_removed,
+       coalesce(agg.cleaned, '') AS cleaned_text
+FROM tk
+LEFT JOIN rmc ON tk.doc_id = rmc.doc_id
+LEFT JOIN agg ON tk.doc_id = agg.doc_id
+"""
+
+
+def _substring_rm_sql(dialect: str) -> str:
+    """Just the removal-marks relation (tk → sliding windows → ONE
+    md5-keyed row_number window → duplicate spans exploded to token
+    indices, distinct) — materialized once by :func:`substring_dedup`."""
+    full = _substring_dedup_sql(dialect)
+    # reuse the generator's CTE chain up to rm, project rm
+    head, _, _ = full.partition("\ntoks AS (")
+    return head.rstrip().rstrip(",") + "\nSELECT doc_id, idx FROM rm"
+
+
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    rm = spark.sql(_substring_rm_sql("spark")).localCheckpoint()
+    rm.createOrReplaceTempView("substr_rm")
+    return spark.sql(_substring_dedup_sql("spark", rm_table="substr_rm"))
+
+
+SUBSTRING_DEDUP_ORACLE = _substring_dedup_sql("duck")
+
+
 # ------------------------------------------- end-to-end near-dup pipeline
 
 #: verified near-duplicate threshold on exact token-set jaccard

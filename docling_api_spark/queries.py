@@ -1732,6 +1732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # A12 beyond HTML (new r6): images embedded in PDF (Flate+DCT
         # XObjects) and DOCX (a:blip) containers
         "extract_embedded_images": extract_embedded_images,
+        # exact-substring dedup (new r6): Lee et al. 2021 re-shaped as
+        # a stride-1 K-token window + one keyed window function
+        "substring_dedup": dedup.substring_dedup,
         # ---- past the driver window (slots 51+): all r4-driver-green
         # (CORRECTNESS_r04 50/50), code unchanged since; due back r6 ----
         "extract_adoc_markdown": extract_adoc_markdown,    # out r5 (r4-green)
@@ -1820,6 +1823,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_pipeline": dedup.DEDUP_NEAR_ORACLE,
         "incremental_dedup": dedup.INCREMENTAL_DEDUP_ORACLE,
         "passage_dedup": dedup.PASSAGE_DEDUP_ORACLE,
+        "substring_dedup": dedup.SUBSTRING_DEDUP_ORACLE,
         "token_counts": text_stats.TOKEN_COUNTS_ORACLE,
         "quality_scores": text_stats.QUALITY_ORACLE,
         "quality_filter": text_stats.QUALITY_FILTER_ORACLE,

@@ -648,3 +648,61 @@ def test_dsir_separates_target_and_plan(spark):
     o = [r["log_weight"] for r in rows if not r["in_target"]]
     assert t and o
     assert sum(t) / len(t) > sum(o) / len(o)
+
+
+# ------------------------------------------- exact-substring dedup (r6)
+
+def test_substring_dedup_hand_layout(spark):
+    """Hand-evaluated Lee-et-al. semantics at K=8 (SUBSTR_TOKENS):
+    a full-doc duplicate is fully scrubbed, a duplicated 8-token
+    PREFIX is removed while the unique tail survives, short docs
+    (< K tokens) pass through, and a WITHIN-doc repeat of the same
+    8-token run keeps only its first occurrence. The DuckDB oracle
+    must agree row-for-row."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pandas as pd
+
+    a = " ".join(f"a{i}" for i in range(12))          # 12 tokens
+    prefix_tail = " ".join(f"a{i}" for i in range(8)) + " b1 b2 b3 b4"
+    d8 = " ".join(f"d{i}" for i in range(8))
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [a, a, prefix_tail, "c1 c2 c3", d8 + " " + d8],
+        "lang": ["en"] * 5,
+        "source": ["s"] * 5,
+        "n_chars": [1] * 5,
+    })
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.mode("overwrite") \
+        .parquet(os.path.join(d, "documents.parquet"))
+    from docling_api_spark.operators.dedup import (
+        SUBSTRING_DEDUP_ORACLE, substring_dedup)
+    rows = {r["doc_id"]: r.asDict()
+            for r in substring_dedup(spark, d).collect()}
+    # doc 0: first occurrence — untouched
+    assert rows[0] == {"doc_id": 0, "n_tokens": 12, "n_removed": 0,
+                       "cleaned_text": a}
+    # doc 1: exact duplicate of doc 0 — every window repeats, scrubbed
+    assert rows[1]["n_removed"] == 12 and rows[1]["cleaned_text"] == ""
+    # doc 2: duplicated 8-token prefix removed, unique tail survives
+    assert rows[2]["n_removed"] == 8
+    assert rows[2]["cleaned_text"] == "b1 b2 b3 b4"
+    # doc 3: shorter than K — no windows, passes through
+    assert rows[3] == {"doc_id": 3, "n_tokens": 3, "n_removed": 0,
+                       "cleaned_text": "c1 c2 c3"}
+    # doc 4: within-doc repeat — second run removed
+    assert rows[4]["n_removed"] == 8 and rows[4]["cleaned_text"] == d8
+    # oracle parity, value-exact
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{os.path.join(d, 'documents.parquet', '*.parquet')}')")
+    oracle = {r[0]: r for r in
+              con.execute(SUBSTRING_DEDUP_ORACLE).fetchall()}
+    con.close()
+    for i in range(5):
+        r = rows[i]
+        assert oracle[i] == (r["doc_id"], r["n_tokens"], r["n_removed"],
+                             r["cleaned_text"]), i
