@@ -1084,10 +1084,11 @@ FROM c
 
 
 def error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A14 under the driver's value gate (r4): a corpus where 8 of 9
+    """A14 under the driver's value gate (r4): a corpus where 10 of 11
     documents are broken in a distinct way (empty / unknown-binary /
     grammar-less PDF / photographic scan / structurally-broken DOCX /
-    malformed ObjStm / unmapped CID / password-protected PDF)
+    malformed ObjStm / unmapped CID / RC4-password PDF /
+    AES-256-password PDF / tampered-/Perms AES-256 PDF)
     must produce exactly the typed per-document error rows — never a
     raise, never a silent drop — while the control class still extracts.
     The reference converts exceptions to per-doc error strings
@@ -1097,28 +1098,31 @@ def error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "fmt", "markdown", "error")
 
 
-#: r5: taxonomy widened %6 → %9 — classes 6 (malformed /ObjStm dict),
-#: 7 (CID missing from its ToUnicode CMap) and 8 (RC4-encrypted with a
-#: REAL password — /U verification fails; notch 8) break inside the
-#: new grammar paths and must fail typed, never raise or emit mojibake
+#: r5 widened %6 → %9; r6 widened %9 → %11 — classes 9 (V5/AESV3 with
+#: a REAL password: the 2.A hash check fails) and 10 (V5 empty-password
+#: with a TAMPERED /Perms: the 'adb' seal fails AFTER a successful
+#: password check) break inside the notch-11b decode path and must
+#: fail typed, never raise or emit mojibake
 EXTRACT_ERROR_TAXONOMY_ORACLE = """
 SELECT
   'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
     || CAST(doc_id AS VARCHAR)
-    || CASE doc_id % 9 WHEN 2 THEN '.xyz' WHEN 3 THEN '.pdf'
+    || CASE doc_id % 11 WHEN 2 THEN '.xyz' WHEN 3 THEN '.pdf'
             WHEN 4 THEN '.png' WHEN 5 THEN '.docx'
             WHEN 6 THEN '.pdf' WHEN 7 THEN '.pdf' WHEN 8 THEN '.pdf'
+            WHEN 9 THEN '.pdf' WHEN 10 THEN '.pdf'
             ELSE '.html' END
     AS url,
-  CASE doc_id % 9 WHEN 0 THEN 'html' WHEN 3 THEN 'pdf'
+  CASE doc_id % 11 WHEN 0 THEN 'html' WHEN 3 THEN 'pdf'
        WHEN 4 THEN 'image' WHEN 5 THEN 'docx'
        WHEN 6 THEN 'pdf' WHEN 7 THEN 'pdf' WHEN 8 THEN 'pdf'
+       WHEN 9 THEN 'pdf' WHEN 10 THEN 'pdf'
        ELSE CAST(NULL AS VARCHAR) END AS fmt,
-  CASE WHEN doc_id % 9 = 0
+  CASE WHEN doc_id % 11 = 0
        THEN '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
             || text
        ELSE CAST(NULL AS VARCHAR) END AS markdown,
-  CASE doc_id % 9
+  CASE doc_id % 11
        WHEN 1 THEN 'empty_document'
        WHEN 2 THEN 'unsupported_format'
        WHEN 3 THEN 'pdf_unsupported_feature'
@@ -1127,6 +1131,8 @@ SELECT
        WHEN 6 THEN 'pdf_unsupported_feature'
        WHEN 7 THEN 'pdf_unsupported_feature'
        WHEN 8 THEN 'pdf_unsupported_feature'
+       WHEN 9 THEN 'pdf_unsupported_feature'
+       WHEN 10 THEN 'pdf_unsupported_feature'
        ELSE CAST(NULL AS VARCHAR) END AS error
 FROM documents
 """
@@ -1647,127 +1653,126 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     evaluates exactly the first 50 entries (verified r3: CORRECTNESS_r03
     keys == this dict's keys[0:50], in order).
 
-    ROTATION POLICY (r5, replacing r4's ad-hoc subsumption notes): with
-    81 registered queries and 50 driver slots, the window ALTERNATES —
-    every query rotated out in round K is rotated back in in round K+1,
-    so no query's latest driver row is ever more than one round old.
-    Each round's window is therefore: (a) every query with no driver row
-    or whose code/corpus changed this round, (b) every query last gated
-    two rounds ago, (c) the remaining slots filled with the highest-value
-    composites from last round's window. Queries out of the window stay
-    registered for bench + the self-sweep replica
-    (tools/sweep_driver_canon) and carry an inline `# out r5 (r4-green)`
-    marker naming their last driver row.
+    ROTATION POLICY (r5): with 83 registered queries and 50 driver
+    slots, the window ALTERNATES — every query rotated out in round K
+    is rotated back in in round K+1, so no query's latest driver row is
+    ever more than one round old. Each round's window is: (a) every
+    query with no driver row or whose code/corpus changed this round,
+    (b) every query last gated two rounds ago, (c) the remaining slots
+    filled with the highest-value composites from last round's window.
+    Queries out of the window stay registered for bench + the
+    self-sweep replica (tools/sweep_driver_canon) and carry an inline
+    ``# out r6 (r5-green)`` marker naming their last driver row.
 
-    r5 window = 26 r3-last-gated + sequence_packing (never gated; r5
-    two-level-prefix-sum rework) + compact_roundtrip, domain_mixture,
-    dsir_importance and semdedup (new r5) + the r5 code/corpus-touched
-    set (pdf 1.5/incremental/encoding corpus, charset utf-16 remap,
-    streaming fixture pre-materialization) + 12 flagship/composite
-    re-gates. The 31 rotated out are all r4-driver-green
-    (CORRECTNESS_r04: 50/50) with unchanged code, due back in r6.
+    r6 window = the 31 queries last gated in CORRECTNESS_r04 (policy
+    item (b) — all r4-green, rotated out r5, due back now)
+    + extract_embedded_images and substring_dedup (new r6)
+    + the r6 code/corpus-touched set: extract_pdf_markdown +
+    span_pdf_detail (encryption corpus widened to R5/R6 AES-256),
+    extract_docx_markdown (DOCX path now returns images),
+    error_taxonomy (shared convert dispatcher changed),
+    ann_ivf_trained + semdedup (shared-training memo)
+    + 11 flagship/composite re-gates (extract_markdown, extract_images,
+    crawl_curation, the two streams, compact_roundtrip,
+    sequence_packing, dedup_near_pipeline, quality_filter_neardup,
+    dsir_importance, domain_mixture). The 33 rotated out are all
+    r5-driver-green (CORRECTNESS_r05: 50/50) with their own code
+    unchanged this round (similarity.py's change is scoped to the
+    training memo, whose two consumers are IN the window; the full
+    sweep replica re-verified every out-of-window query green at
+    sf0.01 before this rotation shipped), due back in r7.
     """
     return {
         # ---- driver window (slots 1-50) ----
-        # flagship + r5-touched extraction paths
+        # flagship + new r6 + r6-touched extraction paths
         "extract_markdown": extract_markdown,
-        "extract_pdf_markdown": extract_pdf_markdown,      # r5: PDF 1.5 corpus slice
-        "span_pdf_detail": span_pdf_detail,                # r5: same corpus
-        "extract_charset_markdown": extract_charset_markdown,  # r5: utf-16 remap
-        "streaming_curation": streaming_curation,          # r5: fixture memo
-        "streaming_dedup": streaming_dedup,                # r5: fixture memo
-        "compact_roundtrip": compact_roundtrip,            # new r5
-        "sequence_packing": webtext.sequence_packing,      # r5 rework; first row
-        # r3-last-gated rotation (policy item (b)): every query whose
-        # latest driver row is CORRECTNESS_r03
-        "span_summary": span_summary,
-        "extract_linked_markdown": extract_linked_markdown,
-        "outlinks": outlinks,
-        "format_distribution": format_distribution,
-        "host_stats": host_stats,
-        "host_quota_sample": host_quota_sample,
-        "windowed_event_counts": relational.windowed_event_counts,
-        "sessionize_events": relational.sessionize_events,
-        "json_props_rollup": relational.json_props_rollup,
-        "dedup_exact": dedup.dedup_exact,
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-        "incremental_dedup": dedup.incremental_dedup,
-        "minhash_signatures": dedup.minhash_signatures,
-        "simhash": dedup.simhash,
-        "ngram_jaccard": dedup.ngram_jaccard,
-        "token_counts": text_stats.token_counts,
-        "quality_scores": text_stats.quality_scores,
-        "quality_model_score": text_stats.quality_model_score,
-        "token_length_hist": text_stats.token_length_hist,
-        "retention_report": text_stats.retention_report,
-        "tfidf_topterms": text_stats.tfidf_topterms,
-        "lang_id": text_stats.lang_id,
-        "fingerprints": text_stats.fingerprints,
-        "cosine_topk": similarity.cosine_topk,
-        "ann_lsh": similarity.ann_lsh,
-        "ann_ivf": similarity.ann_ivf,
+        "extract_pdf_markdown": extract_pdf_markdown,      # r6: V5/AES-256 corpus slice
+        "span_pdf_detail": span_pdf_detail,                # r6: same corpus
+        "extract_docx_markdown": extract_docx_markdown,    # r6: rich image path
+        "error_taxonomy": error_taxonomy,                  # r6: dispatcher touched
+        "extract_embedded_images": extract_embedded_images,  # new r6
+        "substring_dedup": dedup.substring_dedup,          # new r6
+        "ann_ivf_trained": similarity.ann_ivf_trained,     # r6: shared-training memo
+        "semdedup": similarity.semdedup,                   # r6: shared-training memo
+        # r4-last-gated rotation (policy item (b)): every query whose
+        # latest driver row is CORRECTNESS_r04
+        "extract_adoc_markdown": extract_adoc_markdown,
+        "extract_pptx_markdown": extract_pptx_markdown,
+        "pii_scrub": pii.pii_scrub,
+        "host_link_graph": host_link_graph,
+        "host_pagerank": host_pagerank,
+        "extract_quality_pipeline": extract_quality_pipeline,
+        "head_meta": head_meta,
+        "content_density": content_density,
+        "extract_scanned_markdown": extract_scanned_markdown,
+        "extract_warc_markdown": extract_warc_markdown,
+        "sitemap_urls": sitemap_urls,
+        "crawl_snapshot_diff": webtext.crawl_snapshot_diff,
+        "fetch_schedule": webtext.fetch_schedule,
+        "dedup_window_latest": relational.latest_event_per_user,
+        "resume_anti_join": relational.resume_anti_join,
+        "metrics_rollup": relational.metrics_rollup,
+        "passage_dedup": dedup.passage_dedup,
+        "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
+        "media_metadata": multimodal.media_metadata,
+        "image_features": multimodal.image_features,
+        "image_metadata": multimodal.image_metadata,
+        "repetition_scores": webtext.repetition_scores,
+        "url_canonical_dedup": webtext.url_canonical_dedup,
+        "contamination_flags": webtext.contamination_flags,
+        "dataset_split": webtext.dataset_split,
+        "lm_scores": webtext.lm_scores,
+        "bpe_vocab": bpe.bpe_vocab,
+        "bpe_segment_counts": bpe.bpe_segment_counts,
+        "stratified_sample": webtext.stratified_sample,
+        "normalize_text": webtext.normalize_text,
+        "robots_filter": webtext.robots_filter,
         # high-value composite re-gates (policy item (c))
-        "extract_docx_markdown": extract_docx_markdown,
         "extract_images": extract_images,
-        "span_detail": span_detail,
-        "extract_rich_markdown": extract_rich_markdown,
-        "anchor_text_rollup": anchor_text_rollup,
-        "error_taxonomy": error_taxonomy,
         "crawl_curation": crawl_curation,
+        "streaming_curation": streaming_curation,
+        "streaming_dedup": streaming_dedup,
+        "compact_roundtrip": compact_roundtrip,
+        "sequence_packing": webtext.sequence_packing,
         "dedup_near_pipeline": dedup.dedup_near_pipeline,
-        "quality_filter": text_stats.quality_filter,
         "quality_filter_neardup": text_stats.quality_filter_neardup,
-        "ann_ivf_trained": similarity.ann_ivf_trained,
-        "ann_recall_report": similarity.ann_recall_report,
-        "bpe_train": bpe.bpe_train,
-        # corpus-composition report (new r5): per-domain token shares
-        # + uniform-rebalance sampling weights, integer-exact ppm
-        "domain_mixture": webtext.domain_mixture,
-        # DSIR importance weights (new r5): hashed-ngram target-vs-raw
-        # log-likelihood-ratio scores, integer-micro exact
         "dsir_importance": webtext.dsir_importance,
-        # SemDeDup (new r5): cluster-bounded semantic dedup over the
-        # trained k-means cells, low-centroid-similarity keep rule
-        "semdedup": similarity.semdedup,
-        # A12 beyond HTML (new r6): images embedded in PDF (Flate+DCT
-        # XObjects) and DOCX (a:blip) containers
-        "extract_embedded_images": extract_embedded_images,
-        # exact-substring dedup (new r6): Lee et al. 2021 re-shaped as
-        # a stride-1 K-token window + one keyed window function
-        "substring_dedup": dedup.substring_dedup,
-        # ---- past the driver window (slots 51+): all r4-driver-green
-        # (CORRECTNESS_r04 50/50), code unchanged since; due back r6 ----
-        "extract_adoc_markdown": extract_adoc_markdown,    # out r5 (r4-green)
-        "extract_pptx_markdown": extract_pptx_markdown,    # out r5 (r4-green)
-        "pii_scrub": pii.pii_scrub,                        # out r5 (r4-green)
-        "host_link_graph": host_link_graph,                # out r5 (r4-green)
-        "host_pagerank": host_pagerank,                    # out r5 (r4-green)
-        "extract_quality_pipeline": extract_quality_pipeline,  # out r5 (r4-green)
-        "head_meta": head_meta,                            # out r5 (r4-green)
-        "content_density": content_density,                # out r5 (r4-green)
-        "extract_scanned_markdown": extract_scanned_markdown,  # out r5 (r4-green)
-        "extract_warc_markdown": extract_warc_markdown,    # out r5 (r4-green)
-        "sitemap_urls": sitemap_urls,                      # out r5 (r4-green)
-        "crawl_snapshot_diff": webtext.crawl_snapshot_diff,  # out r5 (r4-green)
-        "fetch_schedule": webtext.fetch_schedule,          # out r5 (r4-green)
-        "dedup_window_latest": relational.latest_event_per_user,  # out r5 (r4-green)
-        "resume_anti_join": relational.resume_anti_join,   # out r5 (r4-green)
-        "metrics_rollup": relational.metrics_rollup,       # out r5 (r4-green)
-        "passage_dedup": dedup.passage_dedup,              # out r5 (r4-green)
-        "dedup_embedding_cosine": similarity.dedup_embedding_cosine,  # out r5 (r4-green)
-        "media_metadata": multimodal.media_metadata,       # out r5 (r4-green)
-        "image_features": multimodal.image_features,       # out r5 (r4-green)
-        "image_metadata": multimodal.image_metadata,       # out r5 (r4-green)
-        "repetition_scores": webtext.repetition_scores,    # out r5 (r4-green)
-        "url_canonical_dedup": webtext.url_canonical_dedup,  # out r5 (r4-green)
-        "contamination_flags": webtext.contamination_flags,  # out r5 (r4-green)
-        "dataset_split": webtext.dataset_split,            # out r5 (r4-green)
-        "lm_scores": webtext.lm_scores,                    # out r5 (r4-green)
-        "bpe_vocab": bpe.bpe_vocab,                        # out r5 (r4-green)
-        "bpe_segment_counts": bpe.bpe_segment_counts,      # out r5 (r4-green)
-        "stratified_sample": webtext.stratified_sample,    # out r5 (r4-green)
-        "normalize_text": webtext.normalize_text,          # out r5 (r4-green)
-        "robots_filter": webtext.robots_filter,            # out r5 (r4-green)
+        "domain_mixture": webtext.domain_mixture,
+        # ---- past the driver window (slots 51+): all r5-driver-green
+        # (CORRECTNESS_r05 50/50), code unchanged this round; due back r7 ----
+        "extract_charset_markdown": extract_charset_markdown,  # out r6 (r5-green)
+        "span_summary": span_summary,                      # out r6 (r5-green)
+        "extract_linked_markdown": extract_linked_markdown,  # out r6 (r5-green)
+        "outlinks": outlinks,                              # out r6 (r5-green)
+        "format_distribution": format_distribution,        # out r6 (r5-green)
+        "host_stats": host_stats,                          # out r6 (r5-green)
+        "host_quota_sample": host_quota_sample,            # out r6 (r5-green)
+        "windowed_event_counts": relational.windowed_event_counts,  # out r6 (r5-green)
+        "sessionize_events": relational.sessionize_events,  # out r6 (r5-green)
+        "json_props_rollup": relational.json_props_rollup,  # out r6 (r5-green)
+        "dedup_exact": dedup.dedup_exact,                  # out r6 (r5-green)
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,      # out r6 (r5-green)
+        "incremental_dedup": dedup.incremental_dedup,      # out r6 (r5-green)
+        "minhash_signatures": dedup.minhash_signatures,    # out r6 (r5-green)
+        "simhash": dedup.simhash,                          # out r6 (r5-green)
+        "ngram_jaccard": dedup.ngram_jaccard,              # out r6 (r5-green)
+        "token_counts": text_stats.token_counts,           # out r6 (r5-green)
+        "quality_scores": text_stats.quality_scores,       # out r6 (r5-green)
+        "quality_model_score": text_stats.quality_model_score,  # out r6 (r5-green)
+        "token_length_hist": text_stats.token_length_hist,  # out r6 (r5-green)
+        "retention_report": text_stats.retention_report,   # out r6 (r5-green)
+        "tfidf_topterms": text_stats.tfidf_topterms,       # out r6 (r5-green)
+        "lang_id": text_stats.lang_id,                     # out r6 (r5-green)
+        "fingerprints": text_stats.fingerprints,           # out r6 (r5-green)
+        "cosine_topk": similarity.cosine_topk,             # out r6 (r5-green)
+        "ann_lsh": similarity.ann_lsh,                     # out r6 (r5-green)
+        "ann_ivf": similarity.ann_ivf,                     # out r6 (r5-green)
+        "extract_rich_markdown": extract_rich_markdown,    # out r6 (r5-green)
+        "span_detail": span_detail,                        # out r6 (r5-green)
+        "anchor_text_rollup": anchor_text_rollup,          # out r6 (r5-green)
+        "quality_filter": text_stats.quality_filter,       # out r6 (r5-green)
+        "ann_recall_report": similarity.ann_recall_report,  # out r6 (r5-green)
+        "bpe_train": bpe.bpe_train,                        # out r6 (r5-green)
     }
 
 

@@ -387,9 +387,16 @@ def pages_broken(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 8 (r5 notch 8): RC4-encrypted PDF with a REAL (non-empty) user
       password — /U verification fails → ``pdf_unsupported_feature``
       (empty-password encrypted files EXTRACT; see with_fixture_pdfs)
+    - 9 (r6 notch 11b): V5/AESV3 (AES-256, R6) PDF with a REAL user
+      password — the Algorithm-2.A hash check fails
+                                      → ``pdf_unsupported_feature``
+    - 10 (r6 notch 11b): V5/AESV3 empty-password PDF whose /Perms
+      block is TAMPERED — the 'adb' seal fails after a successful
+      password check, so the reader refuses rather than trusting a
+      corrupt permissions record → ``pdf_unsupported_feature``
 
-    (6/7/8 share class 3's error CODE but break in the r5 grammar's
-    new decode paths — the gate proves those paths fail TYPED through
+    (6-10 share class 3's error CODE but break in distinct grammar
+    decode paths — the gate proves those paths fail TYPED through
     the full Spark pipeline, never raise, never emit mojibake rows.)
 
     mapInPandas (corpus materialization; the zip/PNG writers are
@@ -434,6 +441,20 @@ def pages_broken(spark: SparkSession, sf_dir: str) -> DataFrame:
           (72.0, 690.0, 11.0, ["secret body"])]],
         compress=True, encrypt_r=3, encrypt_user_pwd=b"hunter2")
     assert b"/Encrypt" in _PDF_LOCKED
+    # class 9: V5/AESV3 (AES-256 R6) with a real user password
+    _PDF_V5_LOCKED = write_pdf(
+        [[(72.0, 730.0, 24.0, ["Locked5"]),
+          (72.0, 690.0, 11.0, ["secret body"])]],
+        compress=True, encrypt_r=6, encrypt_user_pwd=b"hunter2")
+    assert b"/CFM /AESV3" in _PDF_V5_LOCKED
+    # class 10: V5/AESV3 empty-password but /Perms tampered — seal fails
+    import re as _re
+    _PDF_V5_BADPERMS = _re.sub(
+        rb"/Perms <[0-9a-f]{8}", b"/Perms <deadbeef",
+        write_pdf([[(72.0, 730.0, 24.0, ["Sealed"]),
+                    (72.0, 690.0, 11.0, ["perms probe"])]],
+                  compress=True, encrypt_r=6))
+    assert b"<deadbeef" in _PDF_V5_BADPERMS
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     def render(batches):
@@ -443,7 +464,7 @@ def pages_broken(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, t, lg in zip(pdf["doc_id"].tolist(),
                                 pdf["text"].tolist(),
                                 pdf["lang"].tolist()):
-                cls = i % 9
+                cls = i % 11
                 t = t or ""
                 if cls == 0:
                     ext, body = ".html", (
@@ -465,8 +486,12 @@ def pages_broken(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ext, body = ".pdf", _PDF_OBJSTM_BAD
                 elif cls == 7:
                     ext, body = ".pdf", _PDF_CID_BAD
-                else:
+                elif cls == 8:
                     ext, body = ".pdf", _PDF_LOCKED
+                elif cls == 9:
+                    ext, body = ".pdf", _PDF_V5_LOCKED
+                else:
+                    ext, body = ".pdf", _PDF_V5_BADPERMS
                 rows["url"].append(
                     f"https://site{i % 97}.example/doc/{i}{ext}")
                 rows["warc_ts"].append(pd.Timestamp(
