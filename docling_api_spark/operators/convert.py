@@ -32,7 +32,7 @@ from ..config import ExtractConfig
 from ..functions.sniffer import detect_format
 from .html_extract import extract_html
 from .md_adoc import asciidoc_to_markdown, block_spans, normalize_markdown
-from .ooxml import extract_docx_rich, extract_pptx
+from .ooxml import extract_docx_rich, extract_pptx_rich
 from .pdf_extract import PdfUnsupported, extract_pdf_rich
 
 
@@ -121,7 +121,7 @@ def convert_one(content, url: str, cfg: ExtractConfig) -> dict:
         elif fmt == "docx":
             out["markdown"], out["images"] = extract_docx_rich(content)
         elif fmt == "pptx":
-            out["markdown"] = extract_pptx(content)
+            out["markdown"], out["images"] = extract_pptx_rich(content)
         elif fmt == "image":
             # Machine-rendered text rasters are OCR'd for real by the
             # from-scratch template matcher (operators/ocr.py — the

@@ -195,8 +195,31 @@ def _slide_no(name: str) -> int:
     return int(m.group(1)) if m else 0
 
 
-def extract_pptx(content: bytes) -> str:
-    """May raise — caller wraps into the per-doc error channel (A14)."""
+def _pptx_rels(zf: zipfile.ZipFile, slide_name: str) -> dict[str, str]:
+    """ppt/slides/_rels/slideN.xml.rels → {rId: target} (empty if
+    absent)."""
+    rels_name = (slide_name.rsplit("/", 1)[0] + "/_rels/"
+                 + slide_name.rsplit("/", 1)[1] + ".rels")
+    try:
+        xml = zf.read(rels_name)
+    except KeyError:
+        return {}
+    out = {}
+    for rel in ET.fromstring(xml).iter(_REL_PKG + "Relationship"):
+        rid, target = rel.get("Id"), rel.get("Target")
+        if rid and target:
+            out[rid] = target
+    return out
+
+
+def extract_pptx_rich(content: bytes) -> tuple[str, list]:
+    """PPTX → (markdown, images manifest). May raise — caller wraps
+    into the per-doc error channel (A14).
+
+    Images (r6 — A12 on the PPTX path): ``p:pic`` → ``a:blip r:embed``
+    shapes resolve through each slide's rels to their ``ppt/media``
+    parts; same picture-N.png manifest + first-remaining-placeholder
+    rewrite as the HTML/PDF/DOCX paths."""
     with zipfile.ZipFile(io.BytesIO(content)) as zf:
         slides = sorted(
             (n for n in zf.namelist()
@@ -204,27 +227,61 @@ def extract_pptx(content: bytes) -> str:
             key=_slide_no,
         )
         blocks: list[str] = []
+        pictures: list[bytes] = []
         for name in slides:
             root = ET.fromstring(zf.read(name))
-            for sp in root.iter(P + "sp"):
-                # placeholder type: title vs body
-                ph = sp.find(".//" + P + "nvSpPr/" + P + "nvPr/" + P + "ph")
-                is_title = ph is not None and ph.get("type", "") in ("title", "ctrTitle")
-                txbody = sp.find(P + "txBody")
-                if txbody is None:
-                    continue
-                bullets: list[str] = []
-                for para in txbody.findall(A + "p"):
-                    text = "".join(
-                        (t.text or "") for t in para.iter(A + "t")).strip()
-                    if not text:
-                        continue
-                    if is_title:
-                        blocks.append("## " + text)
-                    else:
-                        ppr = para.find(A + "pPr")
-                        lvl = int(ppr.get("lvl", "0")) if ppr is not None else 0
-                        bullets.append("  " * lvl + "- " + text)
-                if bullets:
-                    blocks.append("\n".join(bullets))
-    return "\n\n".join(blocks)
+            rels = None
+            for el in root.iter():
+                if el.tag == P + "sp":
+                    _pptx_shape_blocks(el, blocks)
+                elif el.tag == P + "pic":
+                    for blip in el.iter(A + "blip"):
+                        if rels is None:
+                            rels = _pptx_rels(zf, name)
+                        target = rels.get(blip.get(R + "embed", ""))
+                        if target is None:
+                            raise ValueError("unresolved image rel")
+                        # slide rels targets are ../media/imageN.png
+                        part = "ppt/" + target.replace("../", "")
+                        pictures.append(zf.read(part))
+                        blocks.append("<!-- image -->")
+    images: list[dict] = []
+    for n, png in enumerate(pictures, 1):
+        import base64
+        fname = f"picture-{n}.png"
+        images.append({"type": "picture", "filename": fname,
+                       "image": base64.b64encode(png).decode("ascii")})
+        for i, b in enumerate(blocks):
+            if "<!-- image -->" in b:
+                blocks[i] = b.replace("<!-- image -->", fname, 1)
+                break
+    return "\n\n".join(blocks), images
+
+
+def _pptx_shape_blocks(sp, blocks: list[str]) -> None:
+    # placeholder type: title vs body
+    ph = sp.find(".//" + P + "nvSpPr/" + P + "nvPr/" + P + "ph")
+    is_title = ph is not None and ph.get("type", "") in ("title",
+                                                         "ctrTitle")
+    txbody = sp.find(P + "txBody")
+    if txbody is None:
+        return
+    bullets: list[str] = []
+    for para in txbody.findall(A + "p"):
+        text = "".join(
+            (t.text or "") for t in para.iter(A + "t")).strip()
+        if not text:
+            continue
+        if is_title:
+            blocks.append("## " + text)
+        else:
+            ppr = para.find(A + "pPr")
+            lvl = int(ppr.get("lvl", "0")) if ppr is not None else 0
+            bullets.append("  " * lvl + "- " + text)
+    if bullets:
+        blocks.append("\n".join(bullets))
+
+
+def extract_pptx(content: bytes) -> str:
+    """PPTX → Markdown (text view of :func:`extract_pptx_rich`)."""
+    return extract_pptx_rich(content)[0]

@@ -146,17 +146,57 @@ def _p_shape(ph_type: str, paras: list[tuple[int, str]]) -> str:
             f"</p:nvSpPr><p:txBody>{''.join(parts)}</p:txBody></p:sp>")
 
 
-def write_pptx(slides: list[tuple[str, list[tuple[int, str]]]]) -> bytes:
+def write_pptx(slides: list[tuple[str, list[tuple[int, str]]]],
+               images: list[list[bytes]] | None = None) -> bytes:
     """Minimal-but-real PPTX: per slide a title placeholder shape and a
     body shape of (indent-level, text) bullets — the constructs
-    ``extract_pptx`` maps to '##' headings and '-' bullets."""
+    ``extract_pptx`` maps to '##' headings and '-' bullets.
+
+    ``images`` (r6 — A12 on the PPTX path): per-slide lists of PNG
+    bytes; each becomes a ``ppt/media/imageN.png`` part, a slide-rels
+    image relationship, and a ``p:pic`` → ``p:blipFill`` →
+    ``a:blip r:embed`` shape after the body — the wire shape
+    python-pptx and PowerPoint emit."""
     entries = [("[Content_Types].xml", _CONTENT_TYPES),
                ("ppt/presentation.xml",
                 f'<?xml version="1.0"?><p:presentation xmlns:p="{_P_NS}"/>')]
+    media: list[tuple[str, bytes]] = []
+    img_no = 0
     for n, (title, bullets) in enumerate(slides, start=1):
         shapes = _p_shape("title", [(0, title)]) + _p_shape("body", bullets)
+        slide_imgs = (images[n - 1]
+                      if images and n - 1 < len(images) else [])
+        rels = []
+        for k, png in enumerate(slide_imgs, start=1):
+            img_no += 1
+            rid = f"rId{k}"
+            rels.append(
+                f'<Relationship Id="{rid}" Type="{_REL_IMG_TYPE}" '
+                f'Target="../media/image{img_no}.png"/>')
+            media.append((f"ppt/media/image{img_no}.png", png))
+            shapes += (f"<p:pic><p:blipFill>"
+                       f'<a:blip r:embed="{rid}"/>'
+                       f"</p:blipFill></p:pic>")
+        rns = (f' xmlns:r="{_R_NS}"' if slide_imgs else "")
         xml = (f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-               f'<p:sld xmlns:p="{_P_NS}" xmlns:a="{_A_NS}">'
+               f'<p:sld xmlns:p="{_P_NS}" xmlns:a="{_A_NS}"{rns}>'
                f"<p:cSld><p:spTree>{shapes}</p:spTree></p:cSld></p:sld>")
         entries.append((f"ppt/slides/slide{n}.xml", xml))
-    return _zip_bytes(entries)
+        if rels:
+            entries.append((
+                f"ppt/slides/_rels/slide{n}.xml.rels",
+                f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                f'<Relationships xmlns="{_REL_PKG_NS}">{"".join(rels)}'
+                f"</Relationships>"))
+    out = _zip_bytes(entries)
+    if media:
+        import io
+        import zipfile
+        buf = io.BytesIO(out)
+        with zipfile.ZipFile(buf, "a", zipfile.ZIP_DEFLATED) as zf:
+            for name, data in media:
+                zi = zipfile.ZipInfo(name)
+                zi.compress_type = zipfile.ZIP_DEFLATED
+                zf.writestr(zi, data)
+        out = buf.getvalue()
+    return out

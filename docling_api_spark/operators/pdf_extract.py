@@ -703,8 +703,12 @@ def _tokenize(stream: bytes):
             i = j
 
 
+_MAX_FORM_DEPTH = 8
+
+
 def _extract_items(stream: bytes, page_no: int,
-                   decode=None, xobjects=None) -> list[tuple]:
+                   decode=None, xobjects=None,
+                   form_depth: int = 0) -> list[tuple]:
     """→ [(page, x, y, size, payload)] where payload is text or a
     :class:`_PdfImage`; ``decode`` maps string-operand bytes to text
     per the page font's /Encoding (default latin-1); ``xobjects``
@@ -742,12 +746,24 @@ def _extract_items(stream: bytes, page_no: int,
                     ctm = (nums[0], nums[3], nums[4], nums[5])
         elif op == b"Do":
             if xobjects is not None and stack and stack[-1][0] == "name":
-                img = xobjects(stack[-1][1])
-                if img is not None:
+                xo = xobjects(stack[-1][1])
+                if isinstance(xo, _PdfImage):
                     a, d, e, f = ctm
                     # top of the painted rect: cm translate is the
                     # BOTTOM-left, height = the d scale
-                    items.append((page_no, e, f + d, 0.0, img))
+                    items.append((page_no, e, f + d, 0.0, xo))
+                elif isinstance(xo, _PdfForm):
+                    # r6: recurse into the form's content stream and
+                    # offset its items by the paint translate — the
+                    # letterhead pattern; a reader that ignores Form
+                    # XObjects silently LOSES this text
+                    if form_depth >= _MAX_FORM_DEPTH:
+                        raise PdfUnsupported("form nesting too deep")
+                    a, d, e, f = ctm
+                    for (pg, ix, iy, isz, payload) in _extract_items(
+                            xo.stream, page_no, decode, xobjects,
+                            form_depth + 1):
+                        items.append((pg, ix + e, iy + f, isz, payload))
         elif op == b"BT":
             in_text = True
             x = y = lx = ly = 0.0
@@ -1105,26 +1121,57 @@ def _decode_image_xobject(body: bytes) -> _PdfImage:
     return _PdfImage(w, h, px[:w * h])
 
 
+class _PdfForm:
+    """A /Subtype /Form XObject (r6): a reusable content stream painted
+    by ``Do`` — the letterhead/generated-content pattern. The reader
+    recursively extracts its text/images and offsets them by the
+    painting ``cm`` translate (the scoped grammar paints forms with
+    translate-only matrices; a scaling paint would distort the y-gap
+    block segmentation and scopes out via the grammar's own shape)."""
+
+    __slots__ = ("stream",)
+
+    def __init__(self, stream: bytes):
+        self.stream = stream
+
+
 def _xobject_resolver(objs: dict[int, bytes], page_body: bytes):
-    """→ callable(name bytes) → _PdfImage | None (None = the name is
-    not an image XObject reference on this page). Decoding is lazy and
-    memoized per object id — a logo painted on every page decodes
-    once."""
+    """→ callable(name bytes) → _PdfImage | _PdfForm | None (None =
+    the name is not an XObject reference on this page). Decoding is
+    lazy and memoized per object id — a logo painted on every page
+    decodes once."""
     refs: dict[bytes, int] = {}
     for m in _XOBJ_DICT_RX.finditer(page_body):
         for name, ref in _REF_RX.findall(m.group(1)):
             refs[name] = int(ref)
-    cache: dict[int, _PdfImage] = {}
+    cache: dict[int, object] = {}
 
-    def resolve(name: bytes) -> _PdfImage | None:
+    def resolve(name: bytes):
         oid = refs.get(name)
         if oid is None:
             return None
         if oid not in cache:
             body = objs.get(oid, b"")
-            if b"/Subtype" not in body or b"/Image" not in body:
-                return None    # form XObjects etc. — not an image
-            cache[oid] = _decode_image_xobject(body)
+            if b"/Subtype" in body and b"/Image" in body:
+                cache[oid] = _decode_image_xobject(body)
+            elif b"/Subtype" in body and b"/Form" in body:
+                s = _stream_of(body)
+                if s is None:
+                    raise PdfUnsupported("form xobject without stream")
+                sm = _STREAM_START_RX.search(body)
+                head = body[:sm.start()] if sm else body
+                # a non-identity /Matrix composes with the paint cm —
+                # out of the translate-only grammar, typed
+                mm = re.search(rb"/Matrix\s*\[\s*([-\d.]+)\s+([-\d.]+)"
+                               rb"\s+([-\d.]+)\s+([-\d.]+)", head)
+                if mm is not None and (mm.group(1) != b"1"
+                                       or mm.group(2) != b"0"
+                                       or mm.group(3) != b"0"
+                                       or mm.group(4) != b"1"):
+                    raise PdfUnsupported("form /Matrix unsupported")
+                cache[oid] = _PdfForm(s)
+            else:
+                return None
         return cache[oid]
 
     return resolve

@@ -491,7 +491,8 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
               stream_filter: str | None = None,
               encrypt_r: int | None = None,
               encrypt_user_pwd: bytes = b"",
-              images: list[list[tuple]] | None = None) -> bytes:
+              images: list[list[tuple]] | None = None,
+              forms: list[list[tuple]] | None = None) -> bytes:
     """pages = list of pages; each page a list of (x, y, size, lines)
     blocks. ``xref_stream=True`` (r5) emits the PDF 1.5 layout real
     Common-Crawl PDFs near-universally use: all dict-only objects
@@ -531,15 +532,20 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
     — the standard raster-painting idiom, so the reader's ``cm``/``Do``
     tracking is exercised at the real wire shape. Classic and
     xref-stream layouts only (the tree/split layouts keep their own
-    numbering)."""
+    numbering).
+
+    ``forms`` (r6) — per-page lists of ``(x, y, blocks)``: each
+    becomes a ``/Subtype /Form`` XObject whose content is
+    :func:`content_stream` over ``blocks`` (identity /Matrix, page
+    BBox), painted by ``q 1 0 0 1 x y cm /FmN Do Q`` — the
+    letterhead/generated-content pattern where page TEXT lives inside
+    a reusable XObject. Same layout restriction as ``images``."""
     if split_contents > 1 or nested_kids:
-        if images:
-            raise ValueError("images not supported with the tree/"
-                             "split layouts (own object numbering)")
         return _write_pdf_tree(pages, compress, xref_stream,
                                font_encoding, split_contents,
                                nested_kids, stream_filter,
-                               encrypt_r, encrypt_user_pwd)
+                               encrypt_r, encrypt_user_pwd,
+                               images, forms)
     encode = _text_encoder(font_encoding)
     n_pages = len(pages)
     kind = (font_encoding[0]
@@ -580,6 +586,7 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
         page_id = first_page_id + 2 * i
         content_id = page_id + 1
         page_imgs = (images[i] if images and i < len(images) else [])
+        page_forms = (forms[i] if forms and i < len(forms) else [])
         xobj_res = ""
         img_ops = b""
         for k, (ix, iy_top, pw, ph, pixels, codec) in enumerate(page_imgs):
@@ -590,6 +597,20 @@ def write_pdf(pages: list[list[tuple[float, float, float, list[str]]]],
             xobj_res += f"/Im{k + 1} {img_id} 0 R "
             img_ops += (f"\nq {pw:g} 0 0 {ph:g} {ix:g} "
                         f"{iy_top - ph:g} cm /Im{k + 1} Do Q"
+                        ).encode("latin-1")
+        for k, (fx, fy, fblocks) in enumerate(page_forms):
+            form_id = next_img_id
+            next_img_id += 1
+            fcs = content_stream(fblocks, encode=encode,
+                                 hex_strings=tounicode is not None)
+            fhead, fdata = _encode_stream(fcs, compress)
+            fdict = (b"<< /Type /XObject /Subtype /Form "
+                     b"/BBox [0 0 612 792] /Matrix [1 0 0 1 0 0] "
+                     + fhead[2:])  # reuse the /Length(+/Filter) tail
+            stream_objs.append(
+                (form_id, fdict + b"\nstream\n" + fdata + b"\nendstream"))
+            xobj_res += f"/Fm{k + 1} {form_id} 0 R "
+            img_ops += (f"\nq 1 0 0 1 {fx:g} {fy:g} cm /Fm{k + 1} Do Q"
                         ).encode("latin-1")
         res = "/Resources << /Font << /F1 3 0 R >> "
         if xobj_res:
@@ -622,14 +643,21 @@ def _write_pdf_tree(pages, compress: bool, xref_stream: bool,
                     nested_kids: bool,
                     stream_filter: str | None = None,
                     encrypt_r: int | None = None,
-                    encrypt_user_pwd: bytes = b"") -> bytes:
+                    encrypt_user_pwd: bytes = b"",
+                    images: list[list[tuple]] | None = None,
+                    forms: list[list[tuple]] | None = None) -> bytes:
     """The ``split_contents``/``nested_kids`` layout of
     :func:`write_pdf` (r5 notch 6). Own object numbering: 1 catalog,
     2 root /Pages, 3 font, [4,5 intermediate /Pages when nested],
-    then per page the leaf dict + its k content streams, then the
-    optional ToUnicode CMap and CID descendant. When nested,
-    ``/Resources`` lives ONLY on the root node (§7.7.3.4 inheritance —
-    leaf pages carry none, so a non-inheriting reader finds no /F1)."""
+    then per page the leaf dict + [its image/form XObjects, r6] + its
+    k content streams, then the optional ToUnicode CMap and CID
+    descendant. When nested, ``/Resources`` lives ONLY on the root
+    node (§7.7.3.4 inheritance — leaf pages carry none, so a
+    non-inheriting reader finds no /F1); the nested layout rejects
+    ``images``/``forms`` (per-page /XObject resources would override
+    inheritance wholesale)."""
+    if nested_kids and (images or forms):
+        raise ValueError("images/forms not supported with nested_kids")
     encode = _text_encoder(font_encoding)
     n_pages = len(pages)
     kind = (font_encoding[0]
@@ -642,16 +670,42 @@ def _write_pdf_tree(pages, compress: bool, xref_stream: bool,
     node_ids = [4, 5] if nested else []
     page_ids: list[int] = []
     page_chunks: list[tuple[list[int], list[bytes]]] = []
-    for p in pages:
+    page_xres: list[str] = []
+    xobj_objs: list[tuple[int, bytes]] = []
+    for i, p in enumerate(pages):
         pid = next_id
         next_id += 1
         cs = content_stream(p, encode=encode,
                             hex_strings=tounicode is not None)
+        xres = ""
+        for k, (ix, iy_top, pw, ph, pixels, codec) in enumerate(
+                images[i] if images and i < len(images) else []):
+            oid = next_id
+            next_id += 1
+            xobj_objs.append((oid, image_xobject(pw, ph, pixels, codec)))
+            xres += f"/Im{k + 1} {oid} 0 R "
+            cs += (f"\nq {pw:g} 0 0 {ph:g} {ix:g} {iy_top - ph:g} cm "
+                   f"/Im{k + 1} Do Q").encode("latin-1")
+        for k, (fx, fy, fblocks) in enumerate(
+                forms[i] if forms and i < len(forms) else []):
+            oid = next_id
+            next_id += 1
+            fcs = content_stream(fblocks, encode=encode,
+                                 hex_strings=tounicode is not None)
+            fhead, fdata = _encode_stream(fcs, compress)
+            xobj_objs.append(
+                (oid, b"<< /Type /XObject /Subtype /Form "
+                 b"/BBox [0 0 612 792] /Matrix [1 0 0 1 0 0] "
+                 + fhead[2:] + b"\nstream\n" + fdata + b"\nendstream"))
+            xres += f"/Fm{k + 1} {oid} 0 R "
+            cs += (f"\nq 1 0 0 1 {fx:g} {fy:g} cm /Fm{k + 1} Do Q"
+                   ).encode("latin-1")
         chunks = _split_stream(cs, split_contents)
         cids = list(range(next_id, next_id + len(chunks)))
         next_id += len(chunks)
         page_ids.append(pid)
         page_chunks.append((cids, chunks))
+        page_xres.append(xres)
     tounicode_id = descendant_id = None
     if tounicode is not None:
         tounicode_id = next_id
@@ -694,15 +748,21 @@ def _write_pdf_tree(pages, compress: bool, xref_stream: bool,
                 array_form=kind == "tounicode_arr")))
     if descendant_id is not None:
         dict_objs.append((descendant_id, _CID_DESCENDANT))
-    for pid, (cids, chunks) in zip(page_ids, page_chunks):
+    stream_objs.extend(xobj_objs)
+    for pid, (cids, chunks), xres in zip(page_ids, page_chunks,
+                                         page_xres):
         if len(cids) == 1:
             contents = f"/Contents {cids[0]} 0 R"
         else:
             contents = ("/Contents ["
                         + " ".join(f"{c} 0 R" for c in cids) + "]")
+        pres = page_res
+        if xres:
+            pres = ("/Resources << /Font << /F1 3 0 R >> "
+                    f"/XObject << {xres}>> >> ")
         dict_objs.append(
             (pid, (f"<< /Type /Page /Parent {parent_of[pid]} 0 R "
-                   f"/MediaBox [0 0 612 792] {page_res}{contents} >>"
+                   f"/MediaBox [0 0 612 792] {pres}{contents} >>"
                    ).encode("latin-1")))
         for cid, chunk in zip(cids, chunks):
             head, data = _encode_stream(chunk, compress, stream_filter)

@@ -365,13 +365,15 @@ FROM md WHERE doc_id % 5 = 0
 
 
 def extract_embedded_images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 beyond HTML (r6 notch 11a): pictures EMBEDDED in PDF and
-    DOCX containers surface on the same manifest contract as HTML
+    """A12 beyond HTML (r6 notch 11a): pictures EMBEDDED in PDF, DOCX
+    and PPTX containers surface on the same manifest contract as HTML
     ``<img>`` tags (reference ``_process_document_images``,
     service.py:41-66 — docling iterates pictures from ANY format).
-    Even doc_ids are PDFs painting one /FlateDecode and one /DCTDecode
-    (baseline-grayscale JPEG) image XObject; odd doc_ids are DOCX with
-    an inline ``a:blip`` drawing. The gate decodes each base64 payload
+    doc_id%3 picks the container: PDFs paint one /FlateDecode and one
+    /DCTDecode (baseline-grayscale JPEG) image XObject; DOCX carry an
+    inline ``a:blip`` drawing; PPTX a ``p:pic`` slide shape — with
+    extract_images (HTML) this gates all four container formats on
+    one contract. The gate decodes each base64 payload
     — PNG signature + IHDR geometry — and the oracle re-predicts those
     values from the generation rule (pure functions of doc_id); exact
     pixels are golden-tested in pytest."""
@@ -407,9 +409,14 @@ _PDF_EMB_MD = f"""'# Doc ' || CAST(doc_id AS VARCHAR)
     || chr(10) || chr(10) || 'picture-2.png'
     || {_TEXT_BLOCK.format(expr='text')}"""
 
+_PPTX_EMB_MD = f"""'## Doc ' || CAST(doc_id AS VARCHAR)
+    || {_TEXT_BLOCK.format(expr="'- ' || text")}
+    || chr(10) || chr(10) || 'picture-1.png'"""
+
 EXTRACT_EMBEDDED_IMAGES_ORACLE = f"""
-WITH pdfs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
-docxs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
+WITH pdfs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+docxs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+pptxs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2)
 SELECT {_url_sql('.pdf')} AS url, CAST(0 AS INT) AS seq,
        'picture' AS img_type, 'picture-1.png' AS filename,
        TRUE AS png_sig_ok,
@@ -431,6 +438,13 @@ SELECT {_url_sql('.docx')}, CAST(0 AS INT), 'picture', 'picture-1.png',
        CAST(12 + {_PIC_H_H.format(ref="'h' || 'demb-' || CAST(doc_id AS VARCHAR) || '-a'")} AS BIGINT),
        {_DOCX_EMB_MD}
 FROM docxs
+UNION ALL
+SELECT {_url_sql('.pptx')}, CAST(0 AS INT), 'picture', 'picture-1.png',
+       TRUE,
+       CAST(16 + {_PIC_W_H.format(ref="'pemb-' || CAST(doc_id AS VARCHAR) || '-a'")} AS BIGINT),
+       CAST(12 + {_PIC_H_H.format(ref="'h' || 'pemb-' || CAST(doc_id AS VARCHAR) || '-a'")} AS BIGINT),
+       {_PPTX_EMB_MD}
+FROM pptxs
 """
 
 

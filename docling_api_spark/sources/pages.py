@@ -645,7 +645,7 @@ def with_fixture_images(pages: DataFrame, every_mod: int = 6) -> DataFrame:
                 if i % 10 != every_mod:
                     continue
                 w, h = 16 + i % 64, 16 + i % 32
-                if i % 2 == 0:
+                if i % 3 == 0:
                     htmls[j] = png_bytes(w, h)
                     ext = ".png"
                 else:
@@ -806,6 +806,19 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                     # bases must).
                     enc_r = ((2, 3, 4, 5, 6)[(i // 13) % 5]
                              if i % 13 == 7 else None)
+                    # r6 form-XObject slice: docs with i%19==11 move
+                    # the h3 'Part' block into a /Subtype /Form
+                    # XObject painted by cm/Do — the letterhead
+                    # pattern; markdown is layout-invariant so the
+                    # oracle is unchanged, and a reader that ignores
+                    # Form XObjects LOSES the h3 and fails the value
+                    # hash. Excluded from nested-tree docs (i%20==14:
+                    # per-page /XObject resources would override the
+                    # §7.7.3.4 inheritance that slice gates).
+                    pdf_forms = None
+                    if i % 19 == 11 and i % 20 != 14:
+                        part_block = doc_pages[0].pop(2)
+                        pdf_forms = [[(0.0, 0.0, [part_block])]]
                     htmls[j] = write_pdf(doc_pages, compress=i % 2 == 0,
                                          xref_stream=i % 3 == 0,
                                          font_encoding=enc,
@@ -813,7 +826,8 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                                              3 if i % 5 in (2, 4) else 1),
                                          nested_kids=i % 20 == 14,
                                          stream_filter=filt,
-                                         encrypt_r=enc_r)
+                                         encrypt_r=enc_r,
+                                         forms=pdf_forms)
                 urls[j] = url[: -len(".html")] + ".pdf"
             out = pdf.copy()
             out["url"] = pd.Series(urls, index=pdf.index)
@@ -831,16 +845,20 @@ def pages_embedded_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond HTML; reference ``_process_document_images``,
     ``service.py:41-66`` surfaces pictures from ANY format):
 
-    - EVEN doc_id → a PDF whose page paints TWO /DeviceGray image
+    - doc_id %3 == 0 → a PDF whose page paints TWO /DeviceGray image
       XObjects between the title and the body text — one /FlateDecode
       (w = 16 + i%13, h = 12 + i%9), one /DCTDecode baseline-grayscale
       JPEG (w = 8 + i%8, h = 8 + i%5) — with layout alternating across
       classic/xref-stream and plain/Flate content coding (markdown and
       manifest are layout-invariant);
-    - ODD doc_id → a DOCX with one inline ``a:blip`` drawing whose
+    - doc_id %3 == 1 → a DOCX with one inline ``a:blip`` drawing whose
       ``word/media`` part is the md5-textured ``picture_png`` for ref
       ``demb-<i>-a`` (dims md5-derived — the SQL oracle re-predicts
-      them via textsql.md5_int).
+      them via textsql.md5_int);
+    - doc_id %3 == 2 → a PPTX whose slide carries a ``p:pic`` →
+      ``a:blip`` shape after the body (ref ``pemb-<i>-a``) — so ALL
+      FOUR container formats (HTML via extract_images, PDF, DOCX,
+      PPTX) are driver-gated on the one A12 manifest contract.
 
     Every dimension above is a pure function of doc_id, so the driver
     oracle value-gates the decoded PNG geometry end to end; exact
@@ -848,7 +866,7 @@ def pages_embedded_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_png)."""
     import pandas as pd
 
-    from ..operators.ooxml_write import write_docx
+    from ..operators.ooxml_write import write_docx, write_pptx
     from ..operators.pdf_write import write_pdf
     from ..operators.png_write import picture_png
 
@@ -860,7 +878,7 @@ def pages_embedded_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(len(pdf)):
                 i = int(pdf["doc_id"].iat[j])
                 text = pdf["text"].iat[j] or ""
-                if i % 2 == 0:
+                if i % 3 == 0:
                     w1, h1 = 16 + i % 13, 12 + i % 9
                     px1 = bytes(((x * 3 + y * 5 + i) % 256)
                                 for y in range(h1) for x in range(w1))
@@ -884,13 +902,18 @@ def pages_embedded_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                         images=[[(72.0, 700.0, w1, h1, px1, "flate"),
                                  (72.0, 640.0, w2, h2, px2, "dct")]]))
                     ext = ".pdf"
-                else:
+                elif i % 3 == 1:
                     payloads.append(write_docx(
                         f"Doc {i}", text,
                         [f"li one {i}", "li two"],
                         [["k", "v"], ["id", str(i)]],
                         images=[picture_png(f"demb-{i}-a")]))
                     ext = ".docx"
+                else:
+                    payloads.append(write_pptx(
+                        [(f"Doc {i}", [(0, text)])],
+                        images=[[picture_png(f"pemb-{i}-a")]]))
+                    ext = ".pptx"
                 urls.append(f"https://site{i % 97}.example/doc/{i}{ext}")
             out = pd.DataFrame({
                 "url": pd.Series(urls, index=pdf.index),

@@ -1495,3 +1495,68 @@ def test_docx_embedded_images_manifest():
             out_zf.writestr(name, data)
     with pytest.raises(ValueError, match="unresolved"):
         extract_docx_rich(buf.getvalue())
+
+
+def test_pptx_embedded_images_manifest():
+    """PPTX p:pic shapes resolve through slide rels to ppt/media parts
+    — same manifest + rewrite contract as HTML/PDF/DOCX; slide order
+    defines picture numbering across slides."""
+    import base64
+
+    from docling_api_spark.operators.ooxml import (extract_pptx,
+                                                   extract_pptx_rich)
+    from docling_api_spark.operators.ooxml_write import write_pptx
+    from docling_api_spark.operators.png_write import picture_png
+    png1, png2 = picture_png("ps1.png"), picture_png("ps2.png")
+    pptx = write_pptx([("Doc 9", [(0, "body point")]),
+                       ("Summary 9", [(0, "p1"), (1, "p2")])],
+                      images=[[png1], [png2]])
+    md, imgs = extract_pptx_rich(pptx)
+    assert [im["filename"] for im in imgs] == ["picture-1.png",
+                                               "picture-2.png"]
+    assert base64.b64decode(imgs[0]["image"]) == png1
+    assert base64.b64decode(imgs[1]["image"]) == png2
+    assert (md.index("## Doc 9") < md.index("picture-1.png")
+            < md.index("## Summary 9") < md.index("picture-2.png"))
+    assert extract_pptx(pptx) == md
+    md0, i0 = extract_pptx_rich(write_pptx([("Doc 9", [(0, "x")])]))
+    assert i0 == [] and "picture" not in md0
+
+
+def test_pdf_form_xobjects():
+    """/Subtype /Form XObjects (r6): text painted through cm/Do is
+    recursively extracted and offset by the paint translate —
+    markdown-identical to the inline-text twin across classic, tree,
+    encrypted and filtered layouts; form-in-form beyond the depth
+    guard and a non-identity /Matrix scope out typed."""
+    import pytest
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         extract_pdf)
+    from docling_api_spark.operators.pdf_write import write_pdf
+    pages = [[(72.0, 730.0, 24.0, ["Doc F"]),
+              (72.0, 620.0, 11.0, ["body para text"])]]
+    expect = extract_pdf(write_pdf(
+        [[(72.0, 730.0, 24.0, ["Doc F"]),
+          (72.0, 655.0, 14.0, ["Part 2"]),
+          (72.0, 620.0, 11.0, ["body para text"])]]))
+    combos = [dict(), dict(compress=True), dict(xref_stream=True),
+              dict(split_contents=3), dict(encrypt_r=4),
+              dict(encrypt_r=6), dict(stream_filter="lzw")]
+    # form-space coords + paint offset must compose
+    for kw in combos:
+        pdf = write_pdf(pages, forms=[[(0.0, 655.0,
+                                        [(72.0, 0.0, 14.0, ["Part 2"])])]],
+                        **kw)
+        assert extract_pdf(pdf) == expect, kw
+    # non-identity /Matrix scopes out typed
+    pdf = write_pdf(pages, forms=[[(0.0, 655.0,
+                                    [(72.0, 0.0, 14.0, ["Part 2"])])]])
+    bad = pdf.replace(b"/Matrix [1 0 0 1 0 0]", b"/Matrix [2 0 0 2 0 0]")
+    assert bad != pdf
+    with pytest.raises(PdfUnsupported, match="Matrix"):
+        extract_pdf(bad)
+    # nested tree + forms is a writer-side error, not silent
+    with pytest.raises(ValueError, match="nested"):
+        write_pdf([pages[0], pages[0]], nested_kids=True,
+                  forms=[[(0.0, 0.0, [(72.0, 655.0, 14.0, ["x"])])]])
