@@ -1094,8 +1094,30 @@ def _decode_image_xobject(body: bytes) -> _PdfImage:
                              "unsupported")
     if b"/DeviceGray" not in head:
         raise PdfUnsupported("non-grayscale image xobject")
-    if b"/DecodeParms" in head or b"/SMask" in head or b"/ImageMask" in head:
-        raise PdfUnsupported("image predictor/mask unsupported")
+    if b"/SMask" in head or b"/ImageMask" in head:
+        raise PdfUnsupported("image mask unsupported")
+    # /DecodeParms (r6): PNG predictors (10-15) and TIFF horizontal
+    # differencing (2) over 8-bit gray — the coding real PDF writers
+    # near-universally apply under /FlateDecode. §7.4.4.4 delegates
+    # the PNG row filters to the PNG spec; /Predictor 15 just means
+    # "per-row adaptive", which the row-tagged unfilter handles by
+    # construction. Other Colors/BPC scope out typed.
+    predictor = 1
+    if b"/DecodeParms" in head:
+        pm = re.search(rb"/Predictor\s+(\d+)", head)
+        predictor = int(pm.group(1)) if pm else 1
+        cm_ = re.search(rb"/Colors\s+(\d+)", head)
+        bm2 = re.search(rb"/BitsPerComponent\s+(\d+)",
+                        head[head.index(b"/DecodeParms"):])
+        if (cm_ is not None and int(cm_.group(1)) != 1) or (
+                bm2 is not None and int(bm2.group(1)) != 8):
+            raise PdfUnsupported("predictor colors/bpc unsupported")
+        colm = re.search(rb"/Columns\s+(\d+)", head)
+        if colm is not None and int(colm.group(1)) != w:
+            raise PdfUnsupported("predictor /Columns disagrees with "
+                                 "/Width")
+        if predictor not in (1, 2) and not 10 <= predictor <= 15:
+            raise PdfUnsupported(f"predictor {predictor} unsupported")
     fm = _FILTER_RX.search(head)
     filt = fm.group(1) if fm is not None else b""
     if b"DCTDecode" in filt:
@@ -1116,6 +1138,19 @@ def _decode_image_xobject(body: bytes) -> _PdfImage:
     px = _stream_of(body)
     if px is None:
         raise PdfUnsupported("image xobject without stream")
+    if predictor >= 10:
+        from .png_write import unfilter_rows
+        try:
+            px = unfilter_rows(px[:(w + 1) * h], w)
+        except ValueError as e:
+            raise PdfUnsupported(f"image predictor: {e}") from e
+    elif predictor == 2:
+        out = bytearray(px[:w * h])
+        for row in range(h):
+            base = row * w
+            for i in range(1, w):
+                out[base + i] = (out[base + i] + out[base + i - 1]) & 0xFF
+        px = bytes(out)
     if len(px) < w * h:
         raise PdfUnsupported("image raster shorter than dimensions")
     return _PdfImage(w, h, px[:w * h])

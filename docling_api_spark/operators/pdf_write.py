@@ -468,9 +468,19 @@ def image_xobject(pw: int, ph: int, pixels: bytes,
     'dct' → /DCTDecode carrying a baseline grayscale JPEG
     (:mod:`.jpeg_codec`) — the two encodings that carry essentially
     all real web-PDF raster content."""
+    parms = ""
     if codec == "flate":
         data = zlib.compress(pixels, 6)
         filt = "/FlateDecode"
+    elif codec == "flate-png":
+        # r6: the /Predictor 15 coding real PDF writers emit — rows
+        # Up-filtered (type 2) before Flate, decoder handles any of
+        # the five row types by construction
+        from .png_write import filter_rows_up
+        data = zlib.compress(filter_rows_up(pixels, pw), 6)
+        filt = "/FlateDecode"
+        parms = (f"/DecodeParms << /Predictor 15 /Colors 1 "
+                 f"/BitsPerComponent 8 /Columns {pw} >> ")
     elif codec == "dct":
         from .jpeg_codec import encode_gray_jpeg
         data = encode_gray_jpeg(pw, ph, pixels)
@@ -479,7 +489,7 @@ def image_xobject(pw: int, ph: int, pixels: bytes,
         raise ValueError(f"unknown image codec {codec!r}")
     head = (f"<< /Type /XObject /Subtype /Image /Width {pw} "
             f"/Height {ph} /ColorSpace /DeviceGray "
-            f"/BitsPerComponent 8 /Filter {filt} "
+            f"/BitsPerComponent 8 /Filter {filt} {parms}"
             f"/Length {len(data)} >>").encode("latin-1")
     return head + b"\nstream\n" + data + b"\nendstream"
 

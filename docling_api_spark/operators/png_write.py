@@ -111,3 +111,61 @@ def table_png(n_rows: int, n_cols: int) -> bytes:
 
 def table_dims(n_rows: int, n_cols: int) -> tuple[int, int]:
     return n_cols * (CELL_W + 1) + 1, n_rows * (CELL_H + 1) + 1
+
+
+def unfilter_rows(raw: bytes, rowbytes: int) -> bytes:
+    """PNG row UN-filtering for 8-bit single-channel data (bpp=1):
+    each stored row = filter-type byte + ``rowbytes`` data bytes;
+    types 0-4 (None/Sub/Up/Average/Paeth) per the PNG spec §6 — also
+    exactly the PDF /DecodeParms PNG-predictor wire format (ISO 32000
+    §7.4.4.4 delegates to PNG). Raises ValueError on a bad type or a
+    short buffer (callers map it typed)."""
+    stride = rowbytes + 1
+    if len(raw) < stride or len(raw) % stride:
+        raise ValueError(f"predictor data not row-aligned "
+                         f"({len(raw)} vs stride {stride})")
+    out = bytearray()
+    prev = bytes(rowbytes)
+    for off in range(0, len(raw), stride):
+        ft = raw[off]
+        row = bytearray(raw[off + 1:off + stride])
+        if ft == 0:
+            pass
+        elif ft == 1:      # Sub
+            for i in range(1, rowbytes):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ft == 2:      # Up
+            for i in range(rowbytes):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:      # Average
+            for i in range(rowbytes):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:      # Paeth
+            for i in range(rowbytes):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (
+                    b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def filter_rows_up(pixels: bytes, rowbytes: int) -> bytes:
+    """The writer half: encode rows with the Up (type 2) filter — what
+    real PDF writers emit under /Predictor 15 for smooth rasters."""
+    out = bytearray()
+    prev = bytes(rowbytes)
+    for off in range(0, len(pixels), rowbytes):
+        row = pixels[off:off + rowbytes]
+        out.append(2)
+        out += bytes((x - p) & 0xFF for x, p in zip(row, prev))
+        prev = row
+    return bytes(out)

@@ -896,10 +896,14 @@ def pages_embedded_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blocks = [(72.0, 730.0, 24.0, [f"Doc {i}"])]
                     if lines:
                         blocks.append((72.0, 560.0, 11.0, lines))
+                    # r6: half the flate images ride the /Predictor 15
+                    # PNG-row coding real writers emit — decode output
+                    # is identical, so the geometry oracle is unchanged
+                    codec1 = "flate-png" if (i // 3) % 2 else "flate"
                     payloads.append(write_pdf(
                         [blocks], compress=i % 4 == 0,
                         xref_stream=i % 6 == 0,
-                        images=[[(72.0, 700.0, w1, h1, px1, "flate"),
+                        images=[[(72.0, 700.0, w1, h1, px1, codec1),
                                  (72.0, 640.0, w2, h2, px2, "dct")]]))
                     ext = ".pdf"
                 elif i % 3 == 1:

@@ -1560,3 +1560,42 @@ def test_pdf_form_xobjects():
     with pytest.raises(ValueError, match="nested"):
         write_pdf([pages[0], pages[0]], nested_kids=True,
                   forms=[[(0.0, 0.0, [(72.0, 655.0, 14.0, ["x"])])]])
+
+
+def test_pdf_image_predictors():
+    """/DecodeParms PNG predictors (10-15) and TIFF horizontal
+    differencing (2) on Flate image XObjects decode to the exact
+    raster; a /Columns that disagrees with /Width scopes out typed
+    (the silent-garble alternative is forbidden)."""
+    import base64
+    import random
+
+    import pytest
+
+    from docling_api_spark.operators.pdf_extract import (PdfUnsupported,
+                                                         extract_pdf_rich)
+    from docling_api_spark.operators.pdf_write import write_pdf
+    from docling_api_spark.operators.png_write import (filter_rows_up,
+                                                       read_png_gray,
+                                                       unfilter_rows)
+    rng = random.Random(9)
+    px = bytes(rng.randrange(256) for _ in range(20 * 12))
+    pages = [[(72.0, 730.0, 24.0, ["Doc P"])]]
+    for kw in (dict(), dict(compress=True), dict(xref_stream=True),
+               dict(encrypt_r=6), dict(split_contents=3)):
+        pdf = write_pdf(pages,
+                        images=[[(72.0, 600.0, 20, 12, px, "flate-png")]],
+                        **kw)
+        assert b"/Predictor 15" in pdf or kw.get("encrypt_r"), kw
+        _, imgs = extract_pdf_rich(pdf)
+        w, h, p = read_png_gray(base64.b64decode(imgs[0]["image"]))
+        assert (w, h, p) == (20, 12, px), kw
+    # all five PNG row-filter types round-trip through the unfilter
+    for w, h in [(1, 1), (7, 3), (16, 12)]:
+        raster = bytes(rng.randrange(256) for _ in range(w * h))
+        assert unfilter_rows(filter_rows_up(raster, w), w) == raster
+    bad = write_pdf(pages,
+                    images=[[(72.0, 600.0, 20, 12, px, "flate-png")]]
+                    ).replace(b"/Columns 20", b"/Columns 19")
+    with pytest.raises(PdfUnsupported, match="Columns"):
+        extract_pdf_rich(bad)
