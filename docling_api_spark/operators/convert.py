@@ -128,9 +128,9 @@ def convert_one(content, url: str, cfg: ExtractConfig) -> dict:
             # easyocr counterpart, service.py:37, within sandbox scope);
             # anything else (photographic scans, other encodings) keeps
             # the explicit failure code rather than garbled output.
-            from .ocr import ocr_png
+            from .ocr import ocr_image
             try:
-                text = ocr_png(content)
+                text = ocr_image(content)
             except ValueError:
                 out["error"] = "ocr_not_supported"
                 return out

@@ -108,6 +108,22 @@ def render_text_png(text: str) -> bytes:
     return write_png_gray(w, h, bytes(px))
 
 
+def ocr_image(data: bytes) -> str:
+    """Container-dispatching OCR (r6): PNG rasters match exactly;
+    JPEG scans (the container real scanners emit) decode through the
+    from-spec baseline codec and are BINARIZED at 128 before grid
+    matching — the fixture rasters are bilevel, so compression
+    ringing (measured ≤ ~30 grey levels) cannot flip a pixel across
+    the threshold. Anything else raises ValueError → the typed
+    ``ocr_not_supported`` row."""
+    if data.startswith(b"\xff\xd8\xff"):
+        from .jpeg_codec import decode_gray_jpeg
+        w, h, px = decode_gray_jpeg(data)
+        px = bytes(0 if v < 128 else 255 for v in px)
+        return _recognize_grid(w, h, px)
+    return ocr_png(data)
+
+
 def ocr_png(data: bytes) -> str:
     """Recognize text from a :func:`render_text_png` raster: verify the
     grid geometry, re-read each cell's bitmap, template-match against
@@ -122,6 +138,10 @@ def ocr_png(data: bytes) -> str:
         # malformed chunk lengths / zlib garbage — same verdict as a
         # structurally foreign PNG: this recognizer cannot read it
         raise ValueError(f"undecodable PNG: {exc}") from exc
+    return _recognize_grid(w, h, px)
+
+
+def _recognize_grid(w: int, h: int, px: bytes) -> str:
     if h < 2 + CELL_H or (h - 2) % CELL_H != 0 \
             or w < 2 + CELL_W or (w - 2) % CELL_W != 0:
         raise ValueError("not a text-raster geometry")

@@ -1537,10 +1537,13 @@ def extract_scanned_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: r4 multi-line OCR: the scan is three raster lines (id / text head /
 #: lang); the recognizer rstrips each decoded line, so the middle line
 #: mirrors that here
+#: r6: odd doc_ids ship as JPEG (OCR'd through the from-spec baseline
+#: decoder + binarize); text is identical, only the extension switches
 EXTRACT_SCANNED_ORACLE = """
 SELECT
   'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/doc/'
-    || CAST(doc_id AS VARCHAR) || '.png' AS url,
+    || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0 THEN '.png' ELSE '.jpg' END AS url,
   'image' AS fmt,
   'scan ' || CAST(doc_id AS VARCHAR) || chr(10)
     || rtrim(substr(text, 1, 40)) || chr(10)

@@ -522,23 +522,35 @@ def pages_with_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel-level OCR)."""
     import pandas as pd
 
+    from ..operators.jpeg_codec import encode_gray_jpeg
     from ..operators.ocr import render_text_png
+    from ..operators.png_write import read_png_gray
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def raster(i, t, lg):
+        # r6: odd doc_ids ship as baseline-grayscale JPEG (the
+        # container real scanners emit), even as PNG — text identical,
+        # so the oracle only switches the extension
+        png = render_text_png(f"scan {i}\n" + (t or "")[:40]
+                              + f"\nlang {lg}")
+        if i % 2 == 0:
+            return ".png", png
+        return ".jpg", encode_gray_jpeg(*read_png_gray(png))
 
     def render(batches):
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
             texts = pdf["text"].tolist()
             langs = pdf["lang"].tolist()
+            pairs = [raster(i, t, lg)
+                     for i, t, lg in zip(ids, texts, langs)]
             yield pd.DataFrame({
-                "url": [f"https://site{i % 97}.example/doc/{i}.png"
-                        for i in ids],
+                "url": [f"https://site{i % 97}.example/doc/{i}{ext}"
+                        for i, (ext, _) in zip(ids, pairs)],
                 "warc_ts": pd.to_datetime(
                     [(_EPOCH_S + (i % 86400)) * 1_000_000_000
                      for i in ids]),
-                "html": [render_text_png(
-                    f"scan {i}\n" + (t or "")[:40] + f"\nlang {lg}")
-                    for i, t, lg in zip(ids, texts, langs)],
+                "html": [body for _, body in pairs],
                 "text": [t or "" for t in texts],
                 "lang": langs,
             })

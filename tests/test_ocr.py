@@ -94,3 +94,28 @@ def test_multiline_pipeline_markdown():
     r = convert_one(scan, "https://x/7.png", CFG)
     assert r["error"] is None
     assert r["markdown"] == "scan 7\nreal text\nlang en"
+
+
+def test_ocr_jpeg_scan_roundtrip():
+    """JPEG scans (r6): the from-spec baseline codec + binarize-at-128
+    recover the exact text of a machine-rendered raster; junk JPEG
+    bytes and photographic noise fail typed (ValueError), never
+    garble."""
+    import random
+
+    import pytest
+
+    from docling_api_spark.operators.jpeg_codec import encode_gray_jpeg
+    from docling_api_spark.operators.ocr import ocr_image, render_text_png
+    from docling_api_spark.operators.png_write import read_png_gray
+    text = "scan 42\nhello world of spark\nlang en"
+    png = render_text_png(text)
+    assert ocr_image(png) == text            # png path unchanged
+    w, h, px = read_png_gray(png)
+    assert ocr_image(encode_gray_jpeg(w, h, px)) == text
+    with pytest.raises(ValueError):
+        ocr_image(b"\xff\xd8\xff" + b"junk")
+    rng = random.Random(4)
+    noise = bytes(rng.randrange(256) for _ in range(64 * 64))
+    with pytest.raises(ValueError):
+        ocr_image(encode_gray_jpeg(64, 64, noise))
