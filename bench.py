@@ -91,13 +91,14 @@ def flagship(spark, sf_dir: str, cpus: int, repeat: int) -> dict:
     # on disk, not a synthesized stream competing for the same cores.
     # 80% HTML / 10% MD / 10% PDF so the PDF path is in the headline metric.
     tag = os.path.basename(sf_dir.rstrip("/"))
-    # v10: r6 PDF corpus — the i%13==7 encrypted slice now alternates
-    # across R2/R3/R4(AESV2)/R5/R6(AESV3 AES-256, SHA-2 handler) —
+    # v11: r6 PDF corpus — the i%13==7 encrypted slice alternates
+    # across R2/R3/R4(AESV2)/R5/R6(AESV3 AES-256, SHA-2 handler) and
+    # i%19==11 docs move their h3 into a /Subtype /Form XObject —
     # bump when synthesis changes so a stale cache can't be timed.
     # (v9 was the r5 corpus: 1.5 ObjStm/XRef layouts, incremental
     # updates, five font encodings, split /Contents + nested trees,
     # ASCIIHex/85/LZW/RLE chains, RC4/AESV2 encryption.)
-    path = f"/tmp/bench_pages_{tag}_r{repeat}_v10"
+    path = f"/tmp/bench_pages_{tag}_r{repeat}_v11"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (with_fixture_pdfs(
             pages_from_documents(spark, sf_dir, repeat=repeat,
@@ -180,9 +181,13 @@ def _cpu_probe(dur: float = 2.0) -> float:
     machine-detectable from the record alone (three straight rounds of
     judge adjudication re-proved driver single-shots under co-tenant
     load are noise, not regressions — this makes that call automatic).
-    Reference band on THIS host, measured near-idle (r6, 2 s probes):
-    ~10700-11600 ops/s; a probe reading far below the band marks every
-    timing in that run as load-suspect. Same kernel class as
+    Observed range on THIS host (r6, 2 s probes): ~8700 near the slow
+    edge of a frequency window up to ~27300 in a fast one — the same
+    2-3x co-tenant swing the fresh-JVM flagship bands document. The
+    probe is therefore a RELATIVE annotation, not a threshold: compare
+    pre vs post within a run (a large gap means the windows moved
+    mid-run) and probes across runs (timings from a low-probe run are
+    not comparable to a high-probe run's). Same kernel class as
     _cpu_ceiling's worker."""
     import hashlib
     import zlib

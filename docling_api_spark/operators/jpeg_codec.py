@@ -64,16 +64,26 @@ _C = [1 / math.sqrt(2)] + [1.0] * 7
 
 def _fdct_quant(block: list[int]) -> list[int]:
     """8x8 spatial block (level-shifted ints) → zig-zag quantized
-    coefficients."""
+    coefficients. Separable (rows then columns): 2x8x8x8 multiplies
+    per block instead of the naive 8^4 — same math, just factored."""
+    # tmp[u][y] = sum_x f(x,y) cos(u,x)
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):
+        row = block[y * 8:y * 8 + 8]
+        for u in range(8):
+            cu = _COS[u]
+            tmp[u][y] = (row[0] * cu[0] + row[1] * cu[1]
+                         + row[2] * cu[2] + row[3] * cu[3]
+                         + row[4] * cu[4] + row[5] * cu[5]
+                         + row[6] * cu[6] + row[7] * cu[7])
     out = [0] * 64
     for v in range(8):
+        cv = _COS[v]
         for u in range(8):
-            s = 0.0
-            for y in range(8):
-                cy = _COS[v][y]
-                row = y * 8
-                for x in range(8):
-                    s += block[row + x] * _COS[u][x] * cy
+            tu = tmp[u]
+            s = (tu[0] * cv[0] + tu[1] * cv[1] + tu[2] * cv[2]
+                 + tu[3] * cv[3] + tu[4] * cv[4] + tu[5] * cv[5]
+                 + tu[6] * cv[6] + tu[7] * cv[7])
             f = s * _C[u] * _C[v] / 4.0
             q = _QTABLE[v * 8 + u]
             out[v * 8 + u] = int(math.floor(abs(f) / q + 0.5)) * \
@@ -83,19 +93,43 @@ def _fdct_quant(block: list[int]) -> list[int]:
 
 def _idct(coefs: list[int], qtable: list[int]) -> list[int]:
     """zig-zag quantized coefficients + the stream's quant table →
-    8x8 spatial block (clamped 0..255)."""
+    8x8 spatial block (clamped 0..255). Two fast paths that matter on
+    real scans: DC-only blocks (flat regions — most of a document
+    raster) skip the transform entirely, and the separable pass skips
+    all-zero coefficient columns (quantized blocks are sparse)."""
     dq = [0.0] * 64
+    nonzero = False
     for k, pos in enumerate(_ZIGZAG):
-        dq[pos] = coefs[k] * qtable[pos]
+        c = coefs[k]
+        if c:
+            dq[pos] = c * qtable[pos]
+            if k:
+                nonzero = True
+    if not nonzero:                      # DC-only: f(x,y) = F00/8
+        val = int(math.floor(dq[0] / 8.0 + 128.5))
+        val = 0 if val < 0 else 255 if val > 255 else val
+        return [val] * 64
+    # tmp[u][y] = sum_v C(v) F(u,v) cos(v,y)
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for u in range(8):
+        col = [dq[v * 8 + u] for v in range(8)]
+        if not any(col):
+            continue
+        for y in range(8):
+            s = 0.0
+            for v in range(8):
+                c = col[v]
+                if c:
+                    s += _C[v] * c * _COS[v][y]
+            tmp[u][y] = s
     out = []
     for y in range(8):
         for x in range(8):
             s = 0.0
-            for v in range(8):
-                cv = _COS[v][y] * _C[v]
-                row = v * 8
-                for u in range(8):
-                    s += _C[u] * dq[row + u] * _COS[u][x] * cv
+            for u in range(8):
+                t = tmp[u][y]
+                if t:
+                    s += _C[u] * t * _COS[u][x]
             val = int(math.floor(s / 4.0 + 128.5))
             out.append(0 if val < 0 else 255 if val > 255 else val)
     return out
@@ -229,59 +263,98 @@ def encode_gray_jpeg(width: int, height: int, pixels: bytes) -> bytes:
 # ---------------------------------------------------------- decoder
 
 class _BitReader:
-    def __init__(self, data: bytes):
-        self.data = data
+    """MSB-first bit reader over DESTUFFED scan bytes (the 0xFF00 →
+    0xFF rewrite happens once, up front — per-bit stuffing checks were
+    the decoder's dominant cost). Reads past the end see zero padding;
+    the block loop's own bounds catch genuinely truncated data."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, scan: bytes):
+        # a 0xFF followed by anything but 0x00 inside the scan is a
+        # marker (RST/DNL) — outside the scoped grammar, typed
+        i = scan.find(b"\xff")
+        while i != -1:
+            if i == len(scan) - 1:
+                break              # dangling 0xFF at the very end: pad
+            if scan[i + 1] != 0x00:
+                raise ValueError(
+                    f"jpeg: marker 0xFF{scan[i + 1]:02X} in scan")
+            i = scan.find(b"\xff", i + 2)
+        self.data = scan.replace(b"\xff\x00", b"\xff")
         self.pos = 0
         self.acc = 0
         self.n = 0
 
-    def bit(self) -> int:
-        if not self.n:
-            if self.pos >= len(self.data):
-                raise ValueError("jpeg: entropy data truncated")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError("jpeg: dangling 0xFF")
-                nxt = self.data[self.pos]
-                self.pos += 1
-                if nxt != 0x00:
-                    raise ValueError(f"jpeg: marker 0xFF{nxt:02X} in scan")
-            self.acc = b
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+    def _fill(self, k: int) -> None:
+        data, pos, n = self.data, self.pos, self.n
+        acc = self.acc
+        while n < k:
+            acc = (acc << 8) | (data[pos] if pos < len(data) else 0)
+            pos += 1
+            n += 8
+        self.acc, self.pos, self.n = acc, pos, n
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        if not k:
+            return 0
+        if self.n < k:
+            self._fill(k)
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
         return v
 
+    def peek16(self) -> int:
+        if self.n < 16:
+            self._fill(16)
+        return (self.acc >> (self.n - 16)) & 0xFFFF
 
-def _dec_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → symbol."""
-    out = {}
+
+def _dec_table(bits: list[int], vals: list[int]):
+    """DHT → (lut, long): ``lut`` resolves codes of ≤ 8 bits in ONE
+    8-bit-prefix lookup (every suffix filled); longer codes fall back
+    to the (length, code) dict."""
+    lut: list[tuple[int, int] | None] = [None] * 256
+    long: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
             if k >= len(vals):
                 raise ValueError("jpeg: DHT counts exceed values")
-            out[(ln, code)] = vals[k]
+            if code >= (1 << ln):
+                # corrupt counts: canonical codes overflow the code
+                # space at this length (found by mutation fuzz)
+                raise ValueError("jpeg: overfull Huffman table")
+            if ln <= 8:
+                base = code << (8 - ln)
+                for suffix in range(1 << (8 - ln)):
+                    lut[base | suffix] = (vals[k], ln)
+            else:
+                long[(ln, code)] = vals[k]
             code += 1
             k += 1
         code <<= 1
-    return out
+    return lut, long
 
 
-def _read_huff(br: _BitReader, table: dict) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | br.bit()
-        if (ln, code) in table:
-            return table[(ln, code)]
+def _read_huff(br: _BitReader, table) -> int:
+    lut, long = table
+    word = br.peek16()
+    hit = lut[word >> 8]
+    if hit is not None:
+        sym, ln = hit
+        br.n -= ln
+        br.acc &= (1 << br.n) - 1
+        return sym
+    code = word >> 8
+    for ln in range(9, 17):
+        code = (code << 1) | ((word >> (16 - ln)) & 1)
+        if (ln, code) in long:
+            br.n -= ln
+            br.acc &= (1 << br.n) - 1
+            return long[(ln, code)]
     raise ValueError("jpeg: invalid Huffman code")
 
 
