@@ -287,6 +287,10 @@ class _BitReader:
         self.n = 0
 
     def _fill(self, k: int) -> None:
+        # zero-pads past the end so peek16 near the last block works;
+        # truncation() makes over-consumption detectable EXACTLY —
+        # peeked-but-unconsumed padding is fine, consumed padding is a
+        # truncated stream (the silent-garble alternative is forbidden)
         data, pos, n = self.data, self.pos, self.n
         acc = self.acc
         while n < k:
@@ -294,6 +298,11 @@ class _BitReader:
             pos += 1
             n += 8
         self.acc, self.pos, self.n = acc, pos, n
+
+    def truncated(self) -> bool:
+        """True iff bits BEYOND the scan data were consumed (not just
+        peeked): consumed_bits = pos*8 − n must stay ≤ len(data)*8."""
+        return (self.pos - len(self.data)) * 8 > self.n
 
     def bits(self, k: int) -> int:
         if not k:
@@ -482,6 +491,8 @@ def decode_gray_jpeg(data: bytes) -> tuple[int, int, bytes]:
                     px = bx * 8 + x
                     if px < width:
                         out[row + px] = block[y * 8 + x]
+    if br.truncated():
+        raise ValueError("jpeg: entropy data truncated")
     return width, height, bytes(out)
 
 
