@@ -91,14 +91,16 @@ def flagship(spark, sf_dir: str, cpus: int, repeat: int) -> dict:
     # on disk, not a synthesized stream competing for the same cores.
     # 80% HTML / 10% MD / 10% PDF so the PDF path is in the headline metric.
     tag = os.path.basename(sf_dir.rstrip("/"))
-    # v11: r6 PDF corpus — the i%13==7 encrypted slice alternates
-    # across R2/R3/R4(AESV2)/R5/R6(AESV3 AES-256, SHA-2 handler) and
+    # v12: r6 PDF corpus — the i%13==7 encrypted slice alternates
+    # across R6/R5(AESV3 AES-256, SHA-2 handler)/R4(AESV2)/R3/R2 by
+    # encrypted-doc rank (v11's (i//13)%5 index was CONSTANT over the
+    # slice — every encrypted doc was R6 and the KDF dominated) and
     # i%19==11 docs move their h3 into a /Subtype /Form XObject —
     # bump when synthesis changes so a stale cache can't be timed.
     # (v9 was the r5 corpus: 1.5 ObjStm/XRef layouts, incremental
     # updates, five font encodings, split /Contents + nested trees,
     # ASCIIHex/85/LZW/RLE chains, RC4/AESV2 encryption.)
-    path = f"/tmp/bench_pages_{tag}_r{repeat}_v11"
+    path = f"/tmp/bench_pages_{tag}_r{repeat}_v12"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (with_fixture_pdfs(
             pages_from_documents(spark, sf_dir, repeat=repeat,

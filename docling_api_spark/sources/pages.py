@@ -816,7 +816,19 @@ def with_fixture_pdfs(pages: DataFrame, every_mod: int = 4) -> DataFrame:
                     # Decorrelated from the incremental slice (i%7==4
                     # branch above stays unencrypted — append_update
                     # bases must).
-                    enc_r = ((2, 3, 4, 5, 6)[(i // 13) % 5]
+                    # rotation is by encrypted-doc RANK (i // 130: PDF
+                    # ∧ encrypted ⇒ i ≡ 124 mod 130), NOT (i//13)%5 —
+                    # encrypted ids step by 130 so i//13 steps by
+                    # 10 ≡ 0 (mod 5) and that index is CONSTANT: the
+                    # first r6 corpus silently made EVERY encrypted doc
+                    # R6 and its deliberately-expensive KDF dominated
+                    # the flagship (7.5 s vs ~2.5 s — caught by the new
+                    # bench calibration + per-query deltas). Ordered
+                    # 6,5,4,3,2 so the NEW V5 revisions land on the
+                    # lowest ranks and reach the sf0.01 driver gate
+                    # (3 encrypted docs there); all five appear from
+                    # sf0.1 up.
+                    enc_r = ((6, 5, 4, 3, 2)[(i // 130) % 5]
                              if i % 13 == 7 else None)
                     # r6 form-XObject slice: docs with i%19==11 move
                     # the h3 'Part' block into a /Subtype /Form
