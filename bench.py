@@ -281,8 +281,15 @@ def main() -> None:
                                           str(REPEAT * 8)))
 
         def leg(c: int) -> dict:
+            # KDF memo OFF for scaling legs (see pdf_crypt): the
+            # per-worker memo warms best-of-2 fully at lo (2 workers
+            # see every encrypted file) but only ~1/hi at hi — a
+            # protocol asymmetry, not a scaling property. Cold
+            # per-file crypto is the real-cluster behavior and is
+            # embarrassingly parallel.
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(c),
-                       SPARK_GRAFT_BENCH_REPEAT=str(scale_repeat))
+                       SPARK_GRAFT_BENCH_REPEAT=str(scale_repeat),
+                       SPARK_GRAFT_KDF_MEMO="0")
             p = subprocess.run(
                 [sys.executable, __file__, "--flagship-only",
                  "--cores", str(c)],
