@@ -657,7 +657,7 @@ def with_fixture_images(pages: DataFrame, every_mod: int = 6) -> DataFrame:
                 if i % 10 != every_mod:
                     continue
                 w, h = 16 + i % 64, 16 + i % 32
-                if i % 3 == 0:
+                if i % 2 == 0:
                     htmls[j] = png_bytes(w, h)
                     ext = ".png"
                 else:
