@@ -197,3 +197,22 @@ def test_incremental_broadcast_is_size_gated(spark, duck):
     orows = sorted(map(tuple, duck.sql(D._incremental_oracle()).fetchall()))
     assert srows == brows == orows
     assert len(srows) > 0
+
+
+def test_substring_dedup_plan_materializes_window_once(spark):
+    """The scale contract (r6): the md5-window relation is consumed by
+    TWO downstream branches (anti-join + per-doc count) but computed
+    ONCE — the final plan contains ZERO Window nodes (the removal
+    marks are a localCheckpoint scan) and no cartesian/nested-loop
+    join anywhere. Without the materialization Catalyst re-inlines the
+    CTE and duplicates the corpus-wide window subtree (measured r6)."""
+    df = D.substring_dedup(spark, SF_DIR)
+    plan = _plan_str(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # ... and the rm-materialization itself runs the window exactly once
+    rm = spark.sql(D._substring_rm_sql("spark"))
+    rm_plan = _plan_str(rm)
+    import re
+    assert len(set(re.findall(r"\((\d+)\) Window", rm_plan))) == 1, rm_plan
