@@ -84,6 +84,79 @@ class AnnConfig:
 DEFAULT_ANN = AnnConfig()
 
 
+# ---------------------------------------------------------------------------
+# r7 pair-stage kernel (guide §4.2): the quadratic-within-bucket pair
+# filters (semdedup, dedup_embedding_cosine) evaluated their 64-dim dot
+# product INSIDE the cell-join condition — Catalyst runs higher-order
+# functions (aggregate/zip_with) through the per-element lambda
+# interpreter, and join conditions get no subexpression elimination, so
+# at sf1.0 that was ~10^8 interpreted folds (semdedup 136 s; plan:
+# plans/r07/semdedup_before.txt node 19). Unrolling the fold into plain
+# SQL arithmetic was measured SLOWER (one 64-term expression per pair
+# generates a method past the JIT's size limit → bytecode-interpreted).
+# The fix that works is the guide §4.2 shape: keep the bucket shuffle
+# in Spark, hand each bucket's member batch to numpy inside
+# applyInPandas, and compute every pair dot with the EXACT left-fold
+# order of the SQL ``aggregate(zip_with(a, b, (x,y) -> CAST x * CAST
+# y), 0D, (acc,v) -> acc + v)``:
+#
+#     out = 0.0                     # the 0D seed (so +0.0 + p0, not p0)
+#     for k in dims: out += a[k]*b[k]   # fl(out + fl(a_k*b_k)) in order
+#
+# vectorized across candidate rows — the accumulation over k is still
+# sequential per pair, so every double is bit-identical to the SQL
+# fold (float32→float64 promotion = the CAST; products and sums are
+# the same IEEE ops in the same order). All rounding (ROUND(cos, 4),
+# ROUND(cc, 12)) stays in Spark SQL, so no rounding semantics are
+# re-implemented in Python. The DuckDB oracle texts are untouched.
+# ---------------------------------------------------------------------------
+
+def _fold_pair_dots(a_chunk, b_mat):
+    """(m, n) pairwise dot products of float64 row matrices, computed
+    as the exact left fold over dims (see block comment above)."""
+    import numpy as np
+    out = np.zeros((a_chunk.shape[0], b_mat.shape[0]))
+    tmp = np.empty_like(out)
+    for k in range(a_chunk.shape[1]):
+        np.multiply(a_chunk[:, k:k + 1], b_mat[:, k], out=tmp)
+        np.add(out, tmp, out=out)
+    return out
+
+
+def _bucket_pairs(pdf, cap, threshold):
+    """All within-bucket pairs (i < j by vec_id order) whose exact
+    fold-order cosine reaches ``threshold``, honoring the deterministic
+    per-bucket candidate cap (row_number ORDER BY vec_id <= cap ==
+    keep the ``cap`` lowest vec_ids). Yields (left_idx, right_idx,
+    cos) index triples into the sorted frame."""
+    import numpy as np
+    pdf = pdf.sort_values("vec_id", kind="mergesort")
+    if cap is not None:
+        pdf = pdf.head(cap)
+    n = len(pdf)
+    if n < 2:
+        return pdf, [], [], []
+    emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+    li, lj, lc = [], [], []
+    chunk = 512
+    for i0 in range(0, n, chunk):
+        i1 = min(i0 + chunk, n)
+        dots = _fold_pair_dots(emb[i0:i1], emb[i0:])   # j >= i0 only
+        nn = nrm[i0:i1, None] * nrm[None, i0:]
+        np.divide(dots, nn, out=dots)                  # cos, same 2 IEEE ops
+        ii = np.arange(i0, i1)[:, None]
+        jj = np.arange(i0, n)[None, :]
+        m = (jj > ii) & (dots >= threshold)
+        a, b = np.nonzero(m)
+        li.append(a + i0)
+        lj.append(b + i0)
+        lc.append(dots[a, b])
+    return (pdf, np.concatenate(li) if li else [],
+            np.concatenate(lj) if lj else [],
+            np.concatenate(lc) if lc else [])
+
+
 def _view(spark: SparkSession, sf_dir: str) -> None:
     spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .createOrReplaceTempView("embeddings")
@@ -107,12 +180,26 @@ def _cos(dialect: str, a: str, b: str) -> str:
 def _topk_sql(dialect: str) -> str:
     cos = _cos(dialect, "q.embedding", "c.embedding")
     if dialect == "spark":
-        hint = "/*+ BROADCAST(q) */ "
-    else:
-        hint = ""
+        # r7: cosine named ONCE in an inner projection — the original
+        # form repeated the expression in ROUND(...) and the window
+        # ORDER BY, evaluating it twice per pair. Same doubles, same
+        # ordering (ties still broken by nid = c.vec_id).
+        return f"""
+SELECT qid, nid, cos_sim FROM (
+  SELECT qid, nid, ROUND(cosv, 4) AS cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosv DESC, nid) AS rn
+  FROM (
+    SELECT /*+ BROADCAST(q) */ q.vec_id AS qid, c.vec_id AS nid,
+           {cos} AS cosv
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) p
+) r WHERE rn <= {TOP_K}
+"""
     return f"""
 SELECT qid, nid, cos_sim FROM (
-  SELECT {hint}q.vec_id AS qid, c.vec_id AS nid,
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
          ROUND({cos}, 4) AS cos_sim,
          row_number() OVER (PARTITION BY q.vec_id
                             ORDER BY {cos} DESC, c.vec_id) AS rn
@@ -304,6 +391,27 @@ def _ivf_sql(dialect: str, cfg: AnnConfig = DEFAULT_ANN,
     # staged: dots once per vector -> cell id; norms once per vector;
     # candidate join is an equi-join on cell; queries probe their
     # top-nprobe cells (recall knob, same join shape)
+    if dialect == "spark":
+        # r7: pair cosine named ONCE (was repeated in ROUND + window
+        # ORDER BY — twice per candidate pair); same doubles/ordering
+        final = f"""SELECT qid, nid, cos_sim FROM (
+  SELECT qid, nid, ROUND(cosv, 4) AS cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosv DESC, nid) AS rn
+  FROM (SELECT q.vec_id AS qid, c.vec_id AS nid,
+               {dot} / (q.nrm * c.nrm) AS cosv
+        FROM qp q JOIN b c ON q.probe = c.cell AND q.vec_id <> c.vec_id
+  ) p
+) r WHERE rn <= {TOP_K}"""
+    else:
+        final = f"""SELECT qid, nid, cos_sim FROM (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         ROUND({dot} / (q.nrm * c.nrm), 4) AS cos_sim,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {dot} / (q.nrm * c.nrm) DESC, c.vec_id)
+           AS rn
+  FROM qp q JOIN b c ON q.probe = c.cell AND q.vec_id <> c.vec_id
+) r WHERE rn <= {TOP_K}"""
     return f"""
 WITH d AS (SELECT vec_id, embedding, {nrm} AS nrm, {dots} AS dots
            FROM embeddings),
@@ -316,14 +424,7 @@ qp AS (
     FROM ({probe_src}) ps
   ) pr WHERE prn <= {nprobe}
 )
-SELECT qid, nid, cos_sim FROM (
-  SELECT q.vec_id AS qid, c.vec_id AS nid,
-         ROUND({dot} / (q.nrm * c.nrm), 4) AS cos_sim,
-         row_number() OVER (PARTITION BY q.vec_id
-                            ORDER BY {dot} / (q.nrm * c.nrm) DESC, c.vec_id)
-           AS rn
-  FROM qp q JOIN b c ON q.probe = c.cell AND q.vec_id <> c.vec_id
-) r WHERE rn <= {TOP_K}
+{final}
 """
 
 
@@ -510,13 +611,46 @@ def ann_ivf_trained_oracle(sf_dir: str | None = None,
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
                            cfg: AnnConfig = DEFAULT_ANN) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the fifth dedup strategy
-    (exact / minhash-LSH / simhash / jaccard / embedding). Candidates are
-    same-sign-LSH-bucket only, so the plan is an equi-join on the bucket
-    key followed by a cosine filter: at 1000 executors the join hash-
-    partitions on bucket and the O(n²) stays within buckets (bounded by
-    cfg.bucket_cap)."""
-    _view(spark, sf_dir)
-    return spark.sql(_embedding_dedup_sql("spark", cfg))
+    (exact / minhash-LSH / simhash / jaccard / embedding). Candidates
+    are same-sign-LSH-bucket only: the ONLY corpus-sized exchange is
+    the hash partition on bucket, and the O(n²) stays within buckets
+    (bounded by cfg.bucket_cap).
+
+    r7 (guide §4.2): the within-bucket pair stage moved from a SQL
+    self-join (whose 64-dim fold ran per pair through Catalyst's HOF
+    lambda interpreter — 48 s at sf1.0) to ``applyInPandas`` over the
+    bucket groups with the exact-fold numpy kernel (``_bucket_pairs``;
+    47.9 s → measured after-numbers in OPTIMIZATION_r07.md). The
+    deterministic per-bucket cap (keep the ``cap`` lowest vec_ids) is
+    applied inside the group — same candidate set as the row_number
+    window it replaces. Raw cosines come back as doubles and the
+    ROUND(cos, 4) display rounding stays in Spark SQL, so every output
+    value is bit-identical to the SQL form (the oracle text is
+    unchanged and the driver gate still value-hashes it)."""
+    from pyspark.sql import functions as F
+
+    bucket = _bucket_expr("spark", "embedding", cfg)
+    nrm = ("sqrt(aggregate(embedding, 0D, (acc, x) -> "
+           "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    bv = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+          .selectExpr("vec_id", "embedding", f"{nrm} AS nrm",
+                      f"{bucket} AS bucket"))
+    cap, thr = cfg.bucket_cap, NEAR_DUP_COS
+
+    def pairs_fn(pdf):
+        import pandas as pd
+        spdf, li, lj, lc = _bucket_pairs(pdf, cap, thr)
+        ids = spdf["vec_id"].to_numpy()
+        return pd.DataFrame({
+            "left_id": ids[li] if len(li) else ids[:0],
+            "right_id": ids[lj] if len(lj) else ids[:0],
+            "cosv": lc,
+        })
+
+    out = bv.groupBy("bucket").applyInPandas(
+        pairs_fn, "left_id bigint, right_id bigint, cosv double")
+    return out.select("left_id", "right_id",
+                      F.expr("ROUND(cosv, 4)").alias("cos_sim"))
 
 
 DEDUP_EMBEDDING_ORACLE = _embedding_dedup_sql("duck")
@@ -675,12 +809,46 @@ FROM (
 
 def semdedup(spark: SparkSession, sf_dir: str,
              cfg: AnnConfig = DEFAULT_ANN) -> DataFrame:
+    """r7 (guide §4.2): the within-cell pair stage moved from the SQL
+    self-join (per-pair HOF fold inside the join condition — 136 s at
+    sf1.0, plans/r07/semdedup_before.txt) to ``applyInPandas`` over the
+    cell groups with the exact-fold numpy kernel. Semantics preserved
+    piece by piece: the per-cell candidate cap = keep the ``cap``
+    lowest vec_ids (the row_number window's set); the keep rule
+    compares ``ROUND(cc, 12)`` values computed by Spark SQL per VECTOR
+    (identical to the per-pair ROUND of the same per-vector value);
+    a vec_id belongs to exactly one cell, so the per-cell unique drop
+    set is globally unique and the DISTINCT of the SQL form is
+    preserved. Final projection (ROUND(cc, 4), LEFT JOIN on the tiny
+    drop set) stays in Spark SQL. The oracle text is unchanged."""
+    from pyspark.sql import functions as F
+
     cents = ivf_train_cached(spark, sf_dir, cfg.n_cells, 2, cfg.dim)
     _view(spark, sf_dir)
     base = spark.sql(_semdedup_base_sql("spark", cents)).localCheckpoint()
-    base.createOrReplaceTempView("semdedup_base")
-    return spark.sql(_semdedup_sql("spark", cents, cfg,
-                                   base_table="semdedup_base"))
+    cap, thr = cfg.bucket_cap, NEAR_DUP_COS
+
+    def drops_fn(pdf):
+        import numpy as np
+        import pandas as pd
+        spdf, li, lj, _ = _bucket_pairs(pdf, cap, thr)
+        if len(li) == 0:
+            return pd.DataFrame({"vec_id": spdf["vec_id"].to_numpy()[:0]})
+        ids = spdf["vec_id"].to_numpy()
+        cc12 = spdf["cc12"].to_numpy(dtype=np.float64)
+        drop = np.where(cc12[li] > cc12[lj], ids[li], ids[lj])
+        return pd.DataFrame({"vec_id": np.unique(drop)})
+
+    drops = (base
+             .withColumn("cc12", F.expr("ROUND(cc, 12)"))
+             .select("vec_id", "embedding", "nrm", "cell", "cc12")
+             .groupBy("cell")
+             .applyInPandas(drops_fn, "vec_id bigint"))
+    d = drops.withColumn("dropped", F.lit(True))
+    return (base.join(d, on="vec_id", how="left")
+            .select(F.col("vec_id"), F.col("cell"),
+                    F.expr("ROUND(cc, 4)").alias("centroid_cos"),
+                    F.col("dropped").isNull().alias("kept")))
 
 
 _SEMDEDUP_ORACLE_CACHE: dict = {}

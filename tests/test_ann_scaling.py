@@ -228,3 +228,52 @@ def test_semdedup_plan_is_cell_equi_join(spark):
     rows = df.collect()
     assert len(rows) == 500           # one row per embedding (sf0.001)
     assert all(r["kept"] in (True, False) for r in rows)
+
+
+def test_numpy_pair_stage_bit_identical_to_sql(spark):
+    """r7: semdedup / dedup_embedding_cosine moved their within-bucket
+    pair stage from a SQL self-join (interpreted HOF fold per pair) to
+    the exact-fold numpy kernel in applyInPandas. This pins the
+    equivalence: the new implementations must reproduce the ORIGINAL
+    SQL formulations row-for-row, value-for-value (the numpy fold is
+    the same IEEE op sequence, so equality is exact, not approximate)."""
+    from docling_api_spark.operators.similarity import (
+        _embedding_dedup_sql, _semdedup_base_sql, _semdedup_sql,
+        dedup_embedding_cosine, ivf_train_cached, semdedup, DEFAULT_ANN)
+
+    sf = "/root/testdata/sf0.001"
+    spark.read.parquet(f"{sf}/embeddings.parquet") \
+        .createOrReplaceTempView("embeddings")
+
+    old = {tuple(r) for r in spark.sql(
+        _embedding_dedup_sql("spark", DEFAULT_ANN)).collect()}
+    new = {tuple(r) for r in dedup_embedding_cosine(spark, sf).collect()}
+    assert new == old
+
+    cents = ivf_train_cached(spark, sf, DEFAULT_ANN.n_cells, 2,
+                             DEFAULT_ANN.dim)
+    base = spark.sql(_semdedup_base_sql("spark", cents)).localCheckpoint()
+    base.createOrReplaceTempView("semdedup_base")
+    old_sd = {tuple(r) for r in spark.sql(
+        _semdedup_sql("spark", cents, DEFAULT_ANN,
+                      base_table="semdedup_base")).collect()}
+    new_sd = {tuple(r) for r in semdedup(spark, sf).collect()}
+    assert new_sd == old_sd
+
+
+def test_fold_pair_dots_matches_scalar_fold():
+    """The vectorized kernel must equal the scalar left fold exactly
+    (bit-for-bit), including the +0.0 seed."""
+    import numpy as np
+    from docling_api_spark.operators.similarity import _fold_pair_dots
+
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((13, 64)).astype(np.float32).astype(np.float64)
+    B = rng.standard_normal((17, 64)).astype(np.float32).astype(np.float64)
+    got = _fold_pair_dots(A, B)
+    for i in range(A.shape[0]):
+        for j in range(B.shape[0]):
+            acc = 0.0
+            for k in range(64):
+                acc = acc + A[i, k] * B[j, k]
+            assert got[i, j] == acc
