@@ -27,8 +27,22 @@ from .sources.pages import pages_from_documents
 _CFG = ExtractConfig(num_partitions=32)
 
 
+def _par(spark: SparkSession) -> int:
+    """Scan parallelism for the synthesized-pages extraction queries
+    (r7, guide §2.5 input skew): documents.parquet is ONE small file →
+    one input split, so without an explicit repartition the synthesis
+    AND the downstream mapInPandas extraction ran in a single task
+    (extract_markdown measured 11.8 s at sf1.0 on local[32]; ~1.3 s
+    after). Derived from the session's scheduler width, not a constant,
+    so cluster runs scale with executor count. The repartition moves
+    only the tiny pre-synthesis doc rows and changes no query output
+    (partition_id falls back to the url hash either way — not an
+    output column of any of these queries)."""
+    return spark.sparkContext.defaultParallelism
+
+
 def extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = pages_from_documents(spark, sf_dir)
+    pages = pages_from_documents(spark, sf_dir, parallelism=_par(spark))
     out = extract_df(pages, _CFG)
     return out.select("url", "fmt", "markdown", "error")
 
@@ -67,7 +81,7 @@ FROM documents
 
 
 def format_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = pages_from_documents(spark, sf_dir)
+    pages = pages_from_documents(spark, sf_dir, parallelism=_par(spark))
     out = extract_df(pages, _CFG)
     return out.groupBy("fmt").agg(F.count(F.lit(1)).alias("n_docs"))
 
@@ -484,7 +498,7 @@ def extract_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     markdown in SQL and applies the identical token gate, so the
     composition extraction→stats→filter — not just each stage — is
     value-checked end to end."""
-    pages = pages_from_documents(spark, sf_dir)
+    pages = pages_from_documents(spark, sf_dir, parallelism=_par(spark))
     out = extract_df(pages, _CFG).select("url", "markdown")
     out.createOrReplaceTempView("extracted")
     toks = X.tokens("spark", "markdown")
@@ -585,7 +599,7 @@ def span_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     len(markdown) - 2*(n_spans-1), blocks joined by blank lines). r3: the
     md path emits per-block spans like html (heading + paragraph), not
     one whole-document span."""
-    pages = pages_from_documents(spark, sf_dir)
+    pages = pages_from_documents(spark, sf_dir, parallelism=_par(spark))
     out = extract_df(pages, _CFG)
     return out.select(
         "url",
@@ -632,7 +646,7 @@ def span_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes every offset from the generation rule with length
     arithmetic, so span *positions*, not just totals (span_summary), are
     driver-gated."""
-    pages = pages_from_documents(spark, sf_dir)
+    pages = pages_from_documents(spark, sf_dir, parallelism=_par(spark))
     out = extract_df(pages, _CFG)
     ex = out.select("url", F.posexplode("spans").alias("seq", "s"))
     return ex.select(
@@ -1570,7 +1584,13 @@ def extract_warc_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     if tmp is None:
         pages = pages_from_documents(spark, sf_dir)
         tmp = tempfile.mkdtemp(prefix="warc_seg_")
-        W.warc_segments_from_pages(pages.repartition(4, "url"), tmp)
+        # r7: one segment per SCHEDULER SLOT, not a fixed 4 — the WARC
+        # reader is one-file-per-task by design, so 4 segments pinned
+        # the whole timed read+extract to 4 of 32 cores (31 s at sf1.0,
+        # 2.3 s with full-width segments; guide §2.5 input skew). File
+        # count derives from the session so cluster runs scale too.
+        W.warc_segments_from_pages(
+            pages.repartition(_par(spark), "url"), tmp)
         _WARC_SEG_CACHE[sf_dir] = tmp
     out = extract_df(W.read_warc_pages(spark, tmp), _CFG)
     return out.select("url", "fmt", "markdown", "error")
@@ -1596,7 +1616,7 @@ def content_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson). The oracle rebuilds both byte counts from the page
     generator's named SHELL_* constants, so any shell edit breaks this
     hash loudly instead of silently drifting."""
-    pages = pages_from_documents(spark, sf_dir)
+    pages = pages_from_documents(spark, sf_dir, parallelism=_par(spark))
     out = extract_df(pages, _CFG)
     return out.select(
         "url",
