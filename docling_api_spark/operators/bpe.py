@@ -87,7 +87,8 @@ def _train(spark: SparkSession, sf_dir: str,
     key = (sess_key, sf_dir, n_merges)
     if key in _TRAIN_CACHE:
         return _TRAIN_CACHE[key]
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    from ..functions import read_wide
+    read_wide(spark, f"{sf_dir}/documents.parquet", "doc_id") \
         .createOrReplaceTempView("documents")
     words = spark.sql(_word_counts_sql("spark"))
     df = words.select(
@@ -146,7 +147,8 @@ def bpe_segment_counts(spark: SparkSession, sf_dir: str,
     word_sizes = df.select("word", F.size("syms").alias("n_pieces"))
     # re-point the view explicitly: a _train cache hit skips view setup,
     # and another query may have re-bound 'documents' to a different dir
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    from ..functions import read_wide
+    read_wide(spark, f"{sf_dir}/documents.parquet", "doc_id") \
         .createOrReplaceTempView("documents")
     toks = X.tokens("spark")
     doc_words = spark.sql(

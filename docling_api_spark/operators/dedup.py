@@ -41,7 +41,8 @@ from ..functions import textsql as X
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..functions import read_wide
+    return read_wide(spark, f"{sf_dir}/documents.parquet", "doc_id")
 
 
 # ------------------------------------------------------------- exact dedup

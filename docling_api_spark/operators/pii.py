@@ -35,7 +35,8 @@ IPV4_RX = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
 
 
 def _view(spark: SparkSession, sf_dir: str) -> None:
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    from ..functions import read_wide
+    read_wide(spark, f"{sf_dir}/documents.parquet", "doc_id") \
         .createOrReplaceTempView("documents")
 
 

@@ -158,7 +158,8 @@ def _bucket_pairs(pdf, cap, threshold):
 
 
 def _view(spark: SparkSession, sf_dir: str) -> None:
-    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+    from ..functions import read_wide
+    read_wide(spark, f"{sf_dir}/embeddings.parquet", "vec_id") \
         .createOrReplaceTempView("embeddings")
 
 
@@ -632,7 +633,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
     bucket = _bucket_expr("spark", "embedding", cfg)
     nrm = ("sqrt(aggregate(embedding, 0D, (acc, x) -> "
            "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
-    bv = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from ..functions import read_wide
+    bv = (read_wide(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
           .selectExpr("vec_id", "embedding", f"{nrm} AS nrm",
                       f"{bucket} AS bucket"))
     cap, thr = cfg.bucket_cap, NEAR_DUP_COS

@@ -11,7 +11,8 @@ from ..functions import textsql as X
 
 
 def _view(spark: SparkSession, sf_dir: str) -> None:
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    from ..functions import read_wide
+    read_wide(spark, f"{sf_dir}/documents.parquet", "doc_id") \
         .createOrReplaceTempView("documents")
 
 

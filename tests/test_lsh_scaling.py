@@ -153,15 +153,21 @@ def test_passage_dedup_semantics(spark):
 
 def test_passage_dedup_plan_two_keyed_shuffles(spark):
     """The scale contract: tokenize/chunk/explode are map-side; the only
-    exchanges are the passage-hash window and the doc_id reassembly —
-    exactly two keyed shuffles, nothing all-pairs."""
+    ALGORITHM exchanges are the passage-hash window and the doc_id
+    reassembly — exactly two keyed shuffles, nothing all-pairs. (r7:
+    the input-widening repartition of the single-file documents scan —
+    functions.read_wide, tagged REPARTITION_BY_NUM in the plan — is a
+    scan-layout fix, not an algorithm shuffle, and is counted
+    separately.)"""
     import re
     df = D.passage_dedup(spark, SF_DIR)
     plan = _plan_str(df)
     # formatted explain lists each node in the tree AND a details block;
-    # count distinct exchange node ids
+    # count distinct exchange node ids, split by shuffle origin
     ids = set(re.findall(r"\((\d+)\) Exchange", plan))
-    assert len(ids) == 2, plan
+    widen = plan.count("REPARTITION_BY_NUM")
+    assert len(ids) - widen == 2, plan
+    assert widen <= 1, plan
 
 
 def test_incremental_broadcast_is_size_gated(spark, duck):

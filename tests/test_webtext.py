@@ -312,9 +312,15 @@ def test_robots_decoy_section_ignored(duck):
 # ------------------------------------------------------- plan pins
 
 def test_dataset_split_plan_zero_shuffle(spark):
+    """Zero ALGORITHM shuffles: the split decision is a pure map-side
+    md5 projection. (r7: the one allowed exchange is the input-widening
+    repartition of the single-file documents scan — functions.read_wide,
+    REPARTITION_BY_NUM — a scan-layout fix, not part of the split.)"""
     plan = webtext.dataset_split(spark, SF_DIR) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    n_exchange = plan.count("Exchange ")
+    n_widen = plan.count("REPARTITION_BY_NUM")
+    assert n_exchange - n_widen == 0 and n_widen <= 1, plan
 
 
 def test_contamination_plan_broadcasts_bench(spark):
@@ -326,14 +332,20 @@ def test_contamination_plan_broadcasts_bench(spark):
     # exactly the two keyed aggs: (doc_id, gram) distinct + per-doc count
     # (plus the bench distinct) — no extra corpus-wide exchanges from a
     # duplicated tot/hits chain
-    n_gram_exchanges = plan.count("Exchange hashpartitioning(doc_id")
+    # (the r7 input-widening repartition also hashes on doc_id —
+    # discount it via its REPARTITION_BY_NUM origin tag)
+    n_gram_exchanges = plan.count("Exchange hashpartitioning(doc_id") \
+        - plan.count("REPARTITION_BY_NUM")
     assert n_gram_exchanges <= 2, plan[:2000]
 
 
 def test_url_canonical_plan_single_window_exchange(spark):
+    """One ALGORITHM exchange (the canonical-url window); the r7
+    input-widening repartition (REPARTITION_BY_NUM) is discounted."""
     plan = webtext.url_canonical_dedup(spark, SF_DIR) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") \
+        - plan.count("REPARTITION_BY_NUM") == 1
 
 
 # ----------------------------------------------- head_meta (queries.py)
