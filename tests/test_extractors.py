@@ -1599,3 +1599,51 @@ def test_pdf_image_predictors():
                     ).replace(b"/Columns 20", b"/Columns 19")
     with pytest.raises(PdfUnsupported, match="Columns"):
         extract_pdf_rich(bad)
+
+
+def test_aes_provider_matches_pure_python_fallback():
+    """r7: the native AES provider hook (cryptography/OpenSSL, probed at
+    import) must be byte-identical to the pure-Python FIPS-197 fallback
+    on every entry point the handlers use — CBC nopad (Algorithm 2.B /
+    UE wrap), the IV-prefixed PKCS#5 wire format, and the one-block
+    ECB /Perms seal — across AES-128 and AES-256 keys and many sizes."""
+    import importlib
+    import os
+    import random
+
+    from docling_api_spark.operators import pdf_crypt as PC
+
+    if PC._native_cipher is None:
+        import pytest
+        pytest.skip("no native AES provider in this venv")
+
+    os.environ["SPARK_GRAFT_AES_PROVIDER"] = "pure"
+    try:
+        pure = importlib.reload(PC)
+        assert pure._native_cipher is None
+        rnd = random.Random(42)
+        for klen in (16, 32):
+            for dlen in (16, 64, 1024, 4096):
+                key = bytes(rnd.randrange(256) for _ in range(klen))
+                iv = bytes(rnd.randrange(256) for _ in range(16))
+                data = bytes(rnd.randrange(256) for _ in range(dlen))
+                assert PC._cbc_nopad(key, iv, data, True) == \
+                    pure._cbc_nopad(key, iv, data, True)
+                assert PC._cbc_nopad(key, iv, data, False) == \
+                    pure._cbc_nopad(key, iv, data, False)
+                ragged = data[:dlen - 3]
+                wire = PC.aes_cbc_encrypt(key, iv, ragged)
+                assert wire == pure.aes_cbc_encrypt(key, iv, ragged)
+                assert PC.aes_cbc_decrypt(key, wire) == ragged
+                assert pure.aes_cbc_decrypt(key, wire) == ragged
+        fkey = bytes(range(32))
+        assert PC.perms_value(fkey, -4) == pure.perms_value(fkey, -4)
+        assert PC.perms_check(fkey, PC.perms_value(fkey, -4), -4)
+        assert pure.perms_check(fkey, PC.perms_value(fkey, -4), -4)
+        # the hardened KDF end to end (both the R6 loop and R5 one-shot)
+        for r in (5, 6):
+            assert PC.hash_2b(b"", b"saltsalt", b"", r) == \
+                pure.hash_2b(b"", b"saltsalt", b"", r)
+    finally:
+        del os.environ["SPARK_GRAFT_AES_PROVIDER"]
+        importlib.reload(PC)
