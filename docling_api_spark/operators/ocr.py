@@ -117,9 +117,14 @@ def ocr_image(data: bytes) -> str:
     the threshold. Anything else raises ValueError → the typed
     ``ocr_not_supported`` row."""
     if data.startswith(b"\xff\xd8\xff"):
+        import numpy as np
+
         from .jpeg_codec import decode_gray_jpeg
         w, h, px = decode_gray_jpeg(data)
-        px = bytes(0 if v < 128 else 255 for v in px)
+        # r7: numpy binarize (exact: same per-byte threshold the old
+        # generator expression applied)
+        arr = np.frombuffer(px, dtype=np.uint8)
+        px = np.where(arr < 128, 0, 255).astype(np.uint8).tobytes()
         return _recognize_grid(w, h, px)
     return ocr_png(data)
 
@@ -142,6 +147,58 @@ def ocr_png(data: bytes) -> str:
 
 
 def _recognize_grid(w: int, h: int, px: bytes) -> str:
+    """r7 fast path (guide §1.2 step 2): the per-pixel Python loops
+    below cost ~2 ms per raster; the numpy path computes the SAME
+    integer checks and glyph bit patterns vectorized and returns the
+    identical string when every check passes. On ANY failed check it
+    falls back to the scalar loop, which raises the exact original
+    error (message and precedence preserved by construction — the
+    scalar path is authoritative for all failures)."""
+    try:
+        import numpy as np
+        if h >= 2 + CELL_H and (h - 2) % CELL_H == 0 \
+                and w >= 2 + CELL_W and (w - 2) % CELL_W == 0:
+            arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+            n_lines = (h - 2) // CELL_H
+            n = (w - 2) // CELL_W
+            spacing_rows = [1 + ln * CELL_H + GLYPH_H
+                            for ln in range(n_lines)]
+            if ((arr[0] == 255).all() and (arr[-1] == 255).all()
+                    and (arr[:, 0] == 255).all()
+                    and (arr[:, -1] == 255).all()
+                    and (arr[spacing_rows] == 255).all()):
+                core = arr[1:1 + n_lines * CELL_H, 1:1 + n * CELL_W] \
+                    .reshape(n_lines, CELL_H, n, CELL_W)
+                if (core[:, :, :, GLYPH_W:] == 255).all():
+                    weights = np.array(
+                        [1 << (GLYPH_W - 1 - gx) for gx in range(GLYPH_W)],
+                        dtype=np.int64)
+                    bits = ((core[:, :GLYPH_H, :, :GLYPH_W] == 0)
+                            * weights[None, None, None, :]).sum(axis=3)
+                    out_lines = []
+                    ok = True
+                    for ln in range(n_lines):
+                        out = []
+                        for i in range(n):
+                            ch = _GLYPH_TO_CHAR.get(
+                                tuple(int(b) for b in bits[ln, :, i]))
+                            if ch is None:
+                                ok = False
+                                break
+                            out.append(ch)
+                        if not ok:
+                            break
+                        out_lines.append("".join(out).rstrip())
+                    if ok:
+                        while out_lines and out_lines[-1] == "":
+                            out_lines.pop()
+                        return "\n".join(out_lines)
+    except ImportError:
+        pass
+    return _recognize_grid_scalar(w, h, px)
+
+
+def _recognize_grid_scalar(w: int, h: int, px: bytes) -> str:
     if h < 2 + CELL_H or (h - 2) % CELL_H != 0 \
             or w < 2 + CELL_W or (w - 2) % CELL_W != 0:
         raise ValueError("not a text-raster geometry")

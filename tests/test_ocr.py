@@ -119,3 +119,28 @@ def test_ocr_jpeg_scan_roundtrip():
     noise = bytes(rng.randrange(256) for _ in range(64 * 64))
     with pytest.raises(ValueError):
         ocr_image(encode_gray_jpeg(64, 64, noise))
+
+
+def test_idct_batch_bit_identical_to_scalar():
+    """r7: decode_gray_jpeg batches the IDCT through numpy. Every block
+    must produce exactly the scalar _idct's pixels — including DC-only
+    blocks (distinct fast-path formula), sparse blocks (skip-zero
+    branches), and extreme coefficients."""
+    import random
+
+    from docling_api_spark.operators.jpeg_codec import _idct, _idct_batch
+
+    rnd = random.Random(1234)
+    blocks = [[0] * 64,                       # all-zero (DC-only, dq0=0)
+              [1000] + [0] * 63,              # DC-only positive
+              [-1000] + [0] * 63,             # DC-only negative
+              [0, 1] + [0] * 62]              # AC-only
+    for _ in range(200):
+        b = [0] * 64
+        for _ in range(rnd.randrange(1, 20)):
+            b[rnd.randrange(64)] = rnd.randrange(-1024, 1024)
+        blocks.append(b)
+    qt = [max(1, (i * 7) % 32) for i in range(64)]
+    got = _idct_batch(blocks, qt)
+    for i, b in enumerate(blocks):
+        assert list(got[i]) == _idct(b, qt), i
