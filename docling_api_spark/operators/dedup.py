@@ -160,7 +160,15 @@ def _band_expr(dialect: str, b: int, cfg: LshConfig = DEFAULT_LSH) -> str:
 def _bands_df(spark: SparkSession, sf_dir: str,
               cfg: LshConfig = DEFAULT_LSH) -> DataFrame:
     """(doc_id, band_idx, band_key) exploded — the shared projection under
-    the LSH self-join, the incremental join, and the near-dup pipeline."""
+    the LSH self-join, the incremental join, and the near-dup pipeline.
+
+    r7: materialized once per call (localCheckpoint — the substring_dedup
+    lesson): every consumer references this frame TWICE (self-join sides
+    / corpus+fresh splits) and Catalyst re-inlines the whole
+    tokenize→shingle→md5→signature chain per reference — measured as the
+    full sig chain running twice per query (dedup_minhash_lsh 5.1 s →
+    3.3 s at sf1.0). Recomputed on every invocation — nothing is cached
+    across runs."""
     sig = minhash_signatures(spark, sf_dir, cfg)
     return sig.select(
         "doc_id",
@@ -168,7 +176,7 @@ def _bands_df(spark: SparkSession, sf_dir: str,
             F.struct(F.lit(b).alias("band_idx"),
                      F.expr(_band_expr("spark", b, cfg)).alias("band_key"))
             for b in range(cfg.n_bands)])).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_key")
+    ).select("doc_id", "band.band_idx", "band.band_key").localCheckpoint()
 
 
 def _bands_cte(cfg: LshConfig = DEFAULT_LSH) -> str:
@@ -432,7 +440,8 @@ PASSAGE_DEDUP_ORACLE = _passage_dedup_sql("duck")
 SUBSTR_TOKENS = 8
 
 
-def _substring_dedup_sql(dialect: str, rm_table: str | None = None) -> str:
+def _substring_dedup_sql(dialect: str, rm_table: str | None = None,
+                         tk_table: str | None = None) -> str:
     """Exact-substring dedup, the Lee-et-al. strategy re-shaped for
     Spark: every K-token sliding window (stride 1) is hashed; a window
     seen before (global order = (doc_id, pos)) marks its K token
@@ -461,7 +470,11 @@ def _substring_dedup_sql(dialect: str, rm_table: str | None = None) -> str:
     measured here as a fully duplicated window subtree (the dsir r5
     lesson, zero ReusedExchange) — so :func:`substring_dedup`
     materializes it once (localCheckpoint) and passes the view name;
-    the DuckDB oracle keeps the plain CTE."""
+    the DuckDB oracle keeps the plain CTE. ``tk_table`` (r7): the same
+    trap for the tokenization CTE, which the final statement consumes
+    twice more (token explode + per-doc size) on top of the rm pass —
+    three corpus tokenizations per run; the Spark path materializes it
+    once and re-reads ~2 columns, the oracle again keeps the CTE."""
     toks = X.tokens(dialect)
     k = SUBSTR_TOKENS
     if dialect == "spark":
@@ -493,8 +506,10 @@ def _substring_dedup_sql(dialect: str, rm_table: str | None = None) -> str:
         size_expr = "len(tk.tk)"
     rm_body = (f"SELECT * FROM {rm_table}" if rm_table else
                f"SELECT DISTINCT doc_id, idx FROM ({rm_inner}) i")
+    tk_body = (f"SELECT * FROM {tk_table}" if tk_table else
+               f"SELECT doc_id, {toks} AS tk FROM documents")
     return f"""
-WITH tk AS (SELECT doc_id, {toks} AS tk FROM documents),
+WITH tk AS ({tk_body}),
 sh AS ({sh}),
 r AS (
   SELECT doc_id, pos,
@@ -521,11 +536,11 @@ LEFT JOIN agg ON tk.doc_id = agg.doc_id
 """
 
 
-def _substring_rm_sql(dialect: str) -> str:
+def _substring_rm_sql(dialect: str, tk_table: str | None = None) -> str:
     """Just the removal-marks relation (tk → sliding windows → ONE
     md5-keyed row_number window → duplicate spans exploded to token
     indices, distinct) — materialized once by :func:`substring_dedup`."""
-    full = _substring_dedup_sql(dialect)
+    full = _substring_dedup_sql(dialect, tk_table=tk_table)
     # reuse the generator's CTE chain up to rm, project rm
     head, _, _ = full.partition("\ntoks AS (")
     return head.rstrip().rstrip(",") + "\nSELECT doc_id, idx FROM rm"
@@ -533,9 +548,15 @@ def _substring_rm_sql(dialect: str) -> str:
 
 def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _docs(spark, sf_dir).createOrReplaceTempView("documents")
-    rm = spark.sql(_substring_rm_sql("spark")).localCheckpoint()
+    toks = X.tokens("spark")
+    tk = spark.sql(f"SELECT doc_id, {toks} AS tk FROM documents") \
+        .localCheckpoint()
+    tk.createOrReplaceTempView("substr_tk")
+    rm = spark.sql(_substring_rm_sql("spark", tk_table="substr_tk")) \
+        .localCheckpoint()
     rm.createOrReplaceTempView("substr_rm")
-    return spark.sql(_substring_dedup_sql("spark", rm_table="substr_rm"))
+    return spark.sql(_substring_dedup_sql("spark", rm_table="substr_rm",
+                                          tk_table="substr_tk"))
 
 
 SUBSTRING_DEDUP_ORACLE = _substring_dedup_sql("duck")
@@ -559,9 +580,11 @@ def dedup_near_pipeline(spark: SparkSession, sf_dir: str,
     this stage instead of the O(n²) all-pairs jaccard. Recall/precision
     scale with ``cfg`` (:meth:`LshConfig.for_threshold`)."""
     cand = dedup_minhash_lsh(spark, sf_dir, cfg)
+    # r7: materialize the distinct-token table once — it is joined on
+    # BOTH pair sides and Catalyst would tokenize the corpus twice
     t = spark.sql(
         f"SELECT doc_id, array_distinct({X.tokens('spark')}) AS t "
-        f"FROM documents")
+        f"FROM documents").localCheckpoint()
     a = t.select(F.col("doc_id").alias("left_id"), F.col("t").alias("lt"))
     b = t.select(F.col("doc_id").alias("right_id"), F.col("t").alias("rt"))
     j = (cand.join(a, "left_id").join(b, "right_id")

@@ -349,7 +349,8 @@ SPLIT_ORACLE = _split_sql("duck")
 
 # ------------------------------------------------ bigram LM scoring
 
-def _lm_sql(dialect: str) -> str:
+def _lm_sql(dialect: str, tk_table: str | None = None,
+            bg_table: str | None = None) -> str:
     """Corpus-trained bigram LM score per document (CCNet-style fluency
     signal): for each bigram (w1,w2), logprob = ln((C(w1,w2) + 1) /
     (C(w1) + V)) with add-one smoothing over vocabulary size V;
@@ -387,15 +388,18 @@ def _lm_sql(dialect: str) -> str:
         explode = "unnest"
         intdiv = ("(2 * abs(agg.s) + agg.n_bigrams) "
                   "// (2 * agg.n_bigrams)")
+    tk_body = (f"SELECT * FROM {tk_table}" if tk_table else
+               f"SELECT doc_id, {toks} AS tk FROM documents")
+    bg_body = (f"SELECT * FROM {bg_table}" if bg_table else f"""
+  SELECT doc_id, gram, {w1} AS w1
+  FROM (SELECT doc_id, {explode}({g2}) AS gram FROM t) e
+""")
     return f"""
-WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+WITH t AS ({tk_body}),
 toksx AS (SELECT doc_id, {explode}(tk) AS tok FROM t),
 uni AS (SELECT tok, count(*) AS c1 FROM toksx GROUP BY tok),
 v AS (SELECT count(*) AS vocab FROM uni),
-bg AS (
-  SELECT doc_id, gram, {w1} AS w1
-  FROM (SELECT doc_id, {explode}({g2}) AS gram FROM t) e
-),
+bg AS ({bg_body}),
 bgc AS (SELECT gram, count(*) AS c2 FROM bg GROUP BY gram),
 scored AS (
   SELECT bg.doc_id,
@@ -419,8 +423,24 @@ FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id
 
 
 def lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: the token and exploded-bigram relations are each consumed
+    twice (model build + scoring) and Catalyst re-inlines CTEs — the
+    corpus was tokenized twice and bigrammed twice per run. Both are
+    materialized once per invocation (localCheckpoint, the
+    substring_dedup pattern); the DuckDB oracle keeps the plain CTEs
+    (text unchanged)."""
     _view(spark, sf_dir)
-    return spark.sql(_lm_sql("spark"))
+    toks = X.tokens("spark")
+    tk = spark.sql(f"SELECT doc_id, {toks} AS tk FROM documents") \
+        .localCheckpoint()
+    tk.createOrReplaceTempView("lm_tk")
+    g2 = X.ngrams("spark", "tk", 2)
+    bg = spark.sql(
+        "SELECT doc_id, gram, split_part(gram, ' ', 1) AS w1 "
+        f"FROM (SELECT doc_id, explode({g2}) AS gram FROM lm_tk) e") \
+        .localCheckpoint()
+    bg.createOrReplaceTempView("lm_bg")
+    return spark.sql(_lm_sql("spark", tk_table="lm_tk", bg_table="lm_bg"))
 
 
 LM_ORACLE = _lm_sql("duck")
