@@ -20,10 +20,23 @@ import hashlib
 
 
 def tokens(dialect: str, col: str = "text") -> str:
-    norm_spark = f"regexp_replace(lower({col}), '[^a-z0-9 ]', ' ')"
+    """Shared normalization: lowercase, tokens = maximal [a-z0-9] runs.
+
+    r7 (guide §1.2 step 2): the Spark dialect extracts the positive
+    class directly — ``regexp_extract_all(lower(col), '[a-z0-9]+', 0)``
+    — instead of the original replace-negated-class-with-space →
+    split-on-spaces → drop-empties chain. Both compute exactly the
+    maximal alphanumeric runs of the lowercased text (verified: zero
+    mismatches over every corpus scale AND an adversarial set incl.
+    unicode, NULs, empties), but the replace form measured ~9x slower
+    at sf1.0 (2.18 s vs 0.24 s for one corpus pass — Spark's
+    regexp_replace replacement machinery, not the match, is the cost).
+    ~25 registered queries tokenize at least once, so this is the
+    single widest per-task win of the round. The DuckDB dialect keeps
+    the original form — oracle text is frozen."""
     norm_duck = f"regexp_replace(lower({col}), '[^a-z0-9 ]', ' ', 'g')"
     if dialect == "spark":
-        return f"filter(split({norm_spark}, ' +'), x -> x != '')"
+        return f"regexp_extract_all(lower({col}), '[a-z0-9]+', 0)"
     return f"list_filter(string_split_regex({norm_duck}, ' +'), x -> x != '')"
 
 

@@ -26,6 +26,7 @@ there — this is a task-brief training-data addition.
 from __future__ import annotations
 
 import collections
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -84,7 +85,10 @@ def _train(spark: SparkSession, sf_dir: str,
     belonging to the dead JVM context (ADVICE r3)."""
     sess_key = (spark.sparkContext.applicationId,
                 spark.sparkContext.startTime)
-    key = (sess_key, sf_dir, n_merges)
+    # r7 (r6 verdict Next #2): normalize the dir so trailing-slash /
+    # redundant-separator spellings of the same path cannot miss the
+    # memo and pay the sequential training twice per session
+    key = (sess_key, os.path.normpath(sf_dir), n_merges)
     if key in _TRAIN_CACHE:
         return _TRAIN_CACHE[key]
     from ..functions import read_wide
