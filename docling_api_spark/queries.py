@@ -1699,117 +1699,118 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     filled with the highest-value composites from last round's window.
     Queries out of the window stay registered for bench + the
     self-sweep replica (tools/sweep_driver_canon) and carry an inline
-    ``# out r6 (r5-green)`` marker naming their last driver row.
+    ``# out r7 (r6-green)`` marker naming their last driver row.
 
-    r6 window = the 31 queries last gated in CORRECTNESS_r04 (policy
-    item (b) — all r4-green, rotated out r5, due back now)
-    + extract_embedded_images and substring_dedup (new r6)
-    + the r6 code/corpus-touched set: extract_pdf_markdown +
-    span_pdf_detail (encryption corpus widened to R5/R6 AES-256),
-    extract_docx_markdown (DOCX path now returns images),
-    error_taxonomy (shared convert dispatcher changed),
-    ann_ivf_trained + semdedup (shared-training memo)
-    + 11 flagship/composite re-gates (extract_markdown, extract_images,
-    crawl_curation, the two streams, compact_roundtrip,
-    sequence_packing, dedup_near_pipeline, quality_filter_neardup,
-    dsir_importance, domain_mixture). The 33 rotated out are all
-    r5-driver-green (CORRECTNESS_r05: 50/50) with their own code
-    unchanged this round (similarity.py's change is scoped to the
-    training memo, whose two consumers are IN the window; the full
-    sweep replica re-verified every out-of-window query green at
-    sf0.01 before this rotation shipped), due back in r7.
+    r7 window = the 33 queries last gated in CORRECTNESS_r05 (policy
+    item (b) — rotated out r6, due back now) + 17 slots of r7-touched
+    re-gates (policy item (a)): this optimization round changed the
+    similarity pair stage (semdedup, dedup_embedding_cosine), the AES
+    provider under every PDF query (extract_pdf_markdown,
+    span_pdf_detail, error_taxonomy), the JPEG/OCR decode
+    (extract_scanned_markdown, extract_embedded_images), the
+    synthesized-pages parallelism (extract_markdown,
+    extract_quality_pipeline, content_density, extract_warc_markdown),
+    CTE materialization (substring_dedup, lm_scores,
+    dedup_near_pipeline), the shared training memo consumers
+    (ann_ivf_trained), the BPE memo key (bpe_vocab) and the
+    crawl_curation composite over the rewritten tokenizer. The r7
+    tokenizer/read_wide changes touch MORE queries than 17 slots can
+    hold; priority went to the largest code deltas, and the full sweep
+    replica re-verified ALL 83 queries green at sf0.01 (twice: after
+    the tokenizer change and at round close) plus the touched families
+    at sf0.001/sf0.1 before this rotation shipped. The 33 rotated out
+    are all r6-driver-green (CORRECTNESS_r06: 50/50), due back r8.
     """
     return {
         # ---- driver window (slots 1-50) ----
-        # flagship + new r6 + r6-touched extraction paths
-        "extract_markdown": extract_markdown,
-        "extract_pdf_markdown": extract_pdf_markdown,      # r6: V5/AES-256 corpus slice
-        "span_pdf_detail": span_pdf_detail,                # r6: same corpus
-        "extract_docx_markdown": extract_docx_markdown,    # r6: rich image path
-        "error_taxonomy": error_taxonomy,                  # r6: dispatcher touched
-        "extract_embedded_images": extract_embedded_images,  # new r6
-        "substring_dedup": dedup.substring_dedup,          # new r6
-        "ann_ivf_trained": similarity.ann_ivf_trained,     # r6: shared-training memo
-        "semdedup": similarity.semdedup,                   # r6: shared-training memo
-        # r4-last-gated rotation (policy item (b)): every query whose
-        # latest driver row is CORRECTNESS_r04
-        "extract_adoc_markdown": extract_adoc_markdown,
-        "extract_pptx_markdown": extract_pptx_markdown,
-        "pii_scrub": pii.pii_scrub,
-        "host_link_graph": host_link_graph,
-        "host_pagerank": host_pagerank,
-        "extract_quality_pipeline": extract_quality_pipeline,
-        "head_meta": head_meta,
-        "content_density": content_density,
-        "extract_scanned_markdown": extract_scanned_markdown,
-        "extract_warc_markdown": extract_warc_markdown,
-        "sitemap_urls": sitemap_urls,
-        "crawl_snapshot_diff": webtext.crawl_snapshot_diff,
-        "fetch_schedule": webtext.fetch_schedule,
-        "dedup_window_latest": relational.latest_event_per_user,
-        "resume_anti_join": relational.resume_anti_join,
-        "metrics_rollup": relational.metrics_rollup,
-        "passage_dedup": dedup.passage_dedup,
-        "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
-        "media_metadata": multimodal.media_metadata,
-        "image_features": multimodal.image_features,
-        "image_metadata": multimodal.image_metadata,
-        "repetition_scores": webtext.repetition_scores,
-        "url_canonical_dedup": webtext.url_canonical_dedup,
-        "contamination_flags": webtext.contamination_flags,
-        "dataset_split": webtext.dataset_split,
-        "lm_scores": webtext.lm_scores,
-        "bpe_vocab": bpe.bpe_vocab,
-        "bpe_segment_counts": bpe.bpe_segment_counts,
-        "stratified_sample": webtext.stratified_sample,
-        "normalize_text": webtext.normalize_text,
-        "robots_filter": webtext.robots_filter,
-        # high-value composite re-gates (policy item (c))
-        "extract_images": extract_images,
-        "crawl_curation": crawl_curation,
-        "streaming_curation": streaming_curation,
-        "streaming_dedup": streaming_dedup,
-        "compact_roundtrip": compact_roundtrip,
-        "sequence_packing": webtext.sequence_packing,
-        "dedup_near_pipeline": dedup.dedup_near_pipeline,
-        "quality_filter_neardup": text_stats.quality_filter_neardup,
-        "dsir_importance": webtext.dsir_importance,
-        "domain_mixture": webtext.domain_mixture,
-        # ---- past the driver window (slots 51+): all r5-driver-green
-        # (CORRECTNESS_r05 50/50), code unchanged this round; due back r7 ----
-        "extract_charset_markdown": extract_charset_markdown,  # out r6 (r5-green)
-        "span_summary": span_summary,                      # out r6 (r5-green)
-        "extract_linked_markdown": extract_linked_markdown,  # out r6 (r5-green)
-        "outlinks": outlinks,                              # out r6 (r5-green)
-        "format_distribution": format_distribution,        # out r6 (r5-green)
-        "host_stats": host_stats,                          # out r6 (r5-green)
-        "host_quota_sample": host_quota_sample,            # out r6 (r5-green)
-        "windowed_event_counts": relational.windowed_event_counts,  # out r6 (r5-green)
-        "sessionize_events": relational.sessionize_events,  # out r6 (r5-green)
-        "json_props_rollup": relational.json_props_rollup,  # out r6 (r5-green)
-        "dedup_exact": dedup.dedup_exact,                  # out r6 (r5-green)
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,      # out r6 (r5-green)
-        "incremental_dedup": dedup.incremental_dedup,      # out r6 (r5-green)
-        "minhash_signatures": dedup.minhash_signatures,    # out r6 (r5-green)
-        "simhash": dedup.simhash,                          # out r6 (r5-green)
-        "ngram_jaccard": dedup.ngram_jaccard,              # out r6 (r5-green)
-        "token_counts": text_stats.token_counts,           # out r6 (r5-green)
-        "quality_scores": text_stats.quality_scores,       # out r6 (r5-green)
-        "quality_model_score": text_stats.quality_model_score,  # out r6 (r5-green)
-        "token_length_hist": text_stats.token_length_hist,  # out r6 (r5-green)
-        "retention_report": text_stats.retention_report,   # out r6 (r5-green)
-        "tfidf_topterms": text_stats.tfidf_topterms,       # out r6 (r5-green)
-        "lang_id": text_stats.lang_id,                     # out r6 (r5-green)
-        "fingerprints": text_stats.fingerprints,           # out r6 (r5-green)
-        "cosine_topk": similarity.cosine_topk,             # out r6 (r5-green)
-        "ann_lsh": similarity.ann_lsh,                     # out r6 (r5-green)
-        "ann_ivf": similarity.ann_ivf,                     # out r6 (r5-green)
-        "extract_rich_markdown": extract_rich_markdown,    # out r6 (r5-green)
-        "span_detail": span_detail,                        # out r6 (r5-green)
-        "anchor_text_rollup": anchor_text_rollup,          # out r6 (r5-green)
-        "quality_filter": text_stats.quality_filter,       # out r6 (r5-green)
-        "ann_recall_report": similarity.ann_recall_report,  # out r6 (r5-green)
-        "bpe_train": bpe.bpe_train,                        # out r6 (r5-green)
+        # r7-touched re-gates (policy item (a); 17 slots)
+        "extract_markdown": extract_markdown,              # r7: scan parallelism
+        "extract_pdf_markdown": extract_pdf_markdown,      # r7: AES provider
+        "span_pdf_detail": span_pdf_detail,                # r7: AES provider
+        "error_taxonomy": error_taxonomy,                  # r7: AES provider (typed errors)
+        "extract_embedded_images": extract_embedded_images,  # r7: batch IDCT decode
+        "extract_scanned_markdown": extract_scanned_markdown,  # r7: JPEG/OCR rewrite
+        "extract_warc_markdown": extract_warc_markdown,    # r7: segment width
+        "extract_quality_pipeline": extract_quality_pipeline,  # r7: parallelism+tokenizer
+        "content_density": content_density,                # r7: scan parallelism
+        "semdedup": similarity.semdedup,                   # r7: numpy pair stage
+        "dedup_embedding_cosine": similarity.dedup_embedding_cosine,  # r7: numpy pair stage
+        "ann_ivf_trained": similarity.ann_ivf_trained,     # r7: similarity module touched
+        "substring_dedup": dedup.substring_dedup,          # r7: tk materialize-once
+        "lm_scores": webtext.lm_scores,                    # r7: tk/bg materialize-once
+        "dedup_near_pipeline": dedup.dedup_near_pipeline,  # r7: bands materialize-once
+        "crawl_curation": crawl_curation,                  # r7: composite re-gate
+        "bpe_vocab": bpe.bpe_vocab,                        # r7: memo key normalization
+        # r5-last-gated rotation (policy item (b)): every query whose
+        # latest driver row is CORRECTNESS_r05
+        "extract_charset_markdown": extract_charset_markdown,
+        "span_summary": span_summary,
+        "extract_linked_markdown": extract_linked_markdown,
+        "outlinks": outlinks,
+        "format_distribution": format_distribution,
+        "host_stats": host_stats,
+        "host_quota_sample": host_quota_sample,
+        "windowed_event_counts": relational.windowed_event_counts,
+        "sessionize_events": relational.sessionize_events,
+        "json_props_rollup": relational.json_props_rollup,
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "incremental_dedup": dedup.incremental_dedup,
+        "minhash_signatures": dedup.minhash_signatures,
+        "simhash": dedup.simhash,
+        "ngram_jaccard": dedup.ngram_jaccard,
+        "token_counts": text_stats.token_counts,
+        "quality_scores": text_stats.quality_scores,
+        "quality_model_score": text_stats.quality_model_score,
+        "token_length_hist": text_stats.token_length_hist,
+        "retention_report": text_stats.retention_report,
+        "tfidf_topterms": text_stats.tfidf_topterms,
+        "lang_id": text_stats.lang_id,
+        "fingerprints": text_stats.fingerprints,
+        "cosine_topk": similarity.cosine_topk,
+        "ann_lsh": similarity.ann_lsh,
+        "ann_ivf": similarity.ann_ivf,
+        "extract_rich_markdown": extract_rich_markdown,
+        "span_detail": span_detail,
+        "anchor_text_rollup": anchor_text_rollup,
+        "quality_filter": text_stats.quality_filter,
+        "ann_recall_report": similarity.ann_recall_report,
+        "bpe_train": bpe.bpe_train,
+        # ---- past the driver window (slots 51+): all r6-driver-green
+        # (CORRECTNESS_r06 50/50); due back r8 ----
+        "extract_docx_markdown": extract_docx_markdown,    # out r7 (r6-green)
+        "extract_pptx_markdown": extract_pptx_markdown,    # out r7 (r6-green)
+        "extract_adoc_markdown": extract_adoc_markdown,    # out r7 (r6-green)
+        "pii_scrub": pii.pii_scrub,                        # out r7 (r6-green)
+        "host_link_graph": host_link_graph,                # out r7 (r6-green)
+        "host_pagerank": host_pagerank,                    # out r7 (r6-green)
+        "head_meta": head_meta,                            # out r7 (r6-green)
+        "sitemap_urls": sitemap_urls,                      # out r7 (r6-green)
+        "crawl_snapshot_diff": webtext.crawl_snapshot_diff,  # out r7 (r6-green)
+        "fetch_schedule": webtext.fetch_schedule,          # out r7 (r6-green)
+        "dedup_window_latest": relational.latest_event_per_user,  # out r7 (r6-green)
+        "resume_anti_join": relational.resume_anti_join,   # out r7 (r6-green)
+        "metrics_rollup": relational.metrics_rollup,       # out r7 (r6-green)
+        "passage_dedup": dedup.passage_dedup,              # out r7 (r6-green)
+        "media_metadata": multimodal.media_metadata,       # out r7 (r6-green)
+        "image_features": multimodal.image_features,       # out r7 (r6-green)
+        "image_metadata": multimodal.image_metadata,       # out r7 (r6-green)
+        "repetition_scores": webtext.repetition_scores,    # out r7 (r6-green)
+        "url_canonical_dedup": webtext.url_canonical_dedup,  # out r7 (r6-green)
+        "contamination_flags": webtext.contamination_flags,  # out r7 (r6-green)
+        "dataset_split": webtext.dataset_split,            # out r7 (r6-green)
+        "bpe_segment_counts": bpe.bpe_segment_counts,      # out r7 (r6-green)
+        "stratified_sample": webtext.stratified_sample,    # out r7 (r6-green)
+        "normalize_text": webtext.normalize_text,          # out r7 (r6-green)
+        "robots_filter": webtext.robots_filter,            # out r7 (r6-green)
+        "extract_images": extract_images,                  # out r7 (r6-green)
+        "streaming_curation": streaming_curation,          # out r7 (r6-green)
+        "streaming_dedup": streaming_dedup,                # out r7 (r6-green)
+        "compact_roundtrip": compact_roundtrip,            # out r7 (r6-green)
+        "sequence_packing": webtext.sequence_packing,      # out r7 (r6-green)
+        "quality_filter_neardup": text_stats.quality_filter_neardup,  # out r7 (r6-green)
+        "dsir_importance": webtext.dsir_importance,        # out r7 (r6-green)
+        "domain_mixture": webtext.domain_mixture,          # out r7 (r6-green)
     }
 
 
