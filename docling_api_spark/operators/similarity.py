@@ -565,7 +565,14 @@ def ivf_train_cached(spark: SparkSession, sf_dir: str, k: int,
                      iters: int, dim: int) -> list[list[float]]:
     key = (sf_dir, k, iters, dim)
     if key not in _IVF_TRAIN_CACHE:
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # r7: widen the single-file scan — the per-iteration assign and
+        # update stages ran in ONE task (measured 2.8 s + 3.7 s per
+        # iteration at sf1.0 single-task). Training is partitioning-
+        # invariant by design (DECIMAL(28,12) sums are exact and
+        # associative — the ivf_train docstring contract), so the
+        # repartition cannot change the model.
+        from ..functions import read_wide
+        emb = read_wide(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
         _IVF_TRAIN_CACHE[key] = ivf_train(emb, k=k, iters=iters, dim=dim)
     return _IVF_TRAIN_CACHE[key]
 
