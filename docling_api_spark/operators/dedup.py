@@ -40,15 +40,20 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ..functions import textsql as X
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str,
+          wide: bool = True) -> DataFrame:
+    # wide=False (r7): one-pass md5 queries gain nothing from the
+    # widening exchange (see webtext._view)
     from ..functions import read_wide
-    return read_wide(spark, f"{sf_dir}/documents.parquet", "doc_id")
+    if wide:
+        return read_wide(spark, f"{sf_dir}/documents.parquet", "doc_id")
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 # ------------------------------------------------------------- exact dedup
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, wide=False)
     w = W.partitionBy(F.md5("text"))
     return docs.select(
         "doc_id",

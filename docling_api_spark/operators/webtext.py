@@ -37,10 +37,17 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions import textsql as X
 
 
-def _view(spark: SparkSession, sf_dir: str) -> None:
+def _view(spark: SparkSession, sf_dir: str, wide: bool = True) -> None:
+    """``wide=False`` (r7): queries that only project doc_id/lang-level
+    columns (robots, snapshot diff, fetch schedule) pay the widening
+    exchange once per CTE reference without any heavy scan-stage work
+    to parallelize — measured 0.4-1.3 s worse at sf1.0 — so they keep
+    the plain single-split read."""
     from ..functions import read_wide
-    read_wide(spark, f"{sf_dir}/documents.parquet", "doc_id") \
-        .createOrReplaceTempView("documents")
+    df = (read_wide(spark, f"{sf_dir}/documents.parquet", "doc_id")
+          if wide else
+          spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    df.createOrReplaceTempView("documents")
 
 
 # ------------------------------------------------- repetition signals
@@ -649,7 +656,7 @@ LEFT JOIN matched m ON m.doc_id = p.doc_id
 
 
 def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir)
+    _view(spark, sf_dir, wide=False)
     return spark.sql(_robots_sql("spark"))
 
 
@@ -698,7 +705,7 @@ FROM a FULL OUTER JOIN b ON a.url = b.url
 
 
 def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir)
+    _view(spark, sf_dir, wide=False)
     return spark.sql(_snapshot_diff_sql("spark"))
 
 
@@ -758,7 +765,7 @@ FROM r
 
 
 def fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir)
+    _view(spark, sf_dir, wide=False)
     return spark.sql(_fetch_schedule_sql("spark"))
 
 
