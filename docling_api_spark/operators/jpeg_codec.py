@@ -41,13 +41,21 @@ import struct
 #: sloped enough that the quantizer actually does work in tests
 _QTABLE = [1 + u + v for v in range(8) for u in range(8)]
 
-#: zig-zag scan order (T.81 Figure 5) — generated from the definition:
-#: walk anti-diagonals, alternating direction
+#: zig-zag scan order (T.81 Figure A.6) — generated from the definition:
+#: walk anti-diagonals, alternating direction. r7 (r6 ADVICE, high):
+#: the direction test was inverted, producing the TRANSPOSE of the
+#: canonical order ([0,8,1,...] instead of [0,1,8,...]) — in-repo
+#: round-trips were self-consistent (encoder and decoder share this
+#: table), but any EXTERNALLY-encoded baseline JPEG decoded with every
+#: 8x8 block transposed. Fixed (odd diagonals descend in x); pinned
+#: against the literal spec table in test_ocr.py. Fixture corpora are
+#: unaffected: the permutation cancels in encode→decode round-trips,
+#: so every oracle-gated pixel/text output is unchanged.
 def _make_zigzag() -> list[int]:
     order = []
     for s in range(15):
         rng = range(s + 1)
-        for i in (rng if s % 2 else reversed(rng)):
+        for i in (reversed(rng) if s % 2 else rng):
             x, y = i, s - i
             if x < 8 and y < 8:
                 order.append(y * 8 + x)

@@ -19,9 +19,27 @@ Output joins blocks with blank lines — same dialect as html_extract.
 from __future__ import annotations
 
 import io
+import posixpath
 import re
 import zipfile
 import xml.etree.ElementTree as ET
+
+
+def _read_part(zf: zipfile.ZipFile, base_dir: str, target: str) -> bytes:
+    """Resolve a relationship target against its part's directory and
+    read it (r7, r6 ADVICE low #2): absolute targets ('/word/media/x')
+    strip the leading slash instead of double-prefixing, relative ones
+    (incl. '../media/x') normalize via posixpath; a target that does
+    not resolve to a stored part raises the TYPED unresolved error
+    (same channel as a missing rId) rather than a bare KeyError."""
+    if target.startswith("/"):
+        name = posixpath.normpath(target.lstrip("/"))
+    else:
+        name = posixpath.normpath(posixpath.join(base_dir, target))
+    try:
+        return zf.read(name)
+    except KeyError:
+        raise ValueError("unresolved image part") from None
 
 W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
@@ -149,9 +167,14 @@ def extract_docx_rich(content: bytes) -> tuple[str, list]:
                         target = rels.get(blip.get(R + "embed", ""))
                         if target is None:
                             raise ValueError("unresolved image rel")
-                        pictures.append(
-                            zf.read("word/" + target.lstrip("/")))
+                        pictures.append(_read_part(zf, "word", target))
                         blocks.append("<!-- image -->")
+                    # r7 (r6 ADVICE low #1): a paragraph can carry BOTH
+                    # an inline image and run text — keep the text
+                    # instead of dropping it with the placeholders
+                    tb = _docx_para_block(el)
+                    if tb is not None:
+                        blocks.append(tb)
                     continue
                 b = _docx_para_block(el)
                 if b is None:
@@ -241,9 +264,10 @@ def extract_pptx_rich(content: bytes) -> tuple[str, list]:
                         target = rels.get(blip.get(R + "embed", ""))
                         if target is None:
                             raise ValueError("unresolved image rel")
-                        # slide rels targets are ../media/imageN.png
-                        part = "ppt/" + target.replace("../", "")
-                        pictures.append(zf.read(part))
+                        # slide rels targets resolve against the slide
+                        # part's directory (typically ../media/imageN)
+                        pictures.append(_read_part(
+                            zf, name.rsplit("/", 1)[0], target))
                         blocks.append("<!-- image -->")
     images: list[dict] = []
     for n, png in enumerate(pictures, 1):

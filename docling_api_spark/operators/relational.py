@@ -130,7 +130,12 @@ GROUP BY event_type
 
 
 def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.read.parquet(f"{sf_dir}/events.parquet") \
+    # r7: the per-row JSON parse is the one events query with real
+    # scan-stage work — widen the single-file scan so it parallelizes
+    # (guide §2.5; the BIGINT count/min/max/sum rollup is partition-
+    # invariant, so results are unchanged)
+    from ..functions import read_wide
+    read_wide(spark, f"{sf_dir}/events.parquet", "event_id") \
         .createOrReplaceTempView("events")
     return spark.sql(_json_props_sql("spark"))
 

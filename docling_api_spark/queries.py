@@ -1712,8 +1712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     extract_quality_pipeline, content_density, extract_warc_markdown),
     CTE materialization (substring_dedup, lm_scores,
     dedup_near_pipeline), the shared training memo consumers
-    (ann_ivf_trained), the BPE memo key (bpe_vocab) and the
-    crawl_curation composite over the rewritten tokenizer. The r7
+    (ann_ivf_trained), and the OOXML advice fixes
+    (extract_docx_markdown, extract_pptx_markdown). The r7
     tokenizer/read_wide changes touch MORE queries than 17 slots can
     hold; priority went to the largest code deltas, and the full sweep
     replica re-verified ALL 83 queries green at sf0.01 (twice: after
@@ -1739,8 +1739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": dedup.substring_dedup,          # r7: tk materialize-once
         "lm_scores": webtext.lm_scores,                    # r7: tk/bg materialize-once
         "dedup_near_pipeline": dedup.dedup_near_pipeline,  # r7: bands materialize-once
-        "crawl_curation": crawl_curation,                  # r7: composite re-gate
-        "bpe_vocab": bpe.bpe_vocab,                        # r7: memo key normalization
+        "extract_docx_markdown": extract_docx_markdown,    # r7: mixed-para + rel fix
+        "extract_pptx_markdown": extract_pptx_markdown,    # r7: rel-target fix
         # r5-last-gated rotation (policy item (b)): every query whose
         # latest driver row is CORRECTNESS_r05
         "extract_charset_markdown": extract_charset_markdown,
@@ -1778,8 +1778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": bpe.bpe_train,
         # ---- past the driver window (slots 51+): all r6-driver-green
         # (CORRECTNESS_r06 50/50); due back r8 ----
-        "extract_docx_markdown": extract_docx_markdown,    # out r7 (r6-green)
-        "extract_pptx_markdown": extract_pptx_markdown,    # out r7 (r6-green)
+        "crawl_curation": crawl_curation,                  # out r7 (r6-green)
+        "bpe_vocab": bpe.bpe_vocab,                        # out r7 (r6-green)
         "extract_adoc_markdown": extract_adoc_markdown,    # out r7 (r6-green)
         "pii_scrub": pii.pii_scrub,                        # out r7 (r6-green)
         "host_link_graph": host_link_graph,                # out r7 (r6-green)

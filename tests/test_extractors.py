@@ -1647,3 +1647,88 @@ def test_aes_provider_matches_pure_python_fallback():
     finally:
         del os.environ["SPARK_GRAFT_AES_PROVIDER"]
         importlib.reload(PC)
+
+
+def test_docx_mixed_text_image_paragraph_keeps_text():
+    """r7 (r6 ADVICE low #1): a w:p carrying BOTH an a:blip and run
+    text must keep the text after the image placeholder instead of
+    silently dropping it."""
+    import io
+    import re
+    import zipfile
+
+    from docling_api_spark.operators.ooxml import extract_docx_rich
+    from docling_api_spark.operators.ooxml_write import write_docx
+    from docling_api_spark.operators.png_write import picture_png
+
+    docx = write_docx("Doc 1", "body text", [], [],
+                      images=[picture_png("mix.png")])
+    # splice run text into the image paragraph (fixture writer emits
+    # image-only paragraphs)
+    src = zipfile.ZipFile(io.BytesIO(docx))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for name in src.namelist():
+            data = src.read(name)
+            if name == "word/document.xml":
+                xml = data.decode()
+                m = re.search(r"<w:p>(?:(?!</w:p>).)*a:blip(?:(?!</w:p>).)*</w:p>", xml)
+                assert m, xml[:500]
+                para = m.group(0)
+                mixed = para.replace(
+                    "</w:p>",
+                    "<w:r><w:t>caption text</w:t></w:r></w:p>")
+                xml = xml.replace(para, mixed)
+                data = xml.encode()
+            out.writestr(name, data)
+    md, imgs = extract_docx_rich(buf.getvalue())
+    assert len(imgs) == 1
+    assert "caption text" in md
+    assert md.index("picture-1.png") < md.index("caption text")
+
+
+def test_ooxml_offshape_rel_targets_resolve_or_fail_typed():
+    """r7 (r6 ADVICE low #3): absolute ('/word/media/x') and
+    dot-relative rel targets normalize instead of double-prefixing;
+    a target naming no stored part raises the typed unresolved error,
+    never a bare KeyError."""
+    import io
+    import zipfile
+
+    import pytest
+
+    from docling_api_spark.operators.ooxml import extract_docx_rich
+    from docling_api_spark.operators.ooxml_write import write_docx
+    from docling_api_spark.operators.png_write import picture_png
+
+    docx = write_docx("Doc 2", "body", [], [],
+                      images=[picture_png("abs.png")])
+
+    def rewrite_target(new_target: str) -> bytes:
+        src = zipfile.ZipFile(io.BytesIO(docx))
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as out:
+            for name in src.namelist():
+                data = src.read(name)
+                if name.endswith("document.xml.rels"):
+                    xml = data.decode()
+                    import re
+                    xml = re.sub(r'Target="[^"]*media/image1[^"]*"',
+                                 f'Target="{new_target}"', xml)
+                    data = xml.encode()
+                out.writestr(name, data)
+        return buf.getvalue()
+
+    base = extract_docx_rich(docx)
+    # absolute form of the same part resolves identically
+    md_abs, imgs_abs = extract_docx_rich(
+        rewrite_target("/word/media/image1.png"))
+    assert (md_abs, [i["image"] for i in imgs_abs]) == \
+        (base[0], [i["image"] for i in base[1]])
+    # dot-relative form resolves identically
+    md_rel, imgs_rel = extract_docx_rich(
+        rewrite_target("./media/image1.png"))
+    assert md_rel == base[0]
+    # missing part: typed, never KeyError
+    with pytest.raises(ValueError, match="unresolved image part"):
+        extract_docx_rich(rewrite_target("media/nope.png"))

@@ -144,3 +144,41 @@ def test_idct_batch_bit_identical_to_scalar():
     got = _idct_batch(blocks, qt)
     for i, b in enumerate(blocks):
         assert list(got[i]) == _idct(b, qt), i
+
+
+def test_zigzag_matches_spec_literal():
+    """r7 (r6 ADVICE, high): _ZIGZAG must equal the canonical T.81
+    Figure A.6 zig-zag sequence, pinned LITERALLY so a generator-logic
+    slip (the r6 transposition) can never pass again. An external
+    baseline JPEG's coefficients are ordered by this table; the
+    transposed variant decoded every 8x8 block flipped about the
+    diagonal."""
+    from docling_api_spark.operators.jpeg_codec import _ZIGZAG
+
+    spec = [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    assert _ZIGZAG == spec
+
+
+def test_jpeg_roundtrip_unchanged_by_zigzag_fix():
+    """Encode→decode round-trips must reproduce pixels exactly (the
+    table is shared by both sides, so the fixture corpora's oracle
+    outputs are unchanged by the conformance fix)."""
+    from docling_api_spark.operators.jpeg_codec import (
+        decode_gray_jpeg, encode_gray_jpeg)
+
+    w, h = 40, 24
+    px = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w))
+    w2, h2, out = decode_gray_jpeg(encode_gray_jpeg(w, h, px))
+    assert (w2, h2) == (w, h)
+    # lossy codec: decoded pixels close to the source, deterministic
+    assert len(out) == len(px)
+    assert max(abs(a - b) for a, b in zip(out, px)) < 48
